@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * numeric-determinism helpers every oracle-checked query uses.
+  *
+  * Determinism contract (SURVEY.md §5.1): the driver hash-compares our
+  * parquet output against DuckDB. Double-precision aggregation is
+  * order-dependent in both engines, so every SUM over a money-like double
+  * column goes through an exact DECIMAL(18,2) cast (the synthetic data
+  * carries at most 2 fractional digits), and every ratio/avg is derived
+  * from exact sums then rounded. Raw (non-aggregated) doubles pass through
+  * untouched — both engines read identical parquet bits.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // µs-typed parquet output: keeps our dumped timestamps byte-comparable
+    // with DuckDB's (the oracle compare reads both back via Arrow).
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively:
+    // read the raw int64 nanos and truncate to µs — the same truncation
+    // DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. Integer DIV (not
+    // double /): ns epochs exceed 2^53.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** Register all tables as temp views (for spark.sql-based operators). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Exact money arithmetic: cast to DECIMAL(18,2) pre-aggregation. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact, engine-portable SUM of a 2-decimal double column → double. */
+  def moneySum(c: Column): Column = F.sum(dec2(c)).cast("double")
+
+  /** Deterministic average: exact decimal sum / count, as double.
+    * (Plain avg(double) is accumulation-order-dependent.) */
+  def moneyAvg(c: Column): Column =
+    (F.sum(dec2(c)).cast("double") / F.count(c)).cast("double")
+}

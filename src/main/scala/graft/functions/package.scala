@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Column-level API over the custom Catalyst expressions, plus SQL
+  * registration so `spark.sql("... cosine_sim(a,b) ...")` works too.
+  * (Spark 4 moved Column↔Expression bridging to sql.classic.) */
+package object functions {
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+  private def toCol(e: Expression): Column = Bridge.column(e)
+
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(expr(a), expr(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(expr(a), expr(b)))
+
+  def hyperplane_signature(v: Column, nPlanes: Int, seed: Long): Column =
+    toCol(HyperplaneSignature(expr(v), nPlanes, seed))
+
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    toCol(SimHash64(expr(tokens), seed))
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+  }
+}

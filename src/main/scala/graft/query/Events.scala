@@ -1,0 +1,77 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables.{dec2, moneySum}
+
+/** Event-time windowing (SURVEY.md §2 B17–B19): batch-equivalent forms of
+  * the streaming operators, oracle-checkable in SQL. The true streaming
+  * forms (readStream + watermark + window/session_window) live in
+  * graft.streaming and are exercised by ScalaTest via file sources — the
+  * window SEMANTICS here and there are identical Spark built-ins.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregations on
+  * (window, key) — partial agg map-side, one shuffle. Session windows
+  * (gaps-and-islands) need per-user ordering: one shuffle on user_id, then
+  * lag + running sum inside each partition; at 100 TB the user_id hash
+  * partitioning bounds state per task.
+  */
+object Events {
+
+  /** B17: 1-hour tumbling count/sum per event_type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** B17b: 1-hour windows sliding every 30 minutes (each event lands in
+    * exactly 2 windows). */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  /** B18: session windows with a 30-minute inactivity gap, batch form via
+    * gaps-and-islands: session boundary where the gap from the previous
+    * event of the same user exceeds 30 min; session id = running count of
+    * boundaries. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runner = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new_session")).over(runner))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Event funnel-ish rollup: per event_type daily counts + distinct
+    * users (mixes date_trunc, countDistinct). */
+  def dailyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("day", "event_type")
+}

@@ -1,0 +1,48 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Read-path query surface (SURVEY.md §2 A11–A14, exercised as B13 over
+  * `part.p_name` standing in for the reference's `product_name`).
+  *
+  * The reference's four HTTP lookups (app/api/main.py:106-184) become
+  * DataFrame predicates: equality point lookup (parquet min-max +
+  * dictionary pushdown does the index's job), case-insensitive substring
+  * scan, exact match. The reference's partial search uses an UNSORTED
+  * limit(20) (main.py:162) — nondeterministic, so the engine version adds
+  * a total order by key before the limit (SURVEY.md §5.1).
+  */
+object Finders {
+
+  /** A11: point lookup by key. */
+  def lookupByKey(df: DataFrame, keyCol: String, key: Long): DataFrame =
+    df.filter(col(keyCol) === key)
+
+  /** A12: case-insensitive substring search, deterministic top-20. */
+  def searchPartial(df: DataFrame, nameCol: String, term: String,
+      orderCol: String, limit: Int = 20): DataFrame =
+    df.filter(lower(col(nameCol)).contains(term.toLowerCase))
+      .orderBy(orderCol).limit(limit)
+
+  /** A13: exact-match search (reference has no limit here —
+    * main.py:177 docstring vs :180 code; we keep the code's behavior). */
+  def searchExact(df: DataFrame, nameCol: String, term: String,
+      orderCol: String): DataFrame =
+    df.filter(col(nameCol) === term).orderBy(orderCol)
+
+  // --- testdata-bound forms (the oracle-checked B13 queries) ---
+
+  def lookupCode(spark: SparkSession, dir: String): DataFrame =
+    lookupByKey(Tables.load(spark, dir, "part"), "p_partkey", 42L)
+      .orderBy("p_partkey")
+
+  def searchPartialPart(spark: SparkSession, dir: String): DataFrame =
+    searchPartial(Tables.load(spark, dir, "part"), "p_name", "Bolt",
+      "p_partkey")
+
+  def searchExactPart(spark: SparkSession, dir: String): DataFrame =
+    searchExact(Tables.load(spark, dir, "part"), "p_name", "red widget",
+      "p_partkey")
+}

@@ -1,0 +1,250 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.core.Tables.{dec2, moneyAvg, moneySum}
+
+/** Relational operator surface (SURVEY.md §2 B1–B11): scans, joins,
+  * aggregations, windows, sorts, set ops over the TPC-H-ish test tables.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on local[32]):
+  *  - dimension joins (customer/nation/region/part) are explicitly
+  *    broadcast — at production scale these stay far below the broadcast
+  *    threshold while the fact tables (lineitem/orders) never shuffle for
+  *    the join;
+  *  - fact-fact joins (orders⋈lineitem) rely on sort-merge + AQE;
+  *  - all aggregates are partial-then-final hash aggregations (map-side
+  *    combine) by construction — groupBy on low-cardinality keys;
+  *  - every query ends in a TOTAL order (unique tiebreaker) purely for the
+  *    differential oracle; the ordering is a TakeOrderedAndProject or a
+  *    final sort on already-reduced data, not a bottleneck at scale.
+  */
+object Relational {
+
+  /** B1: predicate + projection; both must reach the parquet scan
+    * (PushedFilters / ReadSchema). */
+  def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") <= 0.03)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B5: TPC-H Q1-style aggregate over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B2: fact ⋈ broadcast dimension. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    orders.join(broadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice",
+        "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** B3: multi-way dim chain customer⋈nation⋈region, rolled up. */
+  def joinMulti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q5-flavored headline: lineitem⋈orders⋈customer⋈nation⋈region,
+    * revenue per nation. Fact-fact join shuffles on orderkey; all dims
+    * broadcast. */
+  def q5MultiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** B4a: customers that have at least one order (left semi). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** B4b: customers with no orders (left anti). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** B6: distinct counting. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  /** B7: ROLLUP over (nation, segment). NULL grouping rows sort first in
+    * both engines (Spark default asc = NULLS FIRST; oracle SQL says it
+    * explicitly). Expressed via spark.sql: the DataFrame rollup-over-join
+    * form trips a DetectAmbiguousSelfJoin false positive in Spark 4.1
+    * (Expand duplicates dataset-id-tagged attributes). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("graft_customer")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** B7 sibling: CUBE over (returnflag, linestatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** Pivot: per-priority order counts as columns, one row per segment.
+    * (Spark pivot ≡ oracle's manual CASE sums.) */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    orders.join(broadcast(customer),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+        "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_notspec",
+        "5-LOW" -> "n_low"))
+      .na.fill(0L)
+      .orderBy("c_mktsegment")
+  }
+
+  /** B8: top-3 orders per customer by totalprice (dense per-key top-k —
+    * a single hash-partitioned window, no global sort). */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** B9: running revenue per customer in orderdate order. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("running_total",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+        "running_total")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Lag window: days since the customer's previous order. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "days_since_prev")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** B10: global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .limit(50)
+
+  /** B11a: set union — BUILDING-segment customers ∪ customers with an
+    * urgent order (distinct keys). */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    building.union(urgent).distinct().orderBy("custkey")
+  }
+
+  /** B11b: set except — BUILDING customers with no urgent order. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    building.except(urgent).orderBy("custkey")
+  }
+
+  /** B11c: set intersect — BUILDING customers that did place an urgent
+    * order. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(urgent).orderBy("custkey")
+  }
+}
