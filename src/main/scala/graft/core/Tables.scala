@@ -20,19 +20,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Set a session conf once (avoids re-mutating global session state on
+    * every table load). */
+  private def ensureConf(spark: SparkSession, k: String, v: String): Unit =
+    if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // µs-typed parquet output: keeps our dumped timestamps byte-comparable
     // with DuckDB's (the oracle compare reads both back via Arrow).
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
+    ensureConf(spark, "spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively:
     // read the raw int64 nanos and truncate to µs — the same truncation
     // DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. Integer DIV (not
-    // double /): ns epochs exceed 2^53.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // double /): ns epochs exceed 2^53. TIMESTAMP_NTZ (not TimestampType):
+    // DuckDB's CAST(ts AS TIMESTAMP) is naive, and Spark writes tz-adjusted
+    // TimestampType as timestamp[us, tz=UTC] — a guaranteed schema mismatch.
+    // NTZ stays naive end-to-end through window()/date_trunc/min/max.
+    ensureConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+      df.withColumn("ts",
+        F.expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
     else df
   }
 

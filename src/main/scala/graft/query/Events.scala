@@ -52,9 +52,10 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new_session",
+        // interval comparison (not unix_micros): works for both TIMESTAMP
+        // and TIMESTAMP_NTZ inputs; gap strictly > 30 min opens a session.
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
-            1800L * 1000000L, 1L)
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("is_new_session")).over(runner))
       .groupBy("user_id", "session_id")
@@ -69,7 +70,11 @@ object Events {
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      // date_trunc coerces TIMESTAMP_NTZ → TimestampType; cast back so the
+      // dumped parquet stays naive like the DuckDB oracle (session tz is
+      // UTC, so the round-trip is value-preserving).
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         moneySum(col("value")).as("total_value"))
