@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ingest.{Ingest, Upsert}
 import graft.multimodal.Multimodal
 import graft.query.{Events, Finders, PipelineOps, Relational, TextSim}
+import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,7 +55,12 @@ object SparkEntry {
     "search_partial" -> (Finders.searchPartialPart _),
     "search_exact" -> (Finders.searchExactPart _),
     "upsert_products" -> (PipelineOps.upsertProducts _),
+    "upsert_set_merge" -> (PipelineOps.upsertSetMerge _),
     "status_rollup" -> (PipelineOps.statusRollup _),
+    "status_lookup" -> (PipelineOps.statusLookup _),
+    // --- Structured Streaming ingest, end-to-end (A15/A16/A17) ---
+    "ingest_e2e_products" -> (IngestE2E.products _),
+    "ingest_e2e_control" -> (IngestE2E.control _),
     // --- relational surface (B1–B11) ---
     "scan_filter_project" -> (Relational.scanFilterProject _),
     "q1_agg" -> (Relational.q1Agg _),
@@ -112,6 +118,39 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 1 AS delivery FROM orders WHERE o_orderkey % 2 = 0)
         |) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "upsert_set_merge" ->
+      """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |d AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN o_orderpriority END AS o_orderpriority,
+        |    o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(d.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_custkey ELSE coalesce(d.o_custkey, s.o_custkey) END AS o_custkey,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_orderpriority ELSE coalesce(d.o_orderpriority, s.o_orderpriority) END AS o_orderpriority,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_totalprice ELSE coalesce(d.o_totalprice, s.o_totalprice) END AS o_totalprice
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey
+        |ORDER BY 1""".stripMargin,
+    "status_lookup" ->
+      """WITH c AS (SELECT user_id AS file_id, CAST(count(*) AS BIGINT) AS total_records,
+        |    CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS records_processed,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS records_failed,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'error') > 0 THEN 'processed_with_errors' ELSE 'processed' END AS status
+        |  FROM events GROUP BY user_id)
+        |SELECT file_id, status, total_records, records_processed, records_failed
+        |FROM c WHERE file_id = (SELECT min(file_id) FROM c) ORDER BY file_id""".stripMargin,
+    "ingest_e2e_products" ->
+      """SELECT * FROM (VALUES
+        |  ('0001', 'Oat Milk Deluxe', 'Acme', NULL, 'd2_week2.json'),
+        |  ('0002', 'Rye Bread', NULL, NULL, 'd1_week1.json'),
+        |  ('0003', 'Green Tea', NULL, '500 g', 'd1_week1.json'),
+        |  ('0004', 'Dark Chocolate', 'Choco', NULL, 'd2_week2.json'))
+        |AS t(code, product_name, brands, quantity, src_file) ORDER BY code""".stripMargin,
+    "ingest_e2e_control" ->
+      """SELECT * FROM (VALUES
+        |  ('d1_week1.json', 'processed_with_errors', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('d2_week2.json', 'processed', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('d3_poison.json', 'failed', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |AS t(file_id, status, total_records, records_processed, records_failed) ORDER BY file_id""".stripMargin,
     "status_rollup" ->
       """SELECT user_id AS file_id, CAST(count(*) AS BIGINT) AS total_records,
         |  CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS records_processed,
@@ -269,9 +308,11 @@ object SparkEntry {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
         |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

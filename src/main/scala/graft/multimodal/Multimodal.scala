@@ -72,8 +72,8 @@ object Multimodal {
   }
 
   /** Aggregate over decoded features — demonstrates the decode path inside
-    * a distributed plan (ScalaTest-verified; no SQL oracle for the
-    * codec stub's features). */
+    * a distributed plan (MultimodalSpec checks the norms against a direct
+    * in-JVM computation; no SQL oracle for the codec stub's features). */
   def featureNorms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeFeatures(spark, dir)

@@ -8,9 +8,9 @@ import graft.core.Tables.{dec2, moneySum}
 
 /** Event-time windowing (SURVEY.md §2 B17–B19): batch-equivalent forms of
   * the streaming operators, oracle-checkable in SQL. The true streaming
-  * forms (readStream + watermark + window/session_window) live in
-  * graft.streaming and are exercised by ScalaTest via file sources — the
-  * window SEMANTICS here and there are identical Spark built-ins.
+  * forms (watermark + window/session_window over a streaming source) are
+  * [[graft.streaming.EventStreams]], exercised by StreamingEventsSpec —
+  * the window SEMANTICS here and there are identical Spark built-ins.
   *
   * Scale: tumbling/sliding windows are plain hash aggregations on
   * (window, key) — partial agg map-side, one shuffle. Session windows

@@ -32,6 +32,14 @@ object Finders {
       orderCol: String): DataFrame =
     df.filter(col(nameCol) === term).orderBy(orderCol)
 
+  /** A14: control-record point read — the upload-status endpoint
+    * (reference app/api/main.py:106-127): one `uploaded_files` row by
+    * file_id, 6-field projection; empty result = the endpoint's 404. */
+  def statusLookup(control: DataFrame, fileId: String): DataFrame =
+    control.filter(col("file_id") === fileId)
+      .select("file_id", "status", "total_records", "records_processed",
+        "records_failed")
+
   // --- testdata-bound forms (the oracle-checked B13 queries) ---
 
   def lookupCode(spark: SparkSession, dir: String): DataFrame =

@@ -27,6 +27,40 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** A8 field-level flavor: the `$set` parity merge the reference's
+    * per-record `UpdateOne({code},{$set:doc})` implies
+    * (data_processor.py:103-110) — a field ABSENT from the new document
+    * survives from the snapshot. Carved from `orders`: snapshot = even
+    * orderkeys; delta = multiples of 3 with a bumped price and
+    * o_orderpriority present only on multiples of 9 — so merged rows on
+    * 6k∩¬9k keys must show the NEW price with the OLD priority. */
+  def upsertSetMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val snapshot = orders.filter(col("o_orderkey") % 2 === 0)
+    val delta = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 9 === 0, col("o_orderpriority")))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    Upsert.mergeFields(snapshot, delta, key = "o_orderkey",
+        mergeWholly = Set.empty)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** A14 as an oracle-checked query: point status lookup against a
+    * deterministic control table derived from `events` (the same
+    * derivation as [[statusRollup]]), keyed to the lexicographically
+    * first file_id. */
+  def statusLookup(spark: SparkSession, dir: String): DataFrame = {
+    val control = statusRollup(spark, dir)
+    // key chosen declaratively (no driver-side action): the lex-min id
+    val key = control.agg(min(col("file_id")).as("file_id"))
+    control.join(broadcast(key), Seq("file_id"))
+      .select("file_id", "status", "total_records", "records_processed",
+        "records_failed")
+  }
+
   /** B19: the A9/A10 counter + status machine over `events` treated as
     * per-user ingest streams: an 'error' event is a failed record. */
   def statusRollup(spark: SparkSession, dir: String): DataFrame = {

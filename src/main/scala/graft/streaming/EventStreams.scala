@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** True streaming forms of the event-time window operators (SURVEY.md §2
+  * B17/B18). The batch-equivalent, oracle-checked forms live in
+  * graft.query.Events — the window SEMANTICS are identical Spark
+  * built-ins; these wrap them with watermarks for unbounded sources and
+  * are exercised by StreamingEventsSpec over a streaming source.
+  *
+  * State at scale: the watermark bounds window state (late data beyond it
+  * is dropped and its windows evicted); tumbling/sliding state is
+  * per-(window,key) — hash-partitioned by key across executors; session
+  * state is per-user, merged by `session_window`'s native state store
+  * operator. Output mode `update`/`append` both work; append emits only
+  * watermark-closed (final) windows — that is what a downstream sink
+  * should consume.
+  */
+object EventStreams {
+
+  /** 1-hour tumbling count/sum per event_type over a streaming events
+    * source (`ts` event-time, 1h watermark for lateness). */
+  def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** 1-hour windows sliding every 30 minutes. */
+  def sliding(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows with a 30-minute inactivity gap, per user — the
+    * native `session_window` stateful operator (the streaming twin of
+    * Events.sessionize's gaps-and-islands batch form). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+}

@@ -1,0 +1,233 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.TimestampType
+
+import graft.core.Schemas
+import graft.core.Schemas.Status
+import graft.ingest.{Ingest, SnapshotStore, Tracker, Upsert}
+
+/** Structured Streaming ingest pipeline (SURVEY.md §2 A15/A16/A17 + §3.1).
+  *
+  * The reference's core identity is an asynchronous upload → split →
+  * process pipeline over two RabbitMQ queues (reference app/mq.py:22-205,
+  * app/processing/file_splitter.py:48-96, data_processor.py:40-78). Its
+  * exactly-once argument — at-least-once delivery + idempotent upsert
+  * (mq.py:162-181 + data_processor.py:106-110) — maps 1:1 onto Structured
+  * Streaming: a checkpointed, replayable file source (offsets = discovered
+  * files) feeding an idempotent `foreachBatch` merge into an atomically
+  * swapped snapshot. Queue durability, acks, nack-redelivery and
+  * prefetch-based backpressure all collapse into engine machinery
+  * (checkpoint + trigger), exactly as SURVEY.md §4 predicts.
+  *
+  * Dataflow per micro-batch (replaces FileSplitter + DataProcessor):
+  *   1. discovery: `binaryFile` stream over the landing dir — rows are file
+  *      METADATA (path, modificationTime); content is never read here
+  *      (column pruning keeps the scan metadata-only). File arrival is the
+  *      signal, as in SURVEY §1.1.
+  *   2. control journey: file rows upserted as `uploaded`, then
+  *      `processing` (reference file_splitter.py:62-66) — the 5-state
+  *      machine's transient states are observable mid-batch.
+  *   3. parse: one distributed batch read of the batch's files (top-level
+  *      JSON arrays, PERMISSIVE). A malformed file yields a corrupt marker
+  *      row → the whole file flips to `failed` and contributes no records,
+  *      while healthy files in the same batch proceed (A17; reference
+  *      file_splitter.py:74-93 keeps poison files and marks them failed).
+  *   4. upsert: `Ingest.prepare` → validate → `Upsert.mergeFields` into the
+  *      products [[SnapshotStore]] (field-level `$set` parity). The
+  *      version vector (file name, which the reference prefixes with an
+  *      upload timestamp — main.py:65-69) makes later deliveries win
+  *      deterministically even inside one batch.
+  *   5. completion: per-file counters (Tracker) → terminal status
+  *      (`processed` / `processed_with_errors` / `failed`) upserted into
+  *      the `uploaded_files` control store (A4/A9/A10/A14).
+  *
+  * A16 (post-process GC): `cleanSource=archive/delete` on the source moves
+  * consumed files out of the landing dir, the engine-level form of
+  * file_splitter.py:157-161 (poison files are archived too — kept for
+  * forensics, which is the reference's intent in keeping them).
+  *
+  * Scale: discovery is metadata-only; parsing distributes across files
+  * (one task per array file — deliveries arrive many-files-per-week at
+  * 100 TB, so parallelism is per-file); the merge is one hash shuffle of
+  * delta ∪ snapshot on the key (bucketed snapshot would remove even that,
+  * see Upsert). The control table is O(#files) — tiny by construction.
+  */
+object IngestStream {
+
+  /** @param landingDir   directory uploads land in (the reference's
+    *                     FILES_DIRECTORY, settings.py:17-20)
+    * @param warehouseDir root for the `products` and `uploaded_files`
+    *                     snapshot stores
+    * @param checkpointDir Structured Streaming checkpoint (offsets =
+    *                     which files are consumed — the queue durability)
+    * @param archiveDir   when set, consumed files are moved here (A16)
+    * @param maxFilesPerTrigger bound files per micro-batch (the batching
+    *                     knob replacing the reference's BATCH_SIZE=100,
+    *                     SURVEY §2 A3) */
+  case class Config(
+      landingDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      archiveDir: Option[String] = None,
+      maxFilesPerTrigger: Int = 16)
+
+  def productsStore(cfg: Config) =
+    new SnapshotStore(cfg.warehouseDir + "/products")
+
+  def controlStore(cfg: Config) =
+    new SnapshotStore(cfg.warehouseDir + "/uploaded_files")
+
+  private def baseName(c: org.apache.spark.sql.Column) =
+    regexp_extract(c, "[^/]+$", 0)
+
+  private def emptyProducts(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      Schemas.productSchema)
+
+  /** Control-table columns (graft.core.UploadedFile + batch provenance). */
+  private val controlCols = Seq("file_id", "filename", "location",
+    "content_type", "uploaded_at", "status", "total_records",
+    "records_processed", "records_failed", "ingest_batch_id")
+
+  private def upsertControl(cfg: Config, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    val store = controlStore(cfg)
+    val snap = store.read(spark).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        delta.schema))
+    store.overwrite(Upsert.merge(snap, delta, key = "file_id",
+      version = Seq(col("ingest_batch_id"))).select(
+      controlCols.map(col): _*))
+  }
+
+  /** Process one micro-batch of discovered files. Public and
+    * deterministic-in-inputs so tests and replay drive it directly;
+    * idempotent (re-running with the same files converges to the same
+    * snapshot + control state — the exactly-once argument). */
+  def processBatch(spark: SparkSession, cfg: Config,
+      files: Seq[(String, java.sql.Timestamp)], batchId: Long): Unit = {
+    if (files.isEmpty) return
+    import spark.implicits._
+
+    val fileMeta = files.toDF("location", "uploaded_at")
+      .withColumn("file_id", baseName(col("location")))
+      .withColumn("filename", col("file_id"))
+      .withColumn("content_type", lit("application/json"))
+      .withColumn("ingest_batch_id", lit(batchId))
+
+    def withStatus(status: String) = fileMeta
+      .withColumn("status", lit(status))
+      .withColumn("total_records", lit(0L))
+      .withColumn("records_processed", lit(0L))
+      .withColumn("records_failed", lit(0L))
+      .select(controlCols.map(col): _*)
+
+    // uploaded → processing journey (reference file_splitter.py:62-66);
+    // each is an atomic control-store commit an observer can read.
+    upsertControl(cfg, withStatus(Status.Uploaded))
+    upsertControl(cfg, withStatus(Status.Processing))
+
+    // distributed parse of this batch's files; cached because it feeds
+    // the quarantine check, the upsert AND the counters (and Spark
+    // requires a cache to filter on _corrupt_record alone).
+    val raw = Ingest.readDeliveries(spark, files.map(_._1))
+      .withColumn("_file_id", baseName(col("_source_file")))
+      .cache()
+    val hasCorrupt = raw.columns.contains("_corrupt_record")
+
+    // A17: a malformed JSON-array file yields corrupt marker rows → the
+    // whole file is failed and none of its rows are ingested.
+    val failedFileIds =
+      if (hasCorrupt)
+        raw.filter(col("_corrupt_record").isNotNull)
+          .select(col("_file_id")).distinct()
+      else raw.limit(0).select(col("_file_id"))
+
+    val healthy = raw.join(broadcast(failedFileIds), Seq("_file_id"),
+      "left_anti")
+
+    val prepared = Ingest.prepare(healthy.drop("_file_id"))
+      .withColumn("file_id", baseName(col("file_id")))
+
+    // upsert valid records into the products snapshot; later file names
+    // (timestamp-prefixed by the reference's upload naming) win.
+    val store = productsStore(cfg)
+    val snapshot = store.read(spark).getOrElse(emptyProducts(spark))
+    val merged = Upsert.mergeFields(snapshot, Ingest.valid(prepared),
+      key = "code", version = Seq(col("file_id")))
+    store.overwrite(merged)
+
+    // terminal control rows: counters for healthy files, `failed` for
+    // poison files (total unknown ⇒ 0, matching the reference which never
+    // learns a count for an unparseable file).
+    val counters = Tracker.withStatus(Tracker.counters(prepared))
+    val healthyRows = fileMeta
+      .join(broadcast(failedFileIds),
+        col("file_id") === col("_file_id"), "left_anti")
+      .join(counters, Seq("file_id"), "left")
+      .na.fill(0L, Seq("total_records", "records_processed",
+        "records_failed"))
+      .na.fill(Status.Processed, Seq("status"))
+      .select(controlCols.map(col): _*)
+    val failedRows = fileMeta
+      .join(broadcast(failedFileIds),
+        col("file_id") === col("_file_id"), "left_semi")
+      .withColumn("status", lit(Status.Failed))
+      .withColumn("total_records", lit(0L))
+      .withColumn("records_processed", lit(0L))
+      .withColumn("records_failed", lit(0L))
+      .select(controlCols.map(col): _*)
+    upsertControl(cfg, healthyRows.unionByName(failedRows))
+    raw.unpersist()
+  }
+
+  /** The `binaryFile` source's fixed schema (streaming sources require it
+    * stated explicitly). */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** The discovery stream: file METADATA only (content pruned away). */
+  def discoveryStream(spark: SparkSession, cfg: Config): DataFrame = {
+    var reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    cfg.archiveDir.foreach { dir =>
+      reader = reader.option("cleanSource", "archive")
+        .option("sourceArchiveDir", dir)
+    }
+    reader.load(cfg.landingDir)
+      .select(col("path"), col("modificationTime"))
+  }
+
+  /** Start the pipeline with the given trigger. */
+  def start(spark: SparkSession, cfg: Config,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    discoveryStream(spark, cfg).writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch
+          .select(col("path"), col("modificationTime").cast(TimestampType))
+          .collect()  // file METADATA, O(#files in batch) — not data rows
+          .map(r => (r.getString(0), r.getTimestamp(1))).toSeq
+        processBatch(spark, cfg, files, batchId)
+      }
+      .start()
+
+  /** Drain everything currently in the landing dir and stop (the batch
+    * form a weekly-delivery cron would run; also the test entry). */
+  def runAvailable(spark: SparkSession, cfg: Config): Unit = {
+    val q = start(spark, cfg, Trigger.AvailableNow())
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+}
