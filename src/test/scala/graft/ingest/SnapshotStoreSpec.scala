@@ -1,0 +1,49 @@
+package graft.ingest
+
+import graft.SparkSuite
+
+/** Manifest-pointer snapshot semantics: committed-or-invisible, bounded
+  * retention, correct current-version resolution. */
+class SnapshotStoreSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("read before any commit is None") {
+    withTmpDir { dir =>
+      assert(new SnapshotStore(dir.resolve("s").toString)
+        .read(spark).isEmpty)
+    }
+  }
+
+  test("overwrite publishes atomically; latest manifest wins; old versions GC'd") {
+    withTmpDir { dir =>
+      val store = new SnapshotStore(dir.resolve("s").toString)
+      store.overwrite(Seq(("a", 1)).toDF("k", "v"))
+      assert(store.read(spark).get.collect().map(_.getString(0)).toSeq
+        === Seq("a"))
+      store.overwrite(Seq(("b", 2)).toDF("k", "v"))
+      store.overwrite(Seq(("c", 3)).toDF("k", "v"))
+      assert(store.read(spark).get.collect().map(_.getString(0)).toSeq
+        === Seq("c"))
+      // retention: the live version plus at most its predecessor
+      val versions = new java.io.File(dir.resolve("s").toString)
+        .listFiles().map(_.getName).filter(_.startsWith("v-"))
+      assert(versions.length <= 2)
+      val manifests = new java.io.File(dir.resolve("s").toString)
+        .listFiles().map(_.getName).filter(_.startsWith("MANIFEST-"))
+      assert(manifests.toSeq.sorted.last === "MANIFEST-2")
+    }
+  }
+
+  test("a stray tmp manifest or unreferenced dir does not break reads") {
+    withTmpDir { dir =>
+      val root = dir.resolve("s")
+      val store = new SnapshotStore(root.toString)
+      store.overwrite(Seq(("a", 1)).toDF("k", "v"))
+      java.nio.file.Files.writeString(
+        root.resolve(".manifest-tmp-crashed"), "v-99-dead")
+      java.nio.file.Files.createDirectories(root.resolve("v-99-dead"))
+      assert(store.read(spark).get.collect().length === 1)
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.multimodal
+
+import graft.{SparkSuite, TestSpark}
+
+/** The multimodal plumbing around the (clearly-marked) stub codec: the
+  * distributed decode path must agree with a direct in-JVM run of the
+  * same codec, proving the mapPartitions batch shape loses nothing. */
+class MultimodalSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("featureNorms matches a direct single-JVM decode of the same payloads") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.map { case (id, text) =>
+      val m = Multimodal.FakeCodec.decode(id, text.getBytes("UTF-8"))
+      id -> BigDecimal(
+        math.sqrt(m.features.map(f => f.toDouble * f).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val actual = Multimodal.featureNorms(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(actual.keySet === expected.keySet)
+    val mismatches = expected.collect {
+      case (id, e) if math.abs(actual(id) - e) > 1e-6 => id
+    }
+    assert(mismatches.isEmpty, s"norm mismatch for docs $mismatches")
+  }
+
+  test("decodeFeatures keeps the fixed feature dimension and byte counts") {
+    val out = Multimodal.decodeFeatures(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.features.length === Multimodal.FakeCodec.FeatureDim))
+    assert(out.forall(m => m.n_bytes > 0))
+  }
+}

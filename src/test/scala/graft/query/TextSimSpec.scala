@@ -1,0 +1,65 @@
+package graft.query
+
+import graft.{SparkSuite, TestSpark}
+
+/** Dedup family invariants over the real fixture corpus. */
+class TextSimSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("dedup_exact: result keys are unique and never exceed the corpus") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val out = TextSim.dedupExact(spark, dir).cache()
+    try {
+      assert(out.count() === out.select("doc_id").distinct().count())
+      assert(out.count() <= docs.count())
+    } finally out.unpersist()
+  }
+
+  test("dedup_ngram: DF cap above the corpus max changes nothing; a tiny cap prunes candidates") {
+    val base = TextSim.dedupNgram(spark, dir).collect().map(_.toString).sorted
+    val highCap = TextSim.dedupNgram(spark, dir, maxShingleDf = 100000)
+      .collect().map(_.toString).sorted
+    assert(base === highCap)
+    // a df cap of 1 keeps only shingles unique to one doc → no shared
+    // shingles → no candidate pairs at all
+    assert(TextSim.dedupNgram(spark, dir, maxShingleDf = 1).count() === 0)
+  }
+
+  test("dedup_minhash finds the high-jaccard pairs dedup_ngram confirms") {
+    val exact = TextSim.dedupNgram(spark, dir, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val banded = TextSim.dedupMinhash(spark, dir, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // banding is a candidate filter + the SAME exact verify, so at 0.5
+    // jaccard (band collision prob ≈ 1-(1-0.5^4)^8 ≈ 0.42 per pair…)
+    // every banded pair must be a true pair, and the high-sim pairs the
+    // fixture plants (near-identical docs) must be recovered
+    assert(banded.subsetOf(exact))
+    val veryHigh = TextSim.dedupNgram(spark, dir, threshold = 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(veryHigh.subsetOf(banded))
+  }
+
+  test("dedup_simhash: pairs are symmetric-free (d1 < d2) and within hamming bound") {
+    val out = TextSim.dedupSimhash(spark, dir).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getAs[Number]("hamming").intValue() <= 3))
+  }
+
+  test("text_fingerprint: duplicate texts share fingerprints") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val dupTexts = docs.groupBy("text").count().filter(col("count") > 1)
+    val nDupDocs = docs.join(dupTexts.select("text"), "text").count()
+    val fp = TextSim.textFingerprint(spark, dir)
+    val nDupFps = fp.groupBy("fingerprint").count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).collect().head.getLong(0)
+    // every exact duplicate text must produce a duplicate fingerprint
+    assert(nDupFps >= nDupDocs)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** True streaming forms of the event-time windows (B17/B18) driven
+  * through MemoryStream micro-batches; results must match the batch
+  * (oracle-checked) window semantics on the same rows. */
+class EventStreamsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  // (user_id, event_type, ts, value)
+  private val fixture = Seq(
+    ("u1", "click", ts(0), 1.0),
+    ("u1", "click", ts(10), 2.0),
+    ("u2", "view", ts(20), 3.0),
+    ("u1", "click", ts(75), 4.0),   // u1: >30m gap → new session
+    ("u2", "view", ts(130), 5.0))
+
+  private def runStream(makeQuery: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val events = mem.toDF()
+      .toDF("user_id", "event_type", "ts", "value")
+    val q = makeQuery(events).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      // two micro-batches to exercise incremental state
+      mem.addData(fixture.take(3))
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3))
+      q.processAllAvailable()
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts match the batch window semantics") {
+    val rows = runStream(EventStreams.tumbling(_), "t_tumbling")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows === Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), "view", 1L)))
+  }
+
+  test("streaming session windows merge within the gap and split across it") {
+    val rows = runStream(EventStreams.sessions(_), "t_sessions")
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(3)))
+      .toSet
+    assert(rows === Set(
+      // u1: events at :00/:10 in one session; :75 alone (65m gap)
+      ("u1", Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      ("u1", Timestamp.valueOf("2024-01-01 11:15:00"), 1L),
+      // u2: :20 and :130 are 110m apart → two sessions
+      ("u2", Timestamp.valueOf("2024-01-01 10:20:00"), 1L),
+      ("u2", Timestamp.valueOf("2024-01-01 12:10:00"), 1L)))
+  }
+
+  test("streaming sliding windows double-count each event across 2 windows") {
+    val rows = runStream(EventStreams.sliding(_), "t_sliding")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // every event appears in exactly 2 sliding windows
+    assert(rows.map(_._3).sum === fixture.size * 2L)
+  }
+}

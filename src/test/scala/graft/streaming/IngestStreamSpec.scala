@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Schemas.Status
+
+/** End-to-end Structured Streaming ingest (SURVEY.md §2 A15/A16/A17):
+  * two delivery files + one poison file through the checkpointed stream;
+  * final snapshot + control table asserted; second trigger proves
+  * cross-batch upsert and checkpoint resume; replay proves idempotence. */
+class IngestStreamSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val week1 =
+    """[{"code":"0001","product_name":"Oat Milk","brands":"Acme"},
+      | {"code":"0002","product_name":"Rye Bread","_id":"drop"},
+      | {"product_name":"no code"},
+      | {"code":"0003","product_name":"Green Tea","quantity":"500 g"}]"""
+      .stripMargin
+
+  private val week2 =
+    """[{"code":"0001","product_name":"Oat Milk Deluxe"},
+      | {"code":"0004","product_name":"Dark Chocolate"}]""".stripMargin
+
+  private val poison = """[{"code":"9999", "product_name": "trunc"""
+
+  test("two deliveries + poison: snapshot, control table, archive, resume") {
+    withTmpDir { ws =>
+      val landing = Files.createDirectories(ws.resolve("landing"))
+      val archive = ws.resolve("archive")
+      val cfg = IngestStream.Config(
+        landingDir = landing.toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString,
+        archiveDir = Some(archive.toString))
+
+      // ---- trigger 1: first delivery + poison --------------------------
+      Files.writeString(landing.resolve("d1_week1.json"), week1)
+      Files.writeString(landing.resolve("d3_poison.json"), poison)
+      IngestStream.runAvailable(spark, cfg)
+
+      val snap1 = IngestStream.productsStore(cfg).read(spark).get
+      assert(snap1.select("code").as[String].collect().sorted.toSeq
+        === Seq("0001", "0002", "0003"))
+
+      val ctl1 = IngestStream.controlStore(cfg).read(spark).get
+        .select("file_id", "status", "total_records", "records_processed",
+          "records_failed")
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(ctl1("d1_week1.json") ===
+        ((Status.ProcessedWithErrors, 4L, 3L, 1L)))
+      assert(ctl1("d3_poison.json") === ((Status.Failed, 0L, 0L, 0L)))
+
+      // ---- trigger 2: second delivery; checkpoint resumes ---------------
+      Files.writeString(landing.resolve("d2_week2.json"), week2)
+      IngestStream.runAvailable(spark, cfg)
+
+      val snap2 = IngestStream.productsStore(cfg).read(spark).get.cache()
+      try {
+        val byCode = snap2.collect()
+          .map(r => r.getAs[String]("code") -> r).toMap
+        assert(byCode.keySet === Set("0001", "0002", "0003", "0004"))
+        // cross-batch last-writer-wins + $set retention of extras
+        assert(byCode("0001").getAs[String]("product_name")
+          === "Oat Milk Deluxe")
+        assert(byCode("0001").getAs[Map[String, String]]("extras")
+          .get("brands").contains("Acme"))
+        assert(byCode("0001").getAs[String]("file_id") === "d2_week2.json")
+      } finally snap2.unpersist()
+
+      val ctl2 = IngestStream.controlStore(cfg).read(spark).get
+      assert(ctl2.count() === 3)
+      assert(ctl2.filter(col("file_id") === "d2_week2.json")
+        .select("status").as[String].collect().toSeq
+        === Seq(Status.Processed))
+
+      // A16: batch N's files are archived when batch N+1 commits, so after
+      // the second run the FIRST batch's files must be out of landing and
+      // in the archive; the last batch's file may lag (engine behavior).
+      def filesUnder(root: java.io.File): Seq[String] = {
+        def go(f: java.io.File): Seq[String] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(go)
+          else Seq(f.getName)
+        if (root.exists) go(root) else Nil
+      }
+      val archived = filesUnder(archive.toFile).sorted
+      assert(archived.contains("d1_week1.json"))
+      assert(archived.contains("d3_poison.json"))
+      val inLanding = filesUnder(landing.toFile).toSet
+      assert(!inLanding.contains("d1_week1.json"))
+      assert(!inLanding.contains("d3_poison.json"))
+
+      // ---- replay: re-running the same batch converges (idempotence) ----
+      def stableRows() = IngestStream.productsStore(cfg).read(spark).get
+        .drop("last_modified_at_company")  // re-stamped on replay by design
+        .collect().map(_.toString).sorted.toSeq
+      val before = stableRows()
+      // re-drive delivery 2 through processBatch directly (the
+      // at-least-once redelivery case), wherever the cleaner left it
+      val w2Path = (filesUnder(landing.toFile).contains("d2_week2.json"),
+          archived.contains("d2_week2.json")) match {
+        case (true, _) => landing.resolve("d2_week2.json").toString
+        case (_, true) =>
+          def find(f: java.io.File): Option[java.io.File] =
+            if (f.isDirectory)
+              Option(f.listFiles).toSeq.flatten.flatMap(find).headOption
+            else Some(f).filter(_.getName == "d2_week2.json")
+          find(archive.toFile).get.getAbsolutePath
+        case _ => fail("d2_week2.json vanished")
+      }
+      IngestStream.processBatch(spark, cfg,
+        Seq((w2Path,
+          new java.sql.Timestamp(System.currentTimeMillis()))), 99L)
+      assert(stableRows() === before)
+    }
+  }
+
+  test("status journey: control table passes through uploaded and processing") {
+    withTmpDir { ws =>
+      val landing = Files.createDirectories(ws.resolve("landing"))
+      Files.writeString(landing.resolve("one.json"), """[{"code":"1"}]""")
+      val cfg = IngestStream.Config(
+        landingDir = landing.toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString)
+      // drive processBatch in stages is internal; instead assert the
+      // terminal state and that the control store committed ≥3 manifests
+      // (uploaded → processing → terminal), proving the journey happened.
+      IngestStream.runAvailable(spark, cfg)
+      val ctl = IngestStream.controlStore(cfg).read(spark).get
+      assert(ctl.select("status").as[String].collect().toSeq
+        === Seq(Status.Processed))
+      val manifests = new java.io.File(
+        ws.resolve("wh").resolve("uploaded_files").toString)
+        .listFiles().map(_.getName).filter(_.startsWith("MANIFEST-"))
+      assert(manifests.map(_.stripPrefix("MANIFEST-").toLong).max >= 2L)
+    }
+  }
+}
