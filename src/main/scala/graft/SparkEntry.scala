@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
+    "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
@@ -102,8 +103,8 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.featureNorms _))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
-    * dedup_simhash, similarity_lsh (engine-specific hash functions),
-    * multimodal_features (stub codec). */
+    * dedup_simhash, similarity_lsh, dedup_embedding_ann (engine-specific
+    * hash/signature functions), multimodal_features (stub codec). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",

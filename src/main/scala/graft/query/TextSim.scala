@@ -265,6 +265,48 @@ object TextSim {
       .orderBy("v1", "v2")
   }
 
+  /** Embedding near-dup WITHOUT label blocking — the fallback
+    * [[dedupEmbedding]] needs when no blocking key exists or labels are
+    * skewed: candidates come from multi-table hyperplane LSH buckets
+    * (postings-list expansion, like [[dedupNgram]]), then exact cosine
+    * verifies. Every emitted pair is exact (precision 1); recall is the
+    * LSH collision probability, which approaches 1 for true near-dups
+    * (cosine → 1 means signatures agree on every table) and is tuned by
+    * `nTables` for looser thresholds. `maxBucket` caps the per-bucket
+    * pair blowup exactly like dedupNgram's DF cap. No SQL oracle
+    * (engine-specific signatures). */
+  def dedupEmbeddingAnn(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, nPlanes: Int = 8, nTables: Int = 8,
+      maxBucket: Int = 10000, seed: Long = 7L): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val tableSig = (0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        hyperplane_signature(col("embedding"), nPlanes, seed + t)
+          .as("bucket")))
+    val bucketed = e.select(col("vec_id"),
+        explode(array(tableSig: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket")
+        .as("bucket"))
+    val postings = bucketed.groupBy("t", "bucket")
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairsOf = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+        struct(x.as("v1"), y.as("v2")))))
+    val cand = postings.select(explode(pairsOf).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")),
+        "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        "v2")
+      .select(col("v1"), col("v2"),
+        round(cosine_sim(col("e1"), col("e2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("v1", "v2")
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** B16 baseline: brute-force cosine top-k for a fixed query set

@@ -44,6 +44,26 @@ class TextSimSpec extends SparkSuite {
     assert(veryHigh.subsetOf(banded))
   }
 
+  test("dedup_embedding_ann: every emitted pair is a true >=threshold pair (precision 1)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.cosine_sim
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(cosine_sim(col("a.embedding"), col("b.embedding")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = TextSim.dedupEmbeddingAnn(spark, dir)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty)
+    assert(ann.subsetOf(truth))
+    // and the unblocked path can see pairs label blocking cannot
+    info(s"ann found ${ann.size}/${truth.size} unblocked pairs")
+  }
+
   test("dedup_simhash: pairs are symmetric-free (d1 < d2) and within hamming bound") {
     val out = TextSim.dedupSimhash(spark, dir).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
