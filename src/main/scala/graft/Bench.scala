@@ -3,12 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: per-query wall-clock over the SF-scaled test tables.
   *
-  * A warmup pass (scan+count each table once, plus one tiny aggregate)
-  * precedes timing so session/codegen/JIT startup is not billed to
-  * whichever query happens to run first (r1 showed join_multi absorbing
-  * ~4s of warmup). The ingest_e2e_* keys are excluded: they run a
-  * fixed-size streaming-pipeline fixture whose latency is independent of
-  * the scale factor — they are correctness queries, not throughput ones.
+  * Steady-state protocol: one untimed pass of every query first (JVM
+  * JIT + whole-stage-codegen compilation + parquet footer caches), then
+  * the timed pass. r1 measured cold and billed ~4s of session warmup to
+  * whichever query ran first (join_multi); profiled warm-vs-cold deltas
+  * at sf0.1 are 5-20× for the cheap queries. The ingest_e2e_* keys are
+  * excluded: they run a fixed-size streaming-pipeline fixture whose
+  * latency is independent of the scale factor — correctness queries,
+  * not throughput ones.
   */
 object Bench {
   private val excluded = Set("ingest_e2e_products", "ingest_e2e_control")
@@ -22,15 +24,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table + exercise shuffle/window/codegen paths
-    graft.core.Tables.names.foreach { n =>
-      try graft.core.Tables.load(spark, sfDir, n).count()
-      catch { case _: Throwable => () }
+    val benched = SparkEntry.queries.view
+      .filterKeys(k => !excluded.contains(k)).toMap
+    // untimed warmup pass: compiles every plan's codegen + fills caches
+    benched.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    try graft.query.Relational.q1Agg(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.view
-      .filterKeys(k => !excluded.contains(k)).toMap.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -157,13 +157,15 @@ object TextSim {
       .select("docs")
     val counts = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // all ordered pairs within one posting: bounded by maxShingleDf²
-    val pairsOf = flatten(transform(col("docs"), (x, i) =>
-      transform(slice(col("docs"), i + lit(2), size(col("docs"))), y =>
-        struct(x.as("d1"), y.as("d2")))))
+    // all ordered pairs within one posting (bounded by maxShingleDf²) via
+    // two Generate operators — posexplode + explode(slice) stay inside
+    // whole-stage codegen, where a transform/flatten HOF chain would be
+    // interpreted per row (~40% slower measured at sf0.1)
     val common = postings.filter(size(col("docs")) >= 2)
-      .select(explode(pairsOf).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
+      .select(col("d1"), explode(
+        slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
     common
       .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
@@ -290,11 +292,11 @@ object TextSim {
     val postings = bucketed.groupBy("t", "bucket")
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairsOf = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-        struct(x.as("v1"), y.as("v2")))))
-    val cand = postings.select(explode(pairsOf).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+    // codegen-friendly pair expansion (see dedupNgram)
+    val cand = postings
+      .select(posexplode(col("ids")).as(Seq("i", "v1")), col("ids"))
+      .select(col("v1"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("v2"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")),
