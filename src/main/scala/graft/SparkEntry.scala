@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{Ingest, Upsert}
 import graft.multimodal.Multimodal
 import graft.query.{Events, Finders, PipelineOps, Relational, TextSim}
 import graft.streaming.IngestE2E
@@ -20,26 +19,35 @@ import graft.streaming.IngestE2E
   */
 object SparkEntry {
 
-  /** Flagship: the reference's one real user journey (upload → ingest →
-    * upsert → search, SURVEY.md §3.1) run end-to-end on two in-memory
-    * "weekly deliveries", then surfaced next to testdata. Driver
-    * smoke-checks rows > 0. */
+  /** Flagship: the reference's one real user journey (SURVEY.md §3.1 —
+    * upload → async ingest → upsert → status/search) run END TO END on
+    * the production machinery: [[graft.ingest.Upload]] lands two weekly
+    * deliveries, the checkpointed Structured Streaming pipeline drains
+    * them, and the result is served by the [[Finders]] read path joined
+    * against driver testdata. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val week1 = Seq(
-      """{"code":"0001","product_name":"Oat Milk","brands":"Acme"}""",
-      """{"code":"0002","product_name":"Rye Bread","_id":"drop-me"}""",
-      """{"product_name":"no code -> counted failed"}""",
-      """{"code":"0003","product_name":"Green Tea","quantity":"500 g"}""")
-    val week2 = Seq(
-      """{"code":"0001","product_name":"Oat Milk Deluxe"}""",
-      """{"code":"0004","product_name":"Dark Chocolate"}""")
-    def prep(lines: Seq[String], id: String) =
-      Ingest.prepare(spark.read.json(lines.toDS), fileId = Some(id))
-    val w1 = Ingest.valid(prep(week1, "week1"))
-    val w2 = Ingest.valid(prep(week2, "week2"))
-    val products = Upsert.mergeFields(snapshot = w1, delta = w2,
-      key = "code")
+    import graft.ingest.Upload
+    import graft.streaming.IngestStream
+    val ws = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/graft-entry/" +
+        java.util.UUID.randomUUID()))
+    val landing = ws.resolve("landing").toString
+    Upload.landString(landing, "week1.json",
+      """[{"code":"0001","product_name":"Oat Milk","brands":"Acme"},
+        |{"code":"0002","product_name":"Rye Bread","_id":"drop-me"},
+        |{"product_name":"no code -> counted failed"},
+        |{"code":"0003","product_name":"Green Tea","quantity":"500 g"}]"""
+        .stripMargin, clock = () => 1L)
+    Upload.landString(landing, "week2.json",
+      """[{"code":"0001","product_name":"Oat Milk Deluxe"},
+        |{"code":"0004","product_name":"Dark Chocolate"}]""".stripMargin,
+      clock = () => 2L)
+    val cfg = IngestStream.Config(
+      landingDir = landing,
+      warehouseDir = ws.resolve("wh").toString,
+      checkpointDir = ws.resolve("ckpt").toString)
+    IngestStream.runAvailable(spark, cfg)
+    val products = IngestStream.productsStore(cfg).read(spark).get
     val hits = Finders.searchPartial(products, "product_name", "oat",
       "code")
     // join against driver testdata so the smoke also proves table access

@@ -22,15 +22,28 @@ import graft.core.Schemas
   */
 object Ingest {
 
-  /** Read one or more delivery files (top-level JSON arrays) into a raw
-    * inferred-schema DataFrame with per-record provenance. */
-  def readDeliveries(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read
-      .option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(paths: _*)
-      .withColumn("_source_file", input_file_name())
+  /** Read one or more delivery files into a raw inferred-schema DataFrame
+    * with per-record provenance. Files named `*.jsonl`/`*.ndjson` are
+    * read as JSON-lines (record-per-line — the format a 100 TB pipeline
+    * actually wants: splittable WITHIN a file, so one huge delivery
+    * parallelizes across tasks); everything else as the reference's
+    * top-level JSON arrays (one task per file, parallel across files —
+    * ijson streaming parse in the reference, file_splitter.py:117-118).
+    * Both arms are PERMISSIVE with a `_corrupt_record` side channel. */
+  def readDeliveries(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val (jsonl, arrays) = paths.partition(p =>
+      p.endsWith(".jsonl") || p.endsWith(".ndjson"))
+    def read(ps: Seq[String], multiLine: Boolean): Option[DataFrame] =
+      if (ps.isEmpty) None
+      else Some(spark.read
+        .option("multiLine", multiLine.toString)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(ps: _*)
+        .withColumn("_source_file", input_file_name()))
+    (read(arrays, multiLine = true) ++ read(jsonl, multiLine = false))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Normalize an arbitrary-schema record DataFrame into the canonical
     * product shape: core columns + `extras` map + retained `raw` JSON +
@@ -49,13 +62,19 @@ object Ingest {
       Seq("_corrupt_record", "_source_file")).toSet
     val extraNames = raw.schema.fieldNames.filterNot(reserved.contains).sorted
 
-    // extras: every non-core field as k→stringified v, null-valued keys kept
-    // out (a missing key and a null key are both "absent" for $set merge).
+    // extras: every non-core field as k→stringified v, null-valued keys
+    // kept out (a missing key and a null key are both "absent" for $set
+    // merge). An EMPTY result is normalized to null so a record's extras
+    // don't depend on which other files happened to share its batch's
+    // inferred schema (batching invariance).
     val extrasCol =
       if (extraNames.isEmpty) lit(null).cast(MapType(StringType, StringType))
-      else map_filter(
-        map(extraNames.flatMap(n => Seq(lit(n), asString(n))): _*),
-        (_, v) => v.isNotNull)
+      else {
+        val m = map_filter(
+          map(extraNames.flatMap(n => Seq(lit(n), asString(n))): _*),
+          (_, v) => v.isNotNull)
+        when(size(m) > 0, m)
+      }
 
     val dataCols = raw.schema.fieldNames
       .filterNot(n => n == "_corrupt_record" || n == "_source_file")

@@ -48,33 +48,37 @@ object Upsert {
       .drop(precedenceCol, rankCol)
   }
 
-  /** Field-level `$set` merge. For keys present in both sides the
-    * collapsed delta row contributes its non-null fields and inherits the
-    * rest from the snapshot; `extras` maps are merged key-wise with delta
-    * keys winning; `mergeWholly` columns (provenance stamps) always come
-    * from the latest delta record. The within-delta collapse is ALSO
-    * field-level — the reference applies each record's `$set`
-    * sequentially (data_processor.py:103-110), so two same-key records in
-    * one batch compose: each field takes its last non-null value in
-    * `version` order, and map fields merge version-ascending. Callers
-    * that care about arrival order MUST pass `version` (the streaming
-    * path stamps file names); without one the order is still
-    * DETERMINISTIC — a content hash of the row — but arbitrary; never
-    * dependent on partition layout (a `monotonically_increasing_id`
-    * tiebreak would be). */
+  /** Field-level `$set` merge — the reference applies each record's
+    * `$set` sequentially (data_processor.py:103-110), so the merged row
+    * per key composes ALL contributions in version order: each field
+    * takes its last non-null value, map fields (`extras`) merge
+    * version-ascending with later keys overwriting, and `mergeWholly`
+    * columns (provenance stamps) come from the winning record even when
+    * null there.
+    *
+    * Ordering is the vector (`version`…, delta-over-snapshot,
+    * content-hash): the caller's `version` (the streaming path passes
+    * the upload-timestamp-prefixed file name) dominates, so a delivery
+    * replayed or delivered OUT OF ORDER across micro-batches cannot
+    * overwrite a newer snapshot — the merge is commutative over batch
+    * boundaries, idempotent under replay, and (via the content-hash
+    * tiebreak, never a partition-layout artifact) deterministic even
+    * with no version at all. Implemented as one field-level collapse
+    * over the tagged union: one hash shuffle on the key, collect_list
+    * bounded by records-per-key (snapshot contributes exactly one). */
   def mergeFields(snapshot: DataFrame, delta: DataFrame, key: String,
       version: Seq[Column] = Nil,
       mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"))
       : DataFrame = {
-    // 1. collapse the delta to one row per key, field-level: group by key
-    //    and per field take the last non-null value in version order
-    //    (maps: fold version-ascending with later keys overwriting).
-    //    collect_list per key is bounded by same-key records per batch —
-    //    a handful in any real delivery stream.
+    val tagged = delta.withColumn(precedenceCol, lit(1))
+      .unionByName(snapshot.withColumn(precedenceCol, lit(0)),
+        allowMissingColumns = true)
+    val dataCols = tagged.columns.filterNot(c =>
+      c == key || c == precedenceCol)
     val contentTiebreak =
-      md5(to_json(struct(delta.columns.map(col).toIndexedSeq: _*)))
-    val vCol = struct(version :+ contentTiebreak: _*)
-    val dataCols = delta.columns.filterNot(_ == key)
+      md5(to_json(struct(dataCols.map(col).toIndexedSeq: _*)))
+    val vCol = struct(
+      (version :+ col(precedenceCol)) :+ contentTiebreak: _*)
     val collapsed = dataCols.map { c =>
       // array_sort with a comparator on v only — sort_array would demand
       // the whole struct be orderable, which map-typed fields are not
@@ -82,7 +86,10 @@ object Upsert {
         collect_list(struct(vCol.as("v"), col(c).as("x"))),
         (l, r) => when(l.getField("v") < r.getField("v"), -1)
           .when(l.getField("v") > r.getField("v"), 1).otherwise(0))
-      delta.schema(c).dataType match {
+      tagged.schema(c).dataType match {
+        case _ if mergeWholly.contains(c) =>
+          // provenance: the value AT the max version, nulls included
+          get(sorted, size(sorted) - 1).getField("x").as(c)
         case mt: MapType =>
           aggregate(sorted, lit(null).cast(mt), (acc, e) => {
             val m = e.getField("x")
@@ -97,44 +104,7 @@ object Upsert {
             lit(0)).getField("x").as(c)
       }
     }
-    val deltaOne = delta.groupBy(col(key)).agg(collapsed.head,
-      collapsed.tail: _*)
-
-    // 2. full outer join against the snapshot, per-field coalesce
-    val s = snapshot.alias("s")
-    val d = deltaOne.alias("d")
-    val allCols = (snapshot.columns ++ deltaOne.columns).distinct
-    val sCols = snapshot.columns.toSet
-    val dCols = deltaOne.columns.toSet
-
-    def side(a: String, c: String): Column = col(s"$a.$c")
-    val isMap = (c: String) =>
-      (snapshot.schema.fields ++ deltaOne.schema.fields)
-        .find(_.name == c).exists(_.dataType.isInstanceOf[MapType])
-
-    val merged = allCols.map {
-      case c if c == key =>
-        coalesce(side("d", c), side("s", c)).as(c)
-      case c if !dCols.contains(c) => side("s", c).as(c)
-      case c if !sCols.contains(c) => side("d", c).as(c)
-      case c if mergeWholly.contains(c) =>
-        when(side("d", key).isNotNull, side("d", c))
-          .otherwise(side("s", c)).as(c)
-      case c if isMap(c) =>
-        // $set on map fields: delta keys overwrite, other old keys survive
-        when(side("d", key).isNull, side("s", c))
-          .when(side("s", c).isNull, side("d", c))
-          .when(side("d", c).isNull, side("s", c))
-          .otherwise(map_concat(
-            map_filter(side("s", c), (k, _) =>
-              !map_contains_key(side("d", c), k)),
-            side("d", c))).as(c)
-      case c =>
-        when(side("d", key).isNull, side("s", c))
-          .otherwise(coalesce(side("d", c), side("s", c))).as(c)
-    }
-    d.join(s, side("d", key) === side("s", key), "full_outer")
-      .select(merged: _*)
+    tagged.groupBy(col(key)).agg(collapsed.head, collapsed.tail: _*)
   }
 }
 

@@ -138,11 +138,32 @@ object IngestStream {
       .cache()
     val hasCorrupt = raw.columns.contains("_corrupt_record")
 
-    // A17: a malformed JSON-array file yields corrupt marker rows → the
-    // whole file is failed and none of its rows are ingested.
+    // degenerate batch: NO data columns inferred at all — every file is
+    // either unparseable (corrupt marker only) or an empty delivery.
+    // Spark (rightly) refuses queries that touch only the corrupt
+    // column of such a relation, and there is nothing to merge anyway:
+    // mark the batch's files terminally and stop. An entirely
+    // unparseable delivery is poison regardless of format.
+    val dataCols = raw.columns
+      .filterNot(Set("_corrupt_record", "_source_file", "_file_id"))
+    if (dataCols.isEmpty) {
+      val status = if (hasCorrupt) Status.Failed else Status.Processed
+      upsertControl(cfg, withStatus(status))
+      raw.unpersist()
+      return
+    }
+
+    // A17: a malformed JSON-ARRAY file yields corrupt marker rows → the
+    // whole file is failed and none of its rows are ingested (the
+    // reference's ijson stream-parse failure, file_splitter.py:74-93).
+    // A corrupt line in a JSONL file is a RECORD failure, not file
+    // poison: the marker row flows on with a null `code` and is counted
+    // by the validation filter, matching record-level validation
+    // (data_processor.py:60-70).
     val failedFileIds =
       if (hasCorrupt)
-        raw.filter(col("_corrupt_record").isNotNull)
+        raw.filter(col("_corrupt_record").isNotNull &&
+            !col("_file_id").rlike("\\.(jsonl|ndjson)$"))
           .select(col("_file_id")).distinct()
       else raw.limit(0).select(col("_file_id"))
 

@@ -121,6 +121,60 @@ class IngestStreamSpec extends SparkSuite {
     }
   }
 
+  test("JSONL deliveries: splittable format; a bad line fails the record, not the file") {
+    withTmpDir { ws =>
+      val landing = Files.createDirectories(ws.resolve("landing"))
+      Files.writeString(landing.resolve("d1.jsonl"),
+        """{"code":"A","product_name":"One"}
+          |not json at all
+          |{"code":"B","product_name":"Two"}""".stripMargin)
+      val cfg = IngestStream.Config(
+        landingDir = landing.toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString)
+      IngestStream.runAvailable(spark, cfg)
+      val snap = IngestStream.productsStore(cfg).read(spark).get
+      assert(snap.select("code").as[String].collect().sorted.toSeq
+        === Seq("A", "B"))
+      val ctl = IngestStream.controlStore(cfg).read(spark).get.collect()
+      assert(ctl.length === 1)
+      val r = ctl.head
+      assert(r.getAs[String]("status") === Status.ProcessedWithErrors)
+      assert(r.getAs[Long]("total_records") === 3L)
+      assert(r.getAs[Long]("records_processed") === 2L)
+      assert(r.getAs[Long]("records_failed") === 1L)
+    }
+  }
+
+  test("batching invariance: maxFilesPerTrigger=1 (3 micro-batches) ends in the same state as one batch") {
+    def runWith(maxFiles: Int): (Seq[String], Map[String, (String, Long, Long, Long)]) =
+      withTmpDir { ws =>
+        val landing = Files.createDirectories(ws.resolve("landing"))
+        Files.writeString(landing.resolve("d1_week1.json"), week1)
+        Files.writeString(landing.resolve("d2_week2.json"), week2)
+        Files.writeString(landing.resolve("d3_poison.json"), poison)
+        val cfg = IngestStream.Config(
+          landingDir = landing.toString,
+          warehouseDir = ws.resolve("wh").toString,
+          checkpointDir = ws.resolve("ckpt").toString,
+          maxFilesPerTrigger = maxFiles)
+        IngestStream.runAvailable(spark, cfg)
+        val snap = IngestStream.productsStore(cfg).read(spark).get
+          .drop("last_modified_at_company")
+          .collect().map(_.toString).sorted.toSeq
+        val ctl = IngestStream.controlStore(cfg).read(spark).get
+          .collect().map(r => r.getAs[String]("file_id") ->
+            ((r.getAs[String]("status"), r.getAs[Long]("total_records"),
+              r.getAs[Long]("records_processed"),
+              r.getAs[Long]("records_failed")))).toMap
+        (snap, ctl)
+      }
+    val (snapOne, ctlOne) = runWith(16)   // all files in one micro-batch
+    val (snapPer, ctlPer) = runWith(1)    // one file per micro-batch
+    assert(snapPer === snapOne)
+    assert(ctlPer === ctlOne)
+  }
+
   test("status journey: control table passes through uploaded and processing") {
     withTmpDir { ws =>
       val landing = Files.createDirectories(ws.resolve("landing"))
