@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Events, Finders, PipelineOps, Relational, TextSim}
+import graft.query.{Events, Finders, PipelineOps, Relational, Sampling, Temporal, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,7 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "agg_distinct" -> (Relational.aggDistinct _),
+    "agg_percentile" -> (Relational.aggPercentile _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_pivot" -> (Relational.aggPivot _),
@@ -88,6 +89,11 @@ object SparkEntry {
     "set_union" -> (Relational.setUnion _),
     "set_except" -> (Relational.setExcept _),
     "set_intersect" -> (Relational.setIntersect _),
+    // --- temporal / sampling / packing (training-pipeline extensions) ---
+    "join_asof" -> (Temporal.purchaseAsofView _),
+    "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
+    "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
+    "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
@@ -201,6 +207,10 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_rollup" ->
       """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -249,6 +259,31 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "join_asof" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value, v.ts AS view_ts, v.view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, rn FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 100 ORDER BY o_orderpriority, rn""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -112,6 +112,19 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Exact interpolated percentiles per group (the oracle-checkable
+    * form; at 100 TB the same query swaps `percentile` for
+    * `approx_percentile` — t-digest-style sketch, one pass, mergeable —
+    * and gives up the hash-exact oracle for an ε bound). */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** B6: distinct counting. */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")

@@ -1,0 +1,66 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Deterministic sampling + sequence packing — training-data pipeline
+  * operators (builder directive). All of them avoid RNG state on
+  * purpose: the "randomness" is a cryptographic hash of the row KEY, so
+  * the sample is (1) engine-portable — DuckDB computes the identical
+  * md5, making these fully oracle-checkable, unlike TABLESAMPLE whose
+  * RNG is engine-private; (2) reproducible across runs, partitionings
+  * and cluster sizes; (3) stable under re-ingestion — a row keeps its
+  * sample fate when the corpus around it changes (the property that
+  * makes hash-sampling the standard train/test-split device). Pure
+  * per-row predicates / windowed ranks: filters push down, no shuffle
+  * beyond the stated ones. */
+object Sampling {
+
+  /** Uniform-rate key-hash sample: keep rows whose md5(key) falls below
+    * the hex threshold. "1a" ≈ 0x1a/0x100 ≈ 10.2% of key space. Pure
+    * scan-side predicate — no shuffle at any scale. */
+  def sampleHash(spark: SparkSession, dir: String,
+      hexThreshold: String = "1a"): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(md5(col("o_orderkey").cast("string")) < hexThreshold)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** Stratified fixed-size sample: k rows per stratum, chosen by hash
+    * order (deterministic, unbiased within the stratum). One shuffle on
+    * the stratum key; the rank prunes everything beyond k per group. */
+  def sampleStratified(spark: SparkSession, dir: String, k: Int = 100)
+      : DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(md5(col("o_orderkey").cast("string")).asc,
+        col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Sequence packing (concat-and-split): lay documents end to end in
+    * doc_id order and cut fixed token-capacity bins — the standard
+    * LLM-pretraining batch-shaping step. Partitioned per `source` shard
+    * so the cumulative sum is a bounded per-shard window, not one global
+    * partition (at 100 TB each shard packs independently; a single
+    * global ordering would serialize). Emits each document's bin and
+    * intra-bin offset. */
+  def packSequences(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens",
+        size(TextSim.tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $capacity").as("bin"),
+        ((col("cum") - col("n_tokens")) % capacity).as("bin_offset"))
+      .orderBy("source", "doc_id")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Temporal joins beyond Spark's built-ins (builder directive: compose
+  * existing ops when semantics allow — this is preference (a), no custom
+  * plan node needed).
+  *
+  * As-of joins are usually written as range joins (`l.ts >= r.ts` +
+  * aggregation), which Spark plans as a broadcast-nested-loop or a
+  * sort-merge over an inequality — O(n·m) per key at worst. The
+  * union + ordered carry-forward form here is the scalable shape: tag
+  * both sides, ONE hash shuffle on the key, one in-partition sort, and
+  * a running `last(payload, ignoreNulls)` window — O((n+m) log(n+m))
+  * per key, no pair explosion, same plan family as the engine's other
+  * windowed operators. */
+object Temporal {
+
+  private val tagCol = "__graft_asof_tag"
+  private val payloadCol = "__graft_asof_payload"
+
+  /** For each `left` row, attach the payload of the LATEST `right` row
+    * with `right.tsCol <= left.tsCol` for the same `keyCol` (null when
+    * no such row). `payload(r)` builds a struct from the right side;
+    * `right` must be unique per (key, ts) — pre-aggregate it otherwise
+    * (ties at equal ts would be ambiguous in any as-of definition). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Column): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol),
+      payload.as(payloadCol)).withColumn(tagCol, lit(0))
+    val l = left.withColumn(tagCol, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal ts → inclusive `<=`
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(payloadCol, last(col(payloadCol), ignoreNulls = true)
+        .over(w))
+      .filter(col(tagCol) === 1)
+      .drop(tagCol)
+  }
+
+  /** Oracle-checked form: every `purchase` event paired with the user's
+    * most recent prior-or-simultaneous `view` (DuckDB twin: native
+    * ASOF LEFT JOIN — an independent implementation of the same
+    * semantics). */
+  def purchaseAsofView(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("view_value"))
+    val joined = asofJoin(purchases, views, "user_id", "ts",
+      payload = struct(col("ts").as("view_ts"),
+        col("view_value").as("view_value")))
+    joined.select(col("user_id"), col("event_id"), col("ts"),
+        col("purchase_value"),
+        col(s"$payloadCol.view_ts").as("view_ts"),
+        col(s"$payloadCol.view_value").as("view_value"))
+      .orderBy("user_id", "event_id")
+  }
+}

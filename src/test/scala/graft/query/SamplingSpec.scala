@@ -1,0 +1,46 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, TestSpark}
+
+/** Deterministic sampling + packing invariants. */
+class SamplingSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("sample_hash: deterministic, rate near the hash threshold, stable under repartition") {
+    val total = graft.core.Tables.load(spark, dir, "orders").count()
+    val s1 = Sampling.sampleHash(spark, dir).collect().map(_.getLong(0))
+    val s2 = Sampling.sampleHash(spark, dir).collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq)
+    val rate = s1.length.toDouble / total
+    assert(rate > 0.06 && rate < 0.15, s"rate $rate far from 0x1a/0x100")
+  }
+
+  test("sample_stratified: exactly k per stratum (when the stratum has k), disjoint ranks") {
+    val out = Sampling.sampleStratified(spark, dir, k = 50)
+    val perStratum = out.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.values.forall(_ <= 50))
+    val strata = graft.core.Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (s, n) =>
+      assert(perStratum.getOrElse(s, 0L) === math.min(n, 50L))
+    }
+  }
+
+  test("pack_sequences: offsets stay within capacity and bins are contiguous per shard") {
+    val out = Sampling.packSequences(spark, dir, capacity = 512).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("bin_offset") >= 0 &&
+      r.getAs[Long]("bin_offset") < 512))
+    // per shard: bin index never decreases in doc order, starts at 0
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val bins = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("bin"))
+      assert(bins.head === 0L)
+      assert(bins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** As-of join semantics on a hand-built fixture: inclusive <=, per-key
+  * isolation, null when nothing precedes, and partition-layout
+  * independence. */
+class TemporalSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def t(s: Int) = new Timestamp(s * 1000L)
+
+  test("asof: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, 100L, t(10)), (1L, 101L, t(20)), (1L, 102L, t(5)),
+      (2L, 200L, t(15)))
+      .toDF("k", "id", "ts")
+    val right = Seq(
+      (1L, t(10), "a"), (1L, t(18), "b"), (2L, t(99), "zzz"))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left.repartition(5), right.repartition(3),
+        "k", "ts", payload = struct(col("v")))
+      .select(col("id"), col("__graft_asof_payload.v").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map(
+      100L -> "a",   // equal ts matches (inclusive)
+      101L -> "b",   // latest of the two priors
+      102L -> null,  // nothing at or before t=5
+      200L -> null)) // other key's rows invisible
+  }
+
+  test("asof query agrees with an in-memory reference computation") {
+    val dir = graft.TestSpark.sfDir
+    val events = graft.core.Tables.load(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "ts", "value").collect()
+    def ts(r: org.apache.spark.sql.Row) =
+      r.getAs[java.time.LocalDateTime](3)   // events.ts is TIMESTAMP_NTZ
+    val views = events.filter(_.getString(2) == "view")
+      .groupBy(r => (r.getLong(0), ts(r)))
+      .map { case ((u, t), rs) => (u, t, rs.map(_.getDouble(4)).max) }
+      .toSeq
+    val expected = events.filter(_.getString(2) == "purchase").map { p =>
+      val prior = views.filter(v =>
+        v._1 == p.getLong(0) && !v._2.isAfter(ts(p)))
+      p.getLong(1) -> (if (prior.isEmpty) None
+        else Some(prior.maxBy(_._2)(Ordering.by((x: java.time.LocalDateTime)
+          => x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L +
+            x.getNano))._3))
+    }.toMap
+    val actual = Temporal.purchaseAsofView(spark, dir)
+      .select("event_id", "view_value").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(actual === expected)
+  }
+}
