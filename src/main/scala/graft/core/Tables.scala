@@ -25,7 +25,20 @@ object Tables {
   private def ensureConf(spark: SparkSession, k: String, v: String): Unit =
     if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Memoized per (session, dir, name): a loaded DataFrame is an immutable
+  // logical plan, and re-creating it per query re-lists the directory and
+  // re-reads parquet footers — measurable fixed cost across a 48-query
+  // surface. The cluster-scale analogue is a catalog/file-index cache.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String,
+      String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent((spark, dir, name),
+      _ => load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
     // µs-typed parquet output: keeps our dumped timestamps byte-comparable
     // with DuckDB's (the oracle compare reads both back via Arrow).
     ensureConf(spark, "spark.sql.parquet.outputTimestampType",
