@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Events, Finders, PipelineOps, Relational, Sampling, Temporal, TextSim}
+import graft.query.{Cluster, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -89,6 +89,8 @@ object SparkEntry {
     "set_union" -> (Relational.setUnion _),
     "set_except" -> (Relational.setExcept _),
     "set_intersect" -> (Relational.setIntersect _),
+    "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
+    "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
     "join_asof" -> (Temporal.purchaseAsofView _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -98,27 +100,34 @@ object SparkEntry {
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
     "stream_session" -> (Events.sessionize _),
+    "stream_dedup" -> (Events.streamDedup _),
     "events_daily" -> (Events.dailyByType _),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
     "text_langid" -> (TextSim.textLangid _),
     "text_fingerprint" -> (TextSim.textFingerprint _),
+    "text_tfidf" -> ((s: SparkSession, d: String) => TextQuality.textTfidf(s, d)),
+    "quality_filter" -> (TextQuality.qualityFilter _),
+    "pii_redact" -> (TextQuality.piiRedact _),
     "dedup_exact" -> (TextSim.dedupExact _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
+    "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
+    "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_features" -> (Multimodal.featureNorms _))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
-    * dedup_simhash, similarity_lsh, dedup_embedding_ann (engine-specific
-    * hash/signature functions), multimodal_features (stub codec). */
+    * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf
+    * (engine-specific hash/signature/centroid internals),
+    * multimodal_features (stub codec). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",
@@ -365,6 +374,81 @@ object SparkEntry {
         |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
         |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.3
         |ORDER BY d1, d2""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_range" ->
+      """WITH o AS (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_spend,
+        |  CAST(count(*) OVER w AS BIGINT) AS trailing_30d_orders
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id, token),
+        |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY token),
+        |r AS (SELECT doc_id, token, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS BIGINT) AS rank
+        |  FROM tfc JOIN dfc USING (token))
+        |SELECT doc_id, rank, token, tf, df,
+        |  round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+        |    round(CAST(list_max(list_transform(list_distinct(toks), tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) AS top_token_ratio
+        |  FROM t),
+        |r AS (SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
+        |    WHEN distinct_ratio < 0.45 THEN 'low_diversity'
+        |    WHEN top_token_ratio > 0.12 THEN 'repetitive' ELSE 'ok' END AS reason FROM m)
+        |SELECT doc_id, n_words, distinct_ratio, top_token_ratio, reason, reason = 'ok' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH p AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com'
+        |    WHEN doc_id % 7 = 3 THEN ' call 555-867-5309 or https://example.com/profile'
+        |    ELSE '' END AS pii_text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(pii_text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.3),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |m AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
+        |SELECT m.doc_id, m.cluster, s.cluster_size, m.doc_id = m.cluster AS is_canonical
+        |FROM m JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos

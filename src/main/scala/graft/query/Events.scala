@@ -66,6 +66,26 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Streaming-dedup batch twin: an at-least-once source re-delivers a
+    * subset of events (every 5th, simulated deterministically); dedup on
+    * the event key restores exactly-once counts. The oracle aggregates
+    * the ORIGINAL table — hash-equality proves the re-delivered rows
+    * were fully eliminated. Streaming form:
+    * [[graft.streaming.EventStreams.dedup]]
+    * (dropDuplicatesWithinWatermark — state bounded by the watermark
+    * horizon instead of growing with the stream). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val redelivered = ev.filter(col("event_id") % 5 === 0)
+    ev.unionByName(redelivered)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =

@@ -249,6 +249,52 @@ object Relational {
     building.except(urgent).orderBy("custkey")
   }
 
+  /** Skew-salted fact-fact join: the manual remedy for a hot join key
+    * (one giant customer / one boilerplate document) that AQE's skew
+    * split can't always reach (e.g. when the skewed side feeds an
+    * aggregation). The probe side derives a deterministic salt from an
+    * intra-key column (`l_linenumber` — content-derived, NOT rand(), so
+    * replays and retries stay idempotent); the build side is exploded
+    * ×`salt` so every (key, salt) pair still meets its match. The join
+    * key becomes (key, salt) → a hot key's rows spread over `salt`
+    * reducers. Result is provably identical to the unsalted join — the
+    * oracle runs the PLAIN join, so the equivalence is hash-checked. */
+  def joinSkewSalted(spark: SparkSession, dir: String, salt: Int = 8)
+      : DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salt)))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0), lit(salt - 1))).as("salt"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+        li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Range-frame window: trailing-30-day spend per customer. RANGE (not
+    * ROWS) — all peer rows within the value interval join the frame, so
+    * same-day orders are handled identically in both engines. Ordering
+    * key is epoch-days (a long), keeping the frame arithmetic integral. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("order_day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("order_day",
+        unix_date(col("o_orderdate").cast("date")).cast("long"))
+      .withColumn("trailing_30d_spend",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .withColumn("trailing_30d_orders", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate",
+        "trailing_30d_spend", "trailing_30d_orders")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** B11c: set intersect — BUILDING customers that did place an urgent
     * order. */
   def setIntersect(spark: SparkSession, dir: String): DataFrame = {

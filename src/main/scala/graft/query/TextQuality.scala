@@ -1,0 +1,108 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Corpus-curation operators a training-data pipeline runs after dedup
+  * (extends SURVEY.md §2 Part B): TF-IDF keyword extraction, Gopher-style
+  * quality filtering with drop reasons, and PII redaction. All are pure
+  * column algebra / one aggregation pass — codegen-friendly, no UDFs —
+  * and each has a DuckDB oracle twin in SparkEntry.
+  */
+object TextQuality {
+
+  private def docsTok(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextSim.tokens(col("text")))
+
+  /** TF-IDF keyword extraction: top 5 terms per document.
+    *
+    * tf = in-document term count, df = document frequency, N = corpus
+    * size; score = tf · ln(N/df). Ranking uses the integer triple
+    * (tf DESC, df ASC, token ASC) — the same ordering the score induces
+    * for fixed tf, but engine-portable (no float tie-break); the rounded
+    * score rides along as output. Shape at scale: one explode + two hash
+    * aggregations (doc-term, then term df) + a per-doc top-k window —
+    * everything partitions by doc or term, no cross product. */
+  def textTfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = docsTok(spark, dir)
+    val n = docs.count() // corpus size: one cached-scan count, a model scalar
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Gopher-style quality filter: keep/drop with the FIRST failing rule
+    * as the reason. Rules (thresholds sit inside the synthetic corpus'
+    * observed distribution so every branch is exercised):
+    *   too_short      — fewer than 20 words
+    *   low_diversity  — distinct-token ratio < 0.45
+    *   repetitive     — most-frequent token > 12% of all tokens
+    * Pure per-row column algebra — scales as a single projected scan. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val topTokCount = array_max(transform(array_distinct(col("toks")),
+      t => size(filter(col("toks"), x => x === t))))
+    docsTok(spark, dir)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))).cast("double") /
+          col("n_words"), 6))
+      .withColumn("top_token_ratio",
+        round(topTokCount.cast("double") / col("n_words"), 6))
+      .withColumn("reason",
+        when(col("n_words") < 20, "too_short")
+          .when(col("distinct_ratio") < 0.45, "low_diversity")
+          .when(col("top_token_ratio") > 0.12, "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_words"), col("distinct_ratio"),
+        col("top_token_ratio"), col("reason"),
+        (col("reason") === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: count and mask emails / phone numbers / URLs.
+    *
+    * The synthetic corpus carries no PII, so a deterministic planted
+    * suffix (keyed on doc_id) exercises every pattern — the operator
+    * itself is the regexp_count/regexp_replace chain, which DuckDB's RE2
+    * mirrors token-for-token (patterns restricted to the common regex
+    * subset: char classes, quantifiers, alternation — no backrefs or
+    * lookaround). One projected scan; at 100 TB this is the cheapest kind
+    * of operator there is. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val url = "https?://[^ ]+"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .when(col("doc_id") % 7 === 3,
+          lit(" call 555-867-5309 or https://example.com/profile"))
+        .otherwise(lit("")))
+    Tables.load(spark, dir, "documents")
+      .withColumn("pii_text", planted)
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(email)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("pii_text"), lit(phone)).cast("long")
+          .as("n_phones"),
+        regexp_count(col("pii_text"), lit(url)).cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          url, "<URL>"), email, "<EMAIL>"), phone, "<PHONE>"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+}

@@ -38,6 +38,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Exactly-once restoration over an at-least-once source: drop
+    * re-delivered events by key. `dropDuplicatesWithinWatermark` keeps
+    * dedup state only for keys younger than the watermark horizon —
+    * bounded state on an unbounded stream (plain dropDuplicates on a
+    * stream grows state forever). Batch twin (oracle-checked):
+    * [[graft.query.Events.streamDedup]]. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows with a 30-minute inactivity gap, per user — the
     * native `session_window` stateful operator (the streaming twin of
     * Events.sessionize's gaps-and-islands batch form). */

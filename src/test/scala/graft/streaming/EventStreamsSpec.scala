@@ -67,6 +67,24 @@ class EventStreamsSpec extends SparkSuite {
       ("u2", Timestamp.valueOf("2024-01-01 12:10:00"), 1L)))
   }
 
+  test("streaming dedup drops re-delivered events (exactly-once restore)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "event_type", "ts", "value")
+    val q = EventStreams.dedup(events).writeStream
+      .format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "click", ts(0), 1.0), (2L, "view", ts(5), 2.0)))
+      q.processAllAvailable()
+      // at-least-once source re-delivers event 1 in a later micro-batch
+      mem.addData(Seq((1L, "click", ts(0), 1.0), (3L, "click", ts(10), 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sliding windows double-count each event across 2 windows") {
     val rows = runStream(EventStreams.sliding(_), "t_sliding")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
