@@ -37,8 +37,13 @@ object Cluster {
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // propagate over the LINKED subgraph only — near-dup graphs are a
+    // vanishing fraction of the corpus, so iterating over every document
+    // would shuffle the full doc_id set once per round for nothing;
+    // unlinked docs become singletons in one final projection instead
     val docs = Tables.load(spark, dir, "documents").select("doc_id")
-    var labels = docs.withColumn("cluster", col("doc_id"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
@@ -65,9 +70,13 @@ object Cluster {
     val finalLabels = labels.localCheckpoint()
     labels.unpersist(); pairs.unpersist(); edges.unpersist()
 
-    val sizes = finalLabels.groupBy("cluster")
+    // singleton completion: every unlinked doc is its own cluster
+    val mapping = docs.join(finalLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val sizes = mapping.groupBy("cluster")
       .agg(count(lit(1)).as("cluster_size"))
-    finalLabels.join(sizes, "cluster")
+    mapping.join(sizes, "cluster")
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).as("is_canonical"))
       .orderBy("doc_id")

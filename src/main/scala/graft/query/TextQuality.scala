@@ -35,7 +35,9 @@ object TextQuality {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(df, "token")
+    // df is vocabulary-sized (tiny next to the doc-term matrix):
+    // broadcast it so the big side never shuffles for this join
+    tf.join(broadcast(df), "token")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
