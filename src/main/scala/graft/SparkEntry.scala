@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Cluster, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
+import graft.query.{Bucketed, Cluster, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -93,6 +93,8 @@ object SparkEntry {
     "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
     "join_asof" -> (Temporal.purchaseAsofView _),
+    "join_interval" -> (Temporal.intervalJoin _),
+    "join_bucketed" -> (Bucketed.joinBucketed _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
@@ -274,6 +276,22 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, p.ts, p.purchase_value, v.ts AS view_ts, v.view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "join_interval" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+        |  CAST(count(v.ts) AS BIGINT) AS n_prior_views,
+        |  CAST(max(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS max_view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.ts > p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |GROUP BY p.user_id, p.event_id, p.ts, p.purchase_value
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,

@@ -65,4 +65,49 @@ object Temporal {
         col(s"$payloadCol.view_value").as("view_value"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Interval (time-range) join: per purchase, aggregate the same user's
+    * views within the preceding 30 minutes.
+    *
+    * The naive form — equi-join on user + `BETWEEN` filter — explodes
+    * into views-per-user × purchases-per-user pairs per key before
+    * filtering; a hot user is quadratic. The scalable shape joins on
+    * (user, 30-min time bucket): each purchase probes exactly 2 buckets
+    * (its own and the previous — together they cover the full range for
+    * a window equal to the bucket width), so the pair fan-out per key is
+    * bounded by per-bucket density, and the exact range predicate
+    * filters inside the bucket match. Streaming twin:
+    * [[graft.streaming.EventStreams.intervalJoin]] (stream-stream join,
+    * state bounded by the same range + watermark). Oracle: the naive
+    * BETWEEN join in DuckDB — hash-checked equivalence of the two
+    * formulations. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 30L * 60 * 1000000 // 30 min of microseconds
+    def bucket(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / bucketUs)
+    val events = Tables.load(spark, dir, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withColumn("v_bk", bucket(col("view_ts")))
+    val probes = p.withColumn("bk",
+      explode(array(bucket(col("ts")), bucket(col("ts")) - 1)))
+    val matched = probes.join(v,
+        probes("user_id") === v("v_user") && col("v_bk") === col("bk") &&
+          col("view_ts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") <= col("ts"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_prior_views"),
+        max(Tables.dec2(col("view_value"))).cast("double")
+          .as("max_view_value"))
+    p.join(matched, Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("purchase_value"),
+        coalesce(col("n_prior_views"), lit(0L)).as("n_prior_views"),
+        col("max_view_value"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -38,6 +38,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Stream-stream interval join: purchases enriched with the same
+    * user's views from the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store evicts rows once the watermark passes the range —
+    * bounded state on two unbounded streams. Batch twin
+    * (oracle-checked, time-bucketed): [[graft.query.Temporal
+    * .intervalJoin]]. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame): DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(views.withWatermark("view_ts", "1 hour").alias("v"),
+        expr("""p.user_id = v.v_user AND
+                v.view_ts > p.ts - INTERVAL 30 MINUTES AND
+                v.view_ts <= p.ts"""))
+      .select(col("p.user_id"), col("p.ts"), col("p.value")
+        .as("purchase_value"), col("v.view_ts"), col("v.value")
+        .as("view_value"))
+
   /** Exactly-once restoration over an at-least-once source: drop
     * re-delivered events by key. `dropDuplicatesWithinWatermark` keeps
     * dedup state only for keys younger than the watermark horizon —

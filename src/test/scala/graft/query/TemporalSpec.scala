@@ -59,4 +59,31 @@ class TemporalSpec extends SparkSuite {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(actual === expected)
   }
+
+  test("interval join (time-bucketed) equals the naive BETWEEN join") {
+    val dir = graft.TestSpark.sfDir
+    val events = graft.core.Tables.load(spark, dir, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    // naive formulation: equi-join on user + BETWEEN filter (the shape
+    // the bucketed operator must reproduce exactly)
+    val naive = p.join(v,
+        p("user_id") === v("v_user") &&
+          col("view_ts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") <= col("ts"), "left")
+      .groupBy("user_id", "event_id", "ts", "purchase_value")
+      .agg(count(col("view_ts")).as("n_prior_views"),
+        max(graft.core.Tables.dec2(col("view_value"))).cast("double")
+          .as("max_view_value"))
+      .orderBy("user_id", "event_id")
+      .select("user_id", "event_id", "ts", "purchase_value",
+        "n_prior_views", "max_view_value")
+    val bucketed = Temporal.intervalJoin(spark, dir)
+    assert(bucketed.collect().toSeq === naive.collect().toSeq)
+    assert(bucketed.count() > 0)
+  }
 }

@@ -67,6 +67,28 @@ class EventStreamsSpec extends SparkSuite {
       ("u2", Timestamp.valueOf("2024-01-01 12:10:00"), 1L)))
   }
 
+  test("stream-stream interval join pairs purchases with in-range views") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val vMem = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pMem.toDF().toDF("user_id", "ts", "value")
+    val views = vMem.toDF().toDF("v_user", "view_ts", "value")
+    val q = EventStreams.intervalJoin(purchases, views).writeStream
+      .format("memory").queryName("t_ivj").outputMode("append").start()
+    try {
+      vMem.addData(Seq(
+        (1L, ts(0), 10.0),   // 20 min before the purchase → in range
+        (1L, ts(50), 11.0),  // after the purchase → out
+        (2L, ts(15), 12.0))) // other user's purchase only
+      pMem.addData(Seq((1L, ts(20), 5.0), (2L, ts(30), 6.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_ivj")
+        .select("user_id", "view_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows === Set((1L, 10.0), (2L, 12.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events (exactly-once restore)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
