@@ -78,6 +78,7 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "agg_distinct" -> (Relational.aggDistinct _),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),

@@ -249,6 +249,23 @@ object Relational {
     building.except(urgent).orderBy("custkey")
   }
 
+  /** Sketch counterpart of [[aggDistinct]]: HyperLogLog++ approximate
+    * distinct counts. countDistinct is the 100 TB pain point — it
+    * shuffles every distinct (group, key) pair before counting; the
+    * sketch aggregates in fixed memory per group, merges map-side, and
+    * ships only the sketch bytes. Rows-only oracle (HLL internals are
+    * engine-specific); ApproxSpec bounds the error vs the exact count
+    * (rsd default 5%). */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      // rsd 2% (~1.6 KiB sketch/group) — still fixed-memory, and keeps
+      // per-group error within ApproxSpec's 5% bound at ~2.5 sigma
+      .agg(approx_count_distinct(col("o_custkey"), 0.02)
+          .as("n_customers_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Skew-salted fact-fact join: the manual remedy for a hot join key
     * (one giant customer / one boilerplate document) that AQE's skew
     * split can't always reach (e.g. when the skewed side feeds an

@@ -82,9 +82,6 @@ object Temporal {
     * BETWEEN join in DuckDB — hash-checked equivalence of the two
     * formulations. */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val bucketUs = 30L * 60 * 1000000 // 30 min of microseconds
-    def bucket(c: Column): Column =
-      floor(unix_micros(c.cast("timestamp")) / bucketUs)
     val events = Tables.load(spark, dir, "events")
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"),
@@ -92,12 +89,28 @@ object Temporal {
     val v = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("value").as("view_value"))
-      .withColumn("v_bk", bucket(col("view_ts")))
+    intervalJoinBucketed(p, v, windowMinutes = 30)
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Core of [[intervalJoin]], reusable and property-testable: per left
+    * row, count/max-aggregate right rows of the same user with
+    * `view_ts` ∈ (ts − window, ts]. Bucket width = window width, so 2
+    * probe buckets (own + previous) cover the whole range: for any t,
+    * (t − w, t] spans at most the two width-w buckets containing t and
+    * t − w. */
+  private[query] def intervalJoinBucketed(p: DataFrame, v: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    def bucket(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / bucketUs)
+    val vb = v.withColumn("v_bk", bucket(col("view_ts")))
     val probes = p.withColumn("bk",
       explode(array(bucket(col("ts")), bucket(col("ts")) - 1)))
-    val matched = probes.join(v,
-        probes("user_id") === v("v_user") && col("v_bk") === col("bk") &&
-          col("view_ts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+    val win = expr(s"INTERVAL $windowMinutes MINUTES")
+    val matched = probes.join(vb,
+        probes("user_id") === vb("v_user") && col("v_bk") === col("bk") &&
+          col("view_ts") > col("ts") - win &&
           col("view_ts") <= col("ts"))
       .groupBy("event_id")
       .agg(count(lit(1)).as("n_prior_views"),
@@ -108,6 +121,5 @@ object Temporal {
         col("purchase_value"),
         coalesce(col("n_prior_views"), lit(0L)).as("n_prior_views"),
         col("max_view_value"))
-      .orderBy("user_id", "event_id")
   }
 }

@@ -3,6 +3,7 @@ package graft.query
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSuite
 
@@ -85,5 +86,37 @@ class TemporalSpec extends SparkSuite {
     val bucketed = Temporal.intervalJoin(spark, dir)
     assert(bucketed.collect().toSeq === naive.collect().toSeq)
     assert(bucketed.count() > 0)
+  }
+
+  test("property: 2-bucket probe covers every (t-w, t] range exactly") {
+    import spark.implicits._
+    // random event times (second granularity, incl. exact boundary
+    // collisions) and window widths; reference = in-memory filter
+    val fixtureGen = for {
+      w <- Gen.oneOf(1, 5, 30) // minutes
+      nP <- Gen.choose(1, 8)
+      nV <- Gen.choose(0, 12)
+      // cluster times around multiples of the window so bucket edges
+      // (t - w exactly, t exactly, same bucket, adjacent, far) all occur
+      ps <- Gen.listOfN(nP, Gen.choose(0, 6 * w * 60))
+      vs <- Gen.listOfN(nV, Gen.choose(0, 6 * w * 60))
+    } yield (w, ps, vs)
+    val prop = Prop.forAll(fixtureGen) { case (w, ps, vs) =>
+      val p = ps.zipWithIndex
+        .map { case (s, i) => (1L, i.toLong, t(s), 1.0) }
+        .toDF("user_id", "event_id", "ts", "purchase_value")
+      val v = vs.map(s => (1L, t(s), 2.0))
+        .toDF("v_user", "view_ts", "view_value")
+      val out = Temporal.intervalJoinBucketed(p, v, w)
+        .select("event_id", "n_prior_views")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = ps.zipWithIndex.map { case (s, i) =>
+        i.toLong -> vs.count(x => x > s - w * 60 && x <= s).toLong
+      }.toMap
+      out == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
   }
 }
