@@ -98,6 +98,8 @@ object SparkEntry {
     "join_bucketed" -> (Bucketed.joinBucketed _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
+    "sample_mixture" -> (Sampling.sampleMixture _),
+    "embed_quantize" -> (TextSim.embedQuantize _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
@@ -302,6 +304,24 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC) AS BIGINT) AS rn
         |  FROM orders) WHERE rn <= 100 ORDER BY o_orderpriority, rn""".stripMargin,
+    "sample_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |      WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |      ELSE 'c0' END AS mix_threshold
+        |  FROM documents)
+        |SELECT doc_id, source, mix_threshold FROM t
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < mix_threshold
+        |ORDER BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |    CAST(list_max(embedding) AS DOUBLE) AS hi
+        |  FROM embeddings)
+        |SELECT vec_id, round(lo, 6) AS qmin, round(hi, 6) AS qmax,
+        |  md5(array_to_string(list_transform(embedding,
+        |    x -> CAST(least(255, floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 256)) AS INT)), ' ')) AS q_digest
+        |FROM b ORDER BY vec_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens

@@ -43,6 +43,26 @@ object Sampling {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Mixture sampling: each source sampled at its own rate — the "data
+    * mixing weights" step of assembling a pretraining corpus (web 5%,
+    * books 75%, ...). Rates are per-source hex thresholds on the same
+    * key hash as [[sampleHash]], so the mix is reproducible, stable
+    * under re-ingestion, and engine-portable. Still a pure scan-side
+    * predicate: the per-row threshold is derived from the row's own
+    * `source` column — no join, no shuffle, at any corpus size. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+    val thr = when(grp === 0, "0d")   // ≈  5%
+      .when(grp === 1, "26")          // ≈ 15%
+      .when(grp === 2, "59")          // ≈ 35%
+      .otherwise("c0")                // ≈ 75%
+    Tables.load(spark, dir, "documents")
+      .withColumn("mix_threshold", thr)
+      .filter(md5(col("doc_id").cast("string")) < col("mix_threshold"))
+      .select("doc_id", "source", "mix_threshold")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (concat-and-split): lay documents end to end in
     * doc_id order and cut fixed token-capacity bins — the standard
     * LLM-pretraining batch-shaping step. Partitioned per `source` shard

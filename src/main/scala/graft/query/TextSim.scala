@@ -309,6 +309,27 @@ object TextSim {
       .orderBy("v1", "v2")
   }
 
+  /** Per-vector int8 quantization (min/max affine): the 4× storage cut
+    * a 100 TB embedding store takes before ANN indexing. Scale factors
+    * travel with the row, so dequantization is row-local. All math in
+    * double with floor (not round — rounding-mode-portable across
+    * engines); the digest column makes the full quantized array
+    * hash-checkable against DuckDB's identical list algebra. Pure
+    * projected scan — no shuffle. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val lo = array_min(col("embedding")).cast("double")
+    val hi = array_max(col("embedding")).cast("double")
+    val q = transform(col("embedding"), x =>
+      least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 256))
+        .cast("int"))
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(lo, 6).as("qmin"), round(hi, 6).as("qmax"),
+        md5(concat_ws(" ", transform(q, _.cast("string"))))
+          .as("q_digest"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** B16 baseline: brute-force cosine top-k for a fixed query set
