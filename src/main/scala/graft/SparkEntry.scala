@@ -84,6 +84,7 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_pivot" -> (Relational.aggPivot _),
     "window_topk" -> (Relational.windowTopk _),
+    "window_topk_agg" -> ((s: SparkSession, d: String) => Relational.windowTopkAgg(s, d)),
     "window_running" -> (Relational.windowRunning _),
     "window_lag" -> (Relational.windowLag _),
     "sort_limit" -> (Relational.sortLimit _),
@@ -246,6 +247,11 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn

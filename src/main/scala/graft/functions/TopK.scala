@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Bounded top-k aggregate: per group, the k (score, id) pairs with the
+  * highest score (ties → lowest id). The scale story vs the usual
+  * `row_number().over(partitionBy(...).orderBy(...)) <= k` window:
+  * the window form SORTS every group's full row set after the shuffle
+  * (O(n log n) per group, all rows shuffled); this aggregate keeps a
+  * k-bounded buffer, aggregates PARTIALLY map-side (each task ships at
+  * most k pairs per group, not its whole slice), and merges in
+  * O(k log k). On a 100 TB fact table with top-3-per-customer, the
+  * shuffle shrinks from every row to ~3 rows per (task, customer).
+  *
+  * Buffer compaction is amortized: appends run free until 4k, then one
+  * sort truncates back to k — O(n log k) total, no per-row heap cost.
+  */
+case class TopKPairs(
+    score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  // best-first: higher score wins, then lower id
+  private def rank(p: (Double, Long)): (Double, Long) = (-p._1, p._2)
+
+  private def compact(buf: ArrayBuffer[(Double, Long)])
+      : ArrayBuffer[(Double, Long)] =
+    if (buf.length <= k) buf
+    else {
+      val top = buf.sortBy(rank).take(k)
+      buf.clear(); buf ++= top; buf
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow)
+      : ArrayBuffer[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      if (buf.length >= 4 * k) compact(buf) else buf
+    } else buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Double, Long)],
+      other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
+    compact(buf ++= other)
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
+    new GenericArrayData(buf.sortBy(rank).take(k)
+      .map(p => InternalRow(p._1, p._2)).toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val top = compact(buf)
+    val bb = ByteBuffer.allocate(4 + top.length * 16)
+    bb.putInt(top.length)
+    top.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : ArrayBuffer[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = ArrayBuffer.empty[(Double, Long)]
+    var j = 0
+    while (j < n) { buf += ((bb.getDouble, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKPairs =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(score = newChildren(0), id = newChildren(1))
+}

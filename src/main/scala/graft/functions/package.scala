@@ -24,6 +24,12 @@ package object functions {
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(expr(tokens), seed))
 
+  /** Bounded top-k aggregate: array of the k best (score, id) structs
+    * per group — see [[TopKPairs]] for the shuffle-size argument vs the
+    * window form. */
+  def top_k(score: Column, id: Column, k: Int): Column =
+    toCol(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",

@@ -249,6 +249,24 @@ object Relational {
     building.except(urgent).orderBy("custkey")
   }
 
+  /** Aggregate counterpart of the window top-k (B8): same result, very
+    * different 100 TB plan. The window form shuffles EVERY order row to
+    * its customer's partition and sorts the whole group; this form runs
+    * the custom bounded-heap aggregate [[graft.functions.TopKPairs]]
+    * partially map-side, so each task ships ≤ k pairs per customer into
+    * the shuffle. Same oracle SQL as window_topk — result equivalence is
+    * hash-proven. */
+  def windowTopkAgg(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.functions.top_k(col("o_totalprice"), col("o_orderkey"), k)
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_custkey"), (col("i") + 1).cast("long").as("rn"),
+        col("p.id").as("o_orderkey"), col("p.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
   /** Sketch counterpart of [[aggDistinct]]: HyperLogLog++ approximate
     * distinct counts. countDistinct is the 100 TB pain point — it
     * shuffles every distinct (group, key) pair before counting; the
