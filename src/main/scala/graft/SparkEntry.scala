@@ -128,6 +128,7 @@ object SparkEntry {
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
+    "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_features" -> (Multimodal.featureNorms _))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
@@ -508,6 +509,14 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id ASC) AS BIGINT) AS rank
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    CAST(length(text) AS BIGINT) % 30 + 1 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, text, (n_bytes + n_frames - 1) // n_frames AS frame_size,
+        |    unnest(range(0, n_frames)) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * frame_size + 1 AS INT), CAST(frame_size AS INT))) AS frame_md5
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,

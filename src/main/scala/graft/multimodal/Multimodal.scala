@@ -59,6 +59,32 @@ object Multimodal {
         (octet_length(col("payload")).cast("long") % 30 + 1).as("n_frames"))
       .orderBy("doc_id")
 
+  /** Frame sampling: every `stride`-th frame of each "video" payload,
+    * as one row per sampled frame with a content digest. Frames here
+    * are fixed-size byte ranges of the payload (frame count/size from
+    * the same deterministic metadata as [[mediaMeta]]) — a real
+    * container format would swap the substring for codec-aware frame
+    * extraction; the pipeline shape (metadata → per-frame explode →
+    * stride filter → per-frame digest) is exactly what a video
+    * training-data pipeline runs, and is fully oracle-checkable. The
+    * explode fans out ≤30 rows per doc BEFORE the filter prunes to
+    * 1/stride — at scale, push the stride into the sequence step to
+    * generate only sampled indices. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 2)
+      : DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("n_frames", col("n_bytes") % 30 + 1)
+      .withColumn("frame_size",
+        expr("(n_bytes + n_frames - 1) DIV n_frames")) // exact int ceil
+      .select(col("doc_id"), col("text"), col("frame_size"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr("substring(text, cast(frame_idx * frame_size + 1 as int), cast(frame_size as int))"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Partition-batched decode: the distributed feature-extraction path.
     * One codec invocation per record, batched per partition (no
     * per-row JVM↔driver traffic, no collect). */
