@@ -132,9 +132,9 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.featureNorms _))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
-    * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf
-    * (engine-specific hash/signature/centroid internals),
-    * multimodal_features (stub codec). */
+    * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
+    * agg_approx_distinct (engine-specific hash/signature/centroid/sketch
+    * internals), multimodal_features (stub codec). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",
@@ -327,7 +327,8 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT vec_id, round(lo, 6) AS qmin, round(hi, 6) AS qmax,
         |  md5(array_to_string(list_transform(embedding,
-        |    x -> CAST(least(255, floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 256)) AS INT)), ' ')) AS q_digest
+        |    x -> CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(255, floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 256)) END AS INT)), ' ')) AS q_digest
         |FROM b ORDER BY vec_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
@@ -443,11 +444,11 @@ object SparkEntry {
         |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
         |    SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id, token),
         |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY token),
-        |r AS (SELECT doc_id, token, tf, df,
-        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) AS BIGINT) AS rank
-        |  FROM tfc JOIN dfc USING (token))
-        |SELECT doc_id, rank, token, tf, df,
-        |  round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        |s AS (SELECT doc_id, token, tf, df,
+        |    round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, rank, token, tf, df, tfidf
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "quality_filter" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),

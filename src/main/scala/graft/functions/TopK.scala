@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -26,10 +26,15 @@ import scala.collection.mutable.ArrayBuffer
 case class TopKPairs(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+    with ImplicitCastInputTypes {
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time contract (and auto-cast of int/float inputs) — without
+  // this, a non-double score would pass analysis and CCE per-row at run.
+  // (return type inferred: AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

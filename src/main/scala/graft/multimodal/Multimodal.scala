@@ -61,12 +61,13 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th frame of each "video" payload,
     * as one row per sampled frame with a content digest. Frames here
-    * are fixed-size byte ranges of the payload (frame count/size from
-    * the same deterministic metadata as [[mediaMeta]]) — a real
-    * container format would swap the substring for codec-aware frame
-    * extraction; the pipeline shape (metadata → per-frame explode →
-    * stride filter → per-frame digest) is exactly what a video
-    * training-data pipeline runs, and is fully oracle-checkable. The
+    * are fixed-size CHARACTER ranges of the text payload (frame
+    * count/size derived from character length — intentionally
+    * char-based so the DuckDB oracle's substring matches byte-for-byte
+    * on the ASCII fixtures; a real container format swaps in
+    * codec-aware byte extraction here). The pipeline shape (metadata →
+    * per-frame explode → stride filter → per-frame digest) is exactly
+    * what a video training-data pipeline runs, oracle-checkable. The
     * explode fans out ≤30 rows per doc BEFORE the filter prunes to
     * 1/stride — at scale, push the stride into the sequence step to
     * generate only sampled indices. */

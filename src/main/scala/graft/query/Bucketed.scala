@@ -23,8 +23,11 @@ import graft.core.Tables.moneySum
   */
 object Bucketed {
 
+  // marked only AFTER a successful write, under the lock — a concurrent
+  // caller must not read half-written tables, and a failed CTAS must not
+  // poison the memo for every later call
   private val prepared =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
 
   /** Table-name suffix per source dir (one session may serve many SFs). */
   private def tag(dir: String): String =
@@ -44,17 +47,20 @@ object Bucketed {
   /** Write orders + lineitem bucketed by the join key (idempotent per
     * session+dir; stale locations cleaned first). */
   def ensureBucketed(spark: SparkSession, dir: String): Unit =
-    if (prepared.add((spark, dir))) {
-      dropStale(spark, s"graft_bkt_orders_${tag(dir)}")
-      dropStale(spark, s"graft_bkt_lineitem_${tag(dir)}")
-      Tables.load(spark, dir, "orders")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"graft_bkt_orders_${tag(dir)}")
-      Tables.load(spark, dir, "lineitem")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"graft_bkt_lineitem_${tag(dir)}")
+    prepared.synchronized {
+      if (!prepared.contains((spark, dir))) {
+        dropStale(spark, s"graft_bkt_orders_${tag(dir)}")
+        dropStale(spark, s"graft_bkt_lineitem_${tag(dir)}")
+        Tables.load(spark, dir, "orders")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"graft_bkt_orders_${tag(dir)}")
+        Tables.load(spark, dir, "lineitem")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"graft_bkt_lineitem_${tag(dir)}")
+        prepared += ((spark, dir))
+      }
     }
 
   /** The co-located join itself: revenue per order status. Identical

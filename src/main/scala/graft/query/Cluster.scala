@@ -64,6 +64,12 @@ object Cluster {
       converged = changed == 0
       iter += 1
     }
+    // a silent non-converged result would violate the transitive-closure
+    // contract (same component, different cluster ids) — fail loudly;
+    // raise maxIters (or switch to large-star/small-star) for corpora
+    // with >maxIters-long near-dup chains
+    if (!converged) throw new IllegalStateException(
+      s"dedupCluster did not converge within $maxIters rounds")
 
     // truncate the iterative lineage so downstream plans don't drag the
     // whole loop along, then release the per-round caches

@@ -65,16 +65,20 @@ object Ivf {
     cent
   }
 
-  /** Nearest-centroid assignment: broadcast the model, argmin per row. */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cid").asc)
+  /** Nearest-centroid assignment: broadcast the model, argmin per row.
+    * max_by (not a row_number window): the window form shuffles the
+    * corpus×nlist expansion to sort each vec_id group; max_by reduces it
+    * with map-side partial aggregation — only one (cid, embedding) pair
+    * per vector reaches the shuffle. Tie-break: highest cos, then lowest
+    * cid (hence -cid in the ordering struct). */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("cos", cosine_sim(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid", "embedding")
-  }
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("cos"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.embedding").as("embedding"))
 
   /** ANN top-k for the fixed query set (vec_id < 10), probing the
     * `nprobe` nearest cells per query. Same output contract as

@@ -297,7 +297,9 @@ object Relational {
   def joinSkewSalted(spark: SparkSession, dir: String, salt: Int = 8)
       : DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-      .withColumn("salt", pmod(col("l_linenumber"), lit(salt)))
+      // l_linenumber is 1-based (1..7): shift so salt bucket 0 is live
+      // and the hot key actually spreads over all `salt` reducers
+      .withColumn("salt", pmod(col("l_linenumber") - 1, lit(salt)))
     val ord = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         explode(sequence(lit(0), lit(salt - 1))).as("salt"))

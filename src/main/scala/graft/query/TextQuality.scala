@@ -20,12 +20,14 @@ object TextQuality {
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus
-    * size; score = tf · ln(N/df). Ranking uses the integer triple
-    * (tf DESC, df ASC, token ASC) — the same ordering the score induces
-    * for fixed tf, but engine-portable (no float tie-break); the rounded
-    * score rides along as output. Shape at scale: one explode + two hash
-    * aggregations (doc-term, then term df) + a per-doc top-k window —
-    * everything partitions by doc or term, no cross product. */
+    * size; score = tf · ln(N/df), ranked by the ROUNDED score (token as
+    * tie-break) — the rounded value is already the cross-engine parity
+    * surface (it is an output column), so ranking on it adds no new
+    * portability risk, and corpus-ubiquitous terms (score 0) sink
+    * instead of outranking distinctive ones. Shape at scale: one
+    * explode + two hash aggregations (doc-term, then term df) + a
+    * per-doc top-k window — everything partitions by doc or term, no
+    * cross product. */
   def textTfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = docsTok(spark, dir)
     val n = docs.count() // corpus size: one cached-scan count, a model scalar
@@ -34,16 +36,16 @@ object TextQuality {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+      .orderBy(col("tfidf").desc, col("token").asc)
     // df is vocabulary-sized (tiny next to the doc-term matrix):
     // broadcast it so the big side never shuffles for this join
     tf.join(broadcast(df), "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
-        col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
-          .as("tfidf"))
+        col("df"), col("tfidf"))
       .orderBy("doc_id", "rank")
   }
 

@@ -319,8 +319,11 @@ object TextSim {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val lo = array_min(col("embedding")).cast("double")
     val hi = array_max(col("embedding")).cast("double")
+    // constant vector (hi == lo) would divide by zero — null in Spark,
+    // inf in DuckDB → silent oracle divergence; both sides map it to 0
     val q = transform(col("embedding"), x =>
-      least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 256))
+      when(hi === lo, lit(0L)).otherwise(
+        least(lit(255L), floor((x.cast("double") - lo) / (hi - lo) * 256)))
         .cast("int"))
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),

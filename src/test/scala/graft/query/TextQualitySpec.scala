@@ -11,14 +11,15 @@ class TextQualitySpec extends SparkSuite {
 
   private val dir = TestSpark.sfDir
 
-  test("tfidf: rank-1 term has the document's max term frequency") {
+  test("tfidf: scores non-increasing in rank, at most 5 per doc") {
     val rows = TextQuality.textTfidf(spark, dir)
-      .select("doc_id", "rank", "tf")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .select("doc_id", "rank", "tfidf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val byDoc = rows.groupBy(_._1)
     byDoc.foreach { case (doc, rs) =>
-      val top = rs.find(_._2 == 1L).get._3
-      assert(rs.forall(_._3 <= top), s"doc $doc rank-1 tf not maximal")
+      val ordered = rs.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"doc $doc tfidf not non-increasing in rank")
     }
     assert(byDoc.forall(_._2.length <= 5))
   }
