@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
+    "decontaminate" -> ((s: SparkSession, d: String) => TextSim.decontaminate(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
@@ -475,6 +476,16 @@ object SparkEntry {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |e AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, e.eval_doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM tr JOIN e USING (s) GROUP BY tr.doc_id, e.eval_doc_id
+        |HAVING count(*) >= 2 ORDER BY tr.doc_id, e.eval_doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

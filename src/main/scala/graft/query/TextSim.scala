@@ -112,12 +112,11 @@ object TextSim {
       .orderBy("doc_id")
   }
 
-  /** 3-word shingles of a token array (distinct). */
-  def shingles(toks: Column): Column =
+  /** n-word shingles of a token array (distinct; default 3). */
+  def shingles(toks: Column, n: Int = 3): Column =
     array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3))))
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     docsTok(spark, dir)
@@ -307,6 +306,33 @@ object TextSim {
         round(cosine_sim(col("e1"), col("e2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("v1", "v2")
+  }
+
+  /** Benchmark decontamination: flag training docs sharing ≥
+    * `minOverlap` distinct n-gram shingles with any eval-set document —
+    * the standard guard against test-set leakage into a pretraining
+    * corpus. The eval set here is a deterministic slice (doc_id % 50 =
+    * 0, standing in for an external benchmark file). Shape at scale:
+    * eval shingles are tiny next to the corpus (benchmarks are MBs,
+    * corpora are TBs) → broadcast them; the corpus side streams through
+    * one scan + one hash aggregation on (train_doc, eval_doc). Shingle
+    * keys are 64-bit hashes (collision odds ~n²/2⁶⁵, immaterial); the
+    * oracle joins the raw strings — agreement doubles as a collision
+    * check. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+      minOverlap: Int = 2): DataFrame = {
+    val sh = docsTok(spark, dir)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_doc_id"), col("sh_h"))
+    val trainSh = sh.filter(col("doc_id") % 50 =!= 0)
+    trainSh.join(broadcast(evalSh), "sh_h")
+      .groupBy("doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id", "eval_doc_id")
   }
 
   /** Per-vector int8 quantization (min/max affine): the 4× storage cut
