@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.IngestStream
+
+/** The reference's one real user journey (upload → status → find),
+  * driven end to end through the [[Graft]] facade — the concrete form
+  * of README's migration table. */
+class GraftSpec extends SparkSuite {
+
+  test("upload -> process -> status/find journey through the facade") {
+    withTmpDir { ws =>
+      val g = new Graft(spark, IngestStream.Config(
+        landingDir = ws.resolve("landing").toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString))
+
+      val f1 = g.uploadString("week1.json",
+        """[{"code":"a1","product_name":"Oat Milk"},
+          |{"code":"a2","product_name":"Rye Bread"},
+          |{"product_name":"no code -> failed"}]""".stripMargin)
+      g.processAvailable()
+
+      // status endpoint: processed_with_errors (1 invalid record)
+      val st = g.uploadStatus(f1).collect()
+      assert(st.length === 1)
+      assert(st(0).getAs[String]("status") === "processed_with_errors")
+      assert(st(0).getAs[Long]("records_processed") === 2L)
+      assert(st(0).getAs[Long]("records_failed") === 1L)
+      // miss → empty (the endpoint's 404)
+      assert(g.uploadStatus("nope.json").isEmpty)
+
+      // second delivery overwrites a1 (last-writer-wins, $set merge)
+      g.uploadString("week2.json",
+        """[{"code":"a1","product_name":"Oat Milk Deluxe"}]""")
+      g.processAvailable()
+
+      assert(g.findByCode("a1").collect()
+        .map(_.getAs[String]("product_name")).toSeq ===
+        Seq("Oat Milk Deluxe"))
+      assert(g.findPartial("oat").count() === 1)
+      assert(g.findPartial("zzz").isEmpty)
+      assert(g.findExact("Rye Bread").count() === 1)
+    }
+  }
+}
