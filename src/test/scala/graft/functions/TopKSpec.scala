@@ -25,6 +25,13 @@ class TopKSpec extends SparkSuite {
     assert(out("h") === "[{2.0, 2}]")
   }
 
+  test("non-castable score type fails at analysis, not per-row at run") {
+    val df = Seq(("g", Seq(1.0), 1L)).toDF("k", "s", "id")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("k").agg(top_k(col("s"), col("id"), 2)).collect()
+    }
+  }
+
   test("property: equals the sort-based reference on any partitioning") {
     val gen = for {
       n <- Gen.choose(0, 60)
