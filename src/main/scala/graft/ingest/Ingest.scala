@@ -26,14 +26,17 @@ object Ingest {
     * with per-record provenance. Files named `*.jsonl`/`*.ndjson` are
     * read as JSON-lines (record-per-line — the format a 100 TB pipeline
     * actually wants: splittable WITHIN a file, so one huge delivery
-    * parallelizes across tasks); everything else as the reference's
+    * parallelizes across tasks); `*.csv` as header CSV (all columns as
+    * strings — [[prepare]] stringifies everything anyway, and CSV type
+    * inference would double-scan); everything else as the reference's
     * top-level JSON arrays (one task per file, parallel across files —
     * ijson streaming parse in the reference, file_splitter.py:117-118).
-    * Both arms are PERMISSIVE with a `_corrupt_record` side channel. */
+    * All arms are PERMISSIVE with a `_corrupt_record` side channel. */
   def readDeliveries(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val (jsonl, arrays) = paths.partition(p =>
+    val (csv, rest) = paths.partition(_.endsWith(".csv"))
+    val (jsonl, arrays) = rest.partition(p =>
       p.endsWith(".jsonl") || p.endsWith(".ndjson"))
-    def read(ps: Seq[String], multiLine: Boolean): Option[DataFrame] =
+    def readJson(ps: Seq[String], multiLine: Boolean): Option[DataFrame] =
       if (ps.isEmpty) None
       else Some(spark.read
         .option("multiLine", multiLine.toString)
@@ -41,7 +44,16 @@ object Ingest {
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(ps: _*)
         .withColumn("_source_file", input_file_name()))
-    (read(arrays, multiLine = true) ++ read(jsonl, multiLine = false))
+    def readCsv(ps: Seq[String]): Option[DataFrame] =
+      if (ps.isEmpty) None
+      else Some(spark.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(ps: _*)
+        .withColumn("_source_file", input_file_name()))
+    (readJson(arrays, multiLine = true) ++
+      readJson(jsonl, multiLine = false) ++ readCsv(csv))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

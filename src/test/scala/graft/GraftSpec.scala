@@ -42,4 +42,22 @@ class GraftSpec extends SparkSuite {
       assert(g.findExact("Rye Bread").count() === 1)
     }
   }
+
+  test("csv deliveries flow through the same pipeline as json") {
+    withTmpDir { ws =>
+      val g = new Graft(spark, IngestStream.Config(
+        landingDir = ws.resolve("landing").toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString))
+      val f = g.uploadString("batch.csv",
+        "code,product_name,brands\nc1,Choc Bar,Acme\n,missing code,\n")
+      g.processAvailable()
+      assert(g.findByCode("c1").collect()
+        .map(_.getAs[String]("product_name")).toSeq === Seq("Choc Bar"))
+      val st = g.uploadStatus(f).collect()(0)
+      assert(st.getAs[Long]("records_processed") === 1L)
+      assert(st.getAs[Long]("records_failed") === 1L)
+      assert(st.getAs[String]("status") === "processed_with_errors")
+    }
+  }
 }
