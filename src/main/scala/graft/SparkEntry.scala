@@ -97,6 +97,7 @@ object SparkEntry {
     "join_asof" -> (Temporal.purchaseAsofView _),
     "join_interval" -> (Temporal.intervalJoin _),
     "join_bucketed" -> (Bucketed.joinBucketed _),
+    "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
@@ -341,6 +342,13 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "events_pruned" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) =
+        |  (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSuite {
 
   private val expensive = Set(
     "dedup_cluster", "similarity_ivf", "text_tfidf", "join_bucketed",
-    "ingest_e2e_products", "ingest_e2e_control")
+    "events_pruned", "ingest_e2e_products", "ingest_e2e_control")
   // similarity_ivf's 16-row broadcast-model scoring is the one sanctioned
   // nested-loop join (it is excluded above anyway — kept for clarity)
   private val bnljAllowed = Set("similarity_ivf")
