@@ -158,6 +158,19 @@ class SnapshotStore(val path: String) {
       spark.read.parquet(s"$path/$v")
     }
 
+  /** Retained snapshot sequence numbers, ascending. Retention keeps the
+    * live and previous versions — a bounded time-travel window (enough
+    * to diff a delivery against the pre-delivery state, the audit a
+    * weekly pipeline actually needs; widen the GC in [[overwrite]] for
+    * a longer horizon). */
+  def versions(spark: SparkSession): Seq[Long] = manifests(spark).map(_._1)
+
+  /** Read a specific retained version; None once GC'd. */
+  def readAt(spark: SparkSession, seq: Long): Option[DataFrame] =
+    manifests(spark).find(_._1 == seq).map { case (_, v) =>
+      spark.read.parquet(s"$path/$v")
+    }
+
   /** Atomically publish `df` as the new live snapshot. */
   def overwrite(df: DataFrame): Unit = {
     val spark = df.sparkSession

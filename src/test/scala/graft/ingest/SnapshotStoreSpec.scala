@@ -35,6 +35,21 @@ class SnapshotStoreSpec extends SparkSuite {
     }
   }
 
+  test("time travel: the previous retained version stays readable") {
+    withTmpDir { dir =>
+      val store = new SnapshotStore(dir.resolve("s").toString)
+      store.overwrite(Seq(("a", 1)).toDF("k", "v"))
+      store.overwrite(Seq(("b", 2)).toDF("k", "v"))
+      store.overwrite(Seq(("c", 3)).toDF("k", "v"))
+      assert(store.versions(spark) === Seq(1L, 2L))
+      assert(store.readAt(spark, 1).get.collect()
+        .map(_.getString(0)).toSeq === Seq("b"))
+      assert(store.readAt(spark, 2).get.collect()
+        .map(_.getString(0)).toSeq === Seq("c"))
+      assert(store.readAt(spark, 0).isEmpty) // GC'd beyond the window
+    }
+  }
+
   test("a stray tmp manifest or unreferenced dir does not break reads") {
     withTmpDir { dir =>
       val root = dir.resolve("s")
