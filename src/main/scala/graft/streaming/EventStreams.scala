@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** True streaming forms of the event-time window operators (SURVEY.md §2
   * B17/B18). The batch-equivalent, oracle-checked forms live in
@@ -64,6 +67,72 @@ object EventStreams {
   def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Input/output records for [[sessionTracker]]. */
+  case class UserEvent(user_id: Long, event_type: String, ts: Timestamp,
+      value: Double)
+  case class SessionSummary(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double,
+      closed_by: String)
+  case class SessionState(start: Long, last: Long, n: Long,
+      total: Double)
+
+  /** CUSTOM state machine via flatMapGroupsWithState — for session
+    * semantics the built-in `session_window` cannot express: a session
+    * closes on a 30-minute gap OR an explicit `logout` event, whichever
+    * comes first (`closed_by` says which). State per user is one
+    * fixed-size record; the event-time timeout (driven by the
+    * watermark) evicts idle users, so state is bounded on an unbounded
+    * stream exactly like the built-in operators. Emits a summary only
+    * when a session closes (append semantics). */
+  def sessionTracker(events: Dataset[UserEvent],
+      gapMinutes: Int = 30, watermark: String = "1 hour")
+      : Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def summary(u: Long, s: SessionState, closedBy: String) =
+      SessionSummary(u, new Timestamp(s.start), new Timestamp(s.last),
+        s.n, s.total, closedBy)
+
+    def update(user: Long, it: Iterator[UserEvent],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(summary(user, _, "gap")).toList
+        state.remove()
+        return out.iterator
+      }
+      val closed = scala.collection.mutable.ListBuffer[SessionSummary]()
+      it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        val cur = state.getOption match {
+          case Some(s) if t - s.last > gapMs =>
+            closed += summary(user, s, "gap")
+            SessionState(t, t, 1, e.value)
+          case Some(s) =>
+            SessionState(s.start, math.max(s.last, t), s.n + 1,
+              s.total + e.value)
+          case None => SessionState(t, t, 1, e.value)
+        }
+        if (e.event_type == "logout") {
+          closed += summary(user, cur, "logout")
+          state.remove()
+        } else {
+          state.update(cur)
+          // evict via event time: fire once the watermark passes
+          // last-seen + gap
+          state.setTimeoutTimestamp(cur.last + gapMs)
+        }
+      }
+      closed.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Session windows with a 30-minute inactivity gap, per user — the
     * native `session_window` stateful operator (the streaming twin of

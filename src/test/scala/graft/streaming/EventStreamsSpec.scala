@@ -107,6 +107,33 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionTracker closes on logout immediately, on gap via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.sessionTracker(mem.toDS()).writeStream
+      .format("memory").queryName("t_tracker").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        EventStreams.UserEvent(1L, "click", ts(0), 1.0),
+        EventStreams.UserEvent(1L, "click", ts(10), 2.0),
+        EventStreams.UserEvent(1L, "logout", ts(12), 0.0), // closes u1
+        EventStreams.UserEvent(2L, "view", ts(5), 5.0)))   // u2 stays open
+      q.processAllAvailable()
+      // advance the watermark far past u2's gap so its timeout fires
+      mem.addData(Seq(EventStreams.UserEvent(3L, "click", ts(300), 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(EventStreams.UserEvent(3L, "click", ts(301), 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_tracker")
+        .select("user_id", "n_events", "session_value", "closed_by")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+      assert(rows.contains((1L, 3L, 3.0, "logout")), s"got $rows")
+      assert(rows.contains((2L, 1L, 5.0, "gap")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sliding windows double-count each event across 2 windows") {
     val rows = runStream(EventStreams.sliding(_), "t_sliding")
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
