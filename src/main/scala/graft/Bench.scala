@@ -39,10 +39,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // sorted key order: stable JSON across rounds for line-based diffs
+    val results = p1.keys.toSeq.sorted
+      .map(k => k -> math.min(p1(k), p2(k)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -46,12 +46,14 @@ class Graft(spark: SparkSession, cfg: IngestStream.Config) {
   def startStream(): org.apache.spark.sql.streaming.StreamingQuery =
     IngestStream.start(spark, cfg)
 
+  // schemaful empties: pre-first-ingest lookups must return the "404"
+  // empty DataFrame, not fail column resolution on a 0-column frame
   private def products: DataFrame =
     IngestStream.productsStore(cfg).read(spark)
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(IngestStream.emptyProducts(spark))
   private def control: DataFrame =
     IngestStream.controlStore(cfg).read(spark)
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(IngestStream.emptyControl(spark))
 
   def uploadStatus(fileId: String): DataFrame =
     Finders.statusLookup(control, fileId)

@@ -26,12 +26,22 @@ object Ingest {
     * with per-record provenance. Files named `*.jsonl`/`*.ndjson` are
     * read as JSON-lines (record-per-line — the format a 100 TB pipeline
     * actually wants: splittable WITHIN a file, so one huge delivery
-    * parallelizes across tasks); `*.csv` as header CSV (all columns as
-    * strings — [[prepare]] stringifies everything anyway, and CSV type
+    * parallelizes across tasks); `*.csv` as header CSV, read ONE FILE
+    * PER CALL (a multi-path CSV read takes column names from the FIRST
+    * file and maps every other file positionally, ignoring their
+    * headers — reordered columns would silently mis-column; per-file
+    * reads + unionByName merge by NAME like the JSON arms; all columns
+    * arrive as strings — [[prepare]] stringifies everything anyway, and CSV type
     * inference would double-scan); everything else as the reference's
     * top-level JSON arrays (one task per file, parallel across files —
     * ijson streaming parse in the reference, file_splitter.py:117-118).
-    * All arms are PERMISSIVE with a `_corrupt_record` side channel. */
+    *
+    * Corrupt handling differs by format, honestly so: the JSON arms are
+    * PERMISSIVE with a `_corrupt_record` side channel (unparseable
+    * ARRAY file → whole-file `failed`, A17). CSV has no document-level
+    * syntax to break — malformed rows surface as null-padded records
+    * that fail `code` validation and count as RECORD failures, not file
+    * poison. */
   def readDeliveries(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val (csv, rest) = paths.partition(_.endsWith(".csv"))
     val (jsonl, arrays) = rest.partition(p =>
@@ -44,16 +54,13 @@ object Ingest {
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(ps: _*)
         .withColumn("_source_file", input_file_name()))
-    def readCsv(ps: Seq[String]): Option[DataFrame] =
-      if (ps.isEmpty) None
-      else Some(spark.read
-        .option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(ps: _*)
-        .withColumn("_source_file", input_file_name()))
-    (readJson(arrays, multiLine = true) ++
-      readJson(jsonl, multiLine = false) ++ readCsv(csv))
+    val csvDfs = csv.map(p => spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(p)
+      .withColumn("_source_file", input_file_name()))
+    (readJson(arrays, multiLine = true).toSeq ++
+      readJson(jsonl, multiLine = false).toSeq ++ csvDfs)
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

@@ -25,9 +25,21 @@ object Bucketed {
 
   // marked only AFTER a successful write, under the lock — a concurrent
   // caller must not read half-written tables, and a failed CTAS must not
-  // poison the memo for every later call
+  // poison the memo for every later call. Weak keys: the memo must not
+  // pin closed SparkSessions in a long-lived JVM.
   private val prepared =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]()
+
+  private def preparedSet(spark: SparkSession)
+      : scala.collection.mutable.Set[String] = {
+    val cur = prepared.get(spark)
+    if (cur != null) cur
+    else {
+      val s = scala.collection.mutable.Set.empty[String]
+      prepared.put(spark, s); s
+    }
+  }
 
   /** Table-name suffix per source dir (one session may serve many SFs). */
   private def tag(dir: String): String =
@@ -48,7 +60,7 @@ object Bucketed {
     * session+dir; stale locations cleaned first). */
   def ensureBucketed(spark: SparkSession, dir: String): Unit =
     prepared.synchronized {
-      if (!prepared.contains((spark, dir))) {
+      if (!preparedSet(spark).contains(dir)) {
         dropStale(spark, s"graft_bkt_orders_${tag(dir)}")
         dropStale(spark, s"graft_bkt_lineitem_${tag(dir)}")
         Tables.load(spark, dir, "orders")
@@ -59,7 +71,7 @@ object Bucketed {
           .write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable(s"graft_bkt_lineitem_${tag(dir)}")
-        prepared += ((spark, dir))
+        preparedSet(spark) += dir
       }
     }
 

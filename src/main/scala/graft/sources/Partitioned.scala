@@ -18,8 +18,22 @@ import graft.core.Tables.moneySum
   */
 object Partitioned {
 
+  // weak keys so the memo never pins closed SparkSessions; within one
+  // session the partitioned copy is immutable-by-assumption (fixtures
+  // are read-only — a mutable source would need a freshness check here)
   private val prepared =
-    scala.collection.mutable.Set.empty[(SparkSession, String)]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]()
+
+  private def preparedSet(spark: SparkSession)
+      : scala.collection.mutable.Set[String] = {
+    val cur = prepared.get(spark)
+    if (cur != null) cur
+    else {
+      val s = scala.collection.mutable.Set.empty[String]
+      prepared.put(spark, s); s
+    }
+  }
 
   private def tag(dir: String): String =
     java.lang.Integer.toHexString(dir.hashCode)
@@ -35,13 +49,13 @@ object Partitioned {
     * tiny dirs — that is what bucketing is for). */
   def ensurePartitioned(spark: SparkSession, dir: String): Unit =
     prepared.synchronized {
-      if (!prepared.contains((spark, dir))) {
+      if (!preparedSet(spark).contains(dir)) {
         Tables.load(spark, dir, "events")
           .withColumn("day", to_date(col("ts")))
           .write.mode("overwrite")
           .partitionBy("day")
           .parquet(root(spark, dir))
-        prepared += ((spark, dir))
+        preparedSet(spark) += dir
       }
     }
 

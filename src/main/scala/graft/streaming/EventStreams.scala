@@ -111,8 +111,10 @@ object EventStreams {
             closed += summary(user, s, "gap")
             SessionState(t, t, 1, e.value)
           case Some(s) =>
-            SessionState(s.start, math.max(s.last, t), s.n + 1,
-              s.total + e.value)
+            // min on start too: an out-of-order event (later batch,
+            // still above the watermark) may PRECEDE the session start
+            SessionState(math.min(s.start, t), math.max(s.last, t),
+              s.n + 1, s.total + e.value)
           case None => SessionState(t, t, 1, e.value)
         }
         if (e.event_type == "logout") {

@@ -83,9 +83,18 @@ object IngestStream {
   private def baseName(c: org.apache.spark.sql.Column) =
     regexp_extract(c, "[^/]+$", 0)
 
-  private def emptyProducts(spark: SparkSession): DataFrame =
+  /** Schemaful empties: pre-first-ingest reads must resolve the same
+    * columns as populated stores (a zero-column emptyDataFrame would
+    * fail column resolution downstream). */
+  def emptyProducts(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       Schemas.productSchema)
+
+  def emptyControl(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[graft.core.UploadedFile].toDS().toDF()
+      .withColumn("ingest_batch_id", lit(0L))
+  }
 
   /** Control-table columns (graft.core.UploadedFile + batch provenance). */
   private val controlCols = Seq("file_id", "filename", "location",

@@ -14,6 +14,11 @@ class GraftSpec extends SparkSuite {
         warehouseDir = ws.resolve("wh").toString,
         checkpointDir = ws.resolve("ckpt").toString))
 
+      // pre-first-ingest: every read endpoint returns the empty "404"
+      assert(g.findByCode("a1").isEmpty)
+      assert(g.uploadStatus("nothing").isEmpty)
+      assert(g.findPartial("x").isEmpty && g.findExact("x").isEmpty)
+
       val f1 = g.uploadString("week1.json",
         """[{"code":"a1","product_name":"Oat Milk"},
           |{"code":"a2","product_name":"Rye Bread"},
@@ -51,9 +56,14 @@ class GraftSpec extends SparkSuite {
         checkpointDir = ws.resolve("ckpt").toString))
       val f = g.uploadString("batch.csv",
         "code,product_name,brands\nc1,Choc Bar,Acme\n,missing code,\n")
+      // same batch, REORDERED header — must map by name, not position
+      g.uploadString("batch2.csv",
+        "product_name,code\nGum Drops,c2\n")
       g.processAvailable()
       assert(g.findByCode("c1").collect()
         .map(_.getAs[String]("product_name")).toSeq === Seq("Choc Bar"))
+      assert(g.findByCode("c2").collect()
+        .map(_.getAs[String]("product_name")).toSeq === Seq("Gum Drops"))
       val st = g.uploadStatus(f).collect()(0)
       assert(st.getAs[Long]("records_processed") === 1L)
       assert(st.getAs[Long]("records_failed") === 1L)

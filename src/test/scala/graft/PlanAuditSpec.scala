@@ -14,30 +14,49 @@ class PlanAuditSpec extends SparkSuite {
   private val expensive = Set(
     "dedup_cluster", "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control")
-  // similarity_ivf's 16-row broadcast-model scoring is the one sanctioned
-  // nested-loop join (it is excluded above anyway — kept for clarity)
-  private val bnljAllowed = Set("similarity_ivf")
+  // sanctioned nested-loop joins: tiny broadcast sides by design —
+  // similarity_topk is the deliberate brute-force baseline (10 broadcast
+  // query probes × corpus scan, non-equi condition); similarity_ivf
+  // scores against a 16-row broadcast centroid model
+  private val bnljAllowed = Set("similarity_topk", "similarity_ivf")
 
-  private def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves()
+  /** AQE wraps the real operators in leaf-like nodes (AdaptiveSparkPlan,
+    * query stages) that TreeNode.collect does NOT descend into — recurse
+    * through them or the whole audit is vacuous. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner).flatMap(allNodes)
+  }
 
   test("no cartesian product; every parquet scan is column-pruned") {
     val dir = TestSpark.sfDir
     val audited = SparkEntry.queries.keys.filterNot(expensive).toSeq.sorted
+    var scansSeen = 0
     val failures = audited.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan
-      val cart = plan.collect { case c: CartesianProductExec => c }
+      val nodes = allNodes(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan)
+      val cart = nodes.collect { case c: CartesianProductExec => c }
       val bnlj =
         if (bnljAllowed(name)) Nil
-        else plan.collect { case j: BroadcastNestedLoopJoinExec => j }
-      val wideScans = leaves(plan).collect {
-        case l if l.nodeName.contains("Scan") && l.output.length >= 9 => l
-      }
+        else nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val scans = nodes.filter(n =>
+        n.children.isEmpty && n.nodeName.contains("Scan"))
+      scansSeen += scans.size
+      val wideScans = scans.filter(_.output.length >= 9)
       (cart.map(_ => s"$name: CartesianProduct") ++
         bnlj.map(_ => s"$name: BroadcastNestedLoopJoin") ++
         wideScans.map(s => s"$name: scan reads ${s.output.length} cols"))
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(audited.size >= 50, s"audit shrank to ${audited.size} keys")
+    // guard against the audit going blind again (AQE wrapper, node rename)
+    assert(scansSeen >= audited.size / 2,
+      s"only $scansSeen scan nodes found across ${audited.size} plans — " +
+        "traversal is broken")
   }
 }

@@ -10,22 +10,34 @@ import graft.core.Tables
   * them instead of trusting them. */
 class ApproxSpec extends SparkSuite {
 
-  test("int8 quantization reconstructs within one step (hi-lo)/256") {
+  test("int8 quantization: operator output matches an independent " +
+      "reference, and reconstruction stays within one step") {
     val dir = TestSpark.sfDir
+    // the OPERATOR's digests — this test must fail if embedQuantize
+    // changes, so its output is compared against a driver-side
+    // reimplementation of the affine code, per vector
+    val got = TextSim.embedQuantize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rows = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()
     rows.foreach { r =>
+      val id = r.getLong(0)
       val v = r.getSeq[Float](1).map(_.toDouble)
       val (lo, hi) = (v.min, v.max)
       val step = (hi - lo) / 256.0
-      v.foreach { x =>
-        // the operator's affine code: floor((x-lo)/(hi-lo)*256) capped
+      val qs = v.map { x =>
         val q = math.min(255L,
           math.floor((x - lo) / (hi - lo) * 256).toLong)
         val reconstructed = lo + (q + 0.5) * step
         assert(math.abs(reconstructed - x) <= step / 2 + 1e-9,
-          s"vec ${r.getLong(0)}: |${reconstructed - x}| > step/2=$step")
+          s"vec $id: |${reconstructed - x}| > step/2=$step")
+        q
       }
+      assert(got(id) === md5hex(qs.mkString(" ")),
+        s"vec $id: operator digest != reference digest")
     }
   }
 
