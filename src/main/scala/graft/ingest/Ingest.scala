@@ -57,6 +57,9 @@ object Ingest {
     val csvDfs = csv.map(p => spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // RFC-4180 quoting ("" escapes a quote) — Spark's default escape
+      // is backslash, which mangles standard CSV from external producers
+      .option("escape", "\"")
       .csv(p)
       .withColumn("_source_file", input_file_name()))
     (readJson(arrays, multiLine = true).toSeq ++

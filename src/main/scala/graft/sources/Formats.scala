@@ -33,10 +33,23 @@ object Formats {
     require(supported.contains(format),
       s"unsupported format '$format' (supported: ${supported.mkString(", ")})")
 
+  /** CSV dialect pinned for LOSSLESSNESS and RFC-4180: explicit null
+    * sentinel (bare CSV cannot distinguish null from empty string),
+    * doubled-quote escaping (Spark's backslash default mangles standard
+    * CSV), and multiLine reads (embedded newlines survive). multiLine makes a csv file
+    * non-splittable — correctness over parallelism; bulk data belongs
+    * in parquet anyway (csv is interchange). */
+  private val csvNull = "\\N"
+
   def write(df: DataFrame, path: String, format: String): Unit = {
     require2(format)
     val w = df.write.mode("overwrite").format(format)
-    (if (format == "csv") w.option("header", "true") else w).save(path)
+    (if (format == "csv")
+       w.option("header", "true").option("nullValue", csvNull)
+         .option("escape", "\"")
+         .option("ignoreLeadingWhiteSpace", "false")
+         .option("ignoreTrailingWhiteSpace", "false")
+     else w).save(path)
   }
 
   /** Read `path` as `format`. `schema` is REQUIRED for csv and json
@@ -49,7 +62,12 @@ object Formats {
       s"$format requires an explicit schema (inference double-scans)")
     val base: DataFrameReader = spark.read.format(format)
     val withSchema = schema.fold(base)(base.schema)
-    (if (format == "csv") withSchema.option("header", "true")
+    (if (format == "csv")
+       withSchema.option("header", "true").option("nullValue", csvNull)
+         .option("escape", "\"")
+         .option("multiLine", "true")
+         .option("ignoreLeadingWhiteSpace", "false")
+         .option("ignoreTrailingWhiteSpace", "false")
      else withSchema).load(path)
   }
 }

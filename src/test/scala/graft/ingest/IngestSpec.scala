@@ -34,6 +34,44 @@ class IngestSpec extends SparkSuite {
     assert(extras("tags").contains("a"))           // array → JSON string
   }
 
+  test("format equivalence: json array, jsonl and csv deliveries of the " +
+      "same records normalize identically") {
+    withTmpDir { tmp =>
+      // string-valued fields only: JSON would type numerics, CSV cannot —
+      // within the string domain all three arms must agree exactly
+      val recs = Seq(
+        ("a1", "Oat Milk", "Acme"),
+        ("a2", "Rye, \"Dark\" Bread", "Mill & Co"))
+      val jsonArray = recs.map { case (c, p, b) =>
+        s"""{"code":"$c","product_name":${ujson(p)},"brands":${ujson(b)}}"""
+      }.mkString("[", ",", "]")
+      val jsonl = recs.map { case (c, p, b) =>
+        s"""{"code":"$c","product_name":${ujson(p)},"brands":${ujson(b)}}"""
+      }.mkString("\n")
+      val csv = "code,product_name,brands\n" + recs.map { case (c, p, b) =>
+        s"""$c,"${p.replace("\"", "\"\"")}","${b.replace("\"", "\"\"")}""""
+      }.mkString("\n")
+
+      def normalized(name: String, body: String) = {
+        val f = tmp.resolve(name)
+        java.nio.file.Files.writeString(f, body)
+        Ingest.prepare(
+          Ingest.readDeliveries(spark, Seq(f.toString)),
+          fileId = Some("f"))
+          .select("code", "product_name", "extras")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      val a = normalized("d.json", jsonArray)
+      val b = normalized("d.jsonl", jsonl)
+      val c = normalized("d.csv", csv)
+      assert(a === b, "json array vs jsonl disagree")
+      assert(a === c, "json vs csv disagree")
+    }
+  }
+
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   test("validation: missing or blank code fails, anything else passes") {
     val out = prep(Seq(
       """{"code":"ok1","product_name":"A"}""",

@@ -26,6 +26,28 @@ class FormatsSpec extends SparkSuite {
     }
   }
 
+  test("adversarial strings round-trip: delimiters, quotes, newlines, unicode") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "\"quoted\" and , mixed"),
+      (4L, "line\nbreak and\r\nCRLF"),
+      (5L, "tab\tand trailing space "),
+      (6L, "ünïcødé — em-dash and 中文"),
+      (7L, ""),
+      (8L, null.asInstanceOf[String]))
+    val src = nasty.toDF("id", "text")
+    for (fmt <- Formats.supported) {
+      withTmpDir { tmp =>
+        Formats.write(src, tmp.resolve(fmt).toString, fmt)
+        val back = Formats.read(spark, tmp.resolve(fmt).toString, fmt,
+          Some(src.schema))
+        assert(sortedRows(back) === sortedRows(src), s"$fmt mangled data")
+      }
+    }
+  }
+
   test("csv/json without schema are refused; unknown format is refused") {
     intercept[IllegalArgumentException] {
       Formats.read(spark, "/nope", "csv")
