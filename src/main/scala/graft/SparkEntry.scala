@@ -109,6 +109,7 @@ object SparkEntry {
     "stream_session" -> (Events.sessionize _),
     "stream_dedup" -> (Events.streamDedup _),
     "events_daily" -> (Events.dailyByType _),
+    "events_props" -> (Events.propsExtract _),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -369,6 +370,11 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -86,6 +86,24 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate on it — the "JSON payload riding
+    * along in a string column" pattern every event pipeline has.
+    * `get_json_object` is codegen'd path extraction on the raw string
+    * (no full from_json materialization of a schema we mostly don't
+    * need); at 100 TB, promote hot fields to real columns at ingest and
+    * keep the raw JSON for the long tail (same decision as the products
+    * `extras`/`raw` split, SURVEY.md §1.2). */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =
