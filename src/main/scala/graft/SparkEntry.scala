@@ -132,12 +132,13 @@ object SparkEntry {
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
-    "multimodal_features" -> (Multimodal.featureNorms _))
+    "multimodal_features" -> (Multimodal.featureNorms _),
+    "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeFeatures(s, d)))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * agg_approx_distinct (engine-specific hash/signature/centroid/sketch
-    * internals), multimodal_features (stub codec). */
+    * internals), multimodal_features + multimodal_resize (stub codec). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",

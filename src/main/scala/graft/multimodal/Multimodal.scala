@@ -98,6 +98,32 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
   }
 
+  /** Resize (downsample) the decoded feature vector by average-pooling —
+    * the "resize to model input shape" step of an image pipeline,
+    * applied to the stub codec's features (a real codec would resize
+    * pixels before feature extraction; the partition-batched plumbing
+    * and output contract are identical). outDim must divide the codec's
+    * FeatureDim. Rows-only (stub features); MultimodalSpec checks the
+    * pooling against a direct computation. */
+  def resizeFeatures(spark: SparkSession, dir: String, outDim: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    require(FakeCodec.FeatureDim % outDim == 0,
+      s"outDim $outDim must divide ${FakeCodec.FeatureDim}")
+    val factor = FakeCodec.FeatureDim / outDim
+    decodeFeatures(spark, dir)
+      .map { m =>
+        val pooled = Array.tabulate(outDim) { i =>
+          var s = 0.0f; var j = 0
+          while (j < factor) { s += m.features(i * factor + j); j += 1 }
+          s / factor
+        }
+        (m.doc_id, pooled)
+      }
+      .toDF("doc_id", "features_resized")
+      .orderBy("doc_id")
+  }
+
   /** Aggregate over decoded features — demonstrates the decode path inside
     * a distributed plan (MultimodalSpec checks the norms against a direct
     * in-JVM computation; no SQL oracle for the codec stub's features). */

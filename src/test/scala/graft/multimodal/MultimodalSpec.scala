@@ -28,6 +28,22 @@ class MultimodalSpec extends SparkSuite {
     assert(mismatches.isEmpty, s"norm mismatch for docs $mismatches")
   }
 
+  test("resizeFeatures average-pools exactly (distributed == direct)") {
+    val out = Multimodal.resizeFeatures(spark, dir, outDim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val f = Multimodal.FakeCodec.decode(id, text.getBytes("UTF-8")).features
+      val expected = f.grouped(2).map(g => g.sum / g.length).toSeq
+      assert(out(id).length === 4)
+      out(id).zip(expected).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-5f, s"doc $id pooled value off")
+      }
+    }
+  }
+
   test("decodeFeatures keeps the fixed feature dimension and byte counts") {
     val out = Multimodal.decodeFeatures(spark, dir).collect()
     assert(out.nonEmpty)
