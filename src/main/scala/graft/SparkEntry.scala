@@ -61,6 +61,7 @@ object SparkEntry {
     // --- Part A parity (reference read/write semantics, B12/B13/B19) ---
     "lookup_code" -> (Finders.lookupCode _),
     "search_partial" -> (Finders.searchPartialPart _),
+    "search_partial_regex" -> (Finders.searchRegexPart _),
     "search_exact" -> (Finders.searchExactPart _),
     "upsert_products" -> (PipelineOps.upsertProducts _),
     "upsert_set_merge" -> (PipelineOps.upsertSetMerge _),
@@ -132,18 +133,20 @@ object SparkEntry {
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
-    "multimodal_features" -> (Multimodal.featureNorms _),
-    "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeFeatures(s, d)))
+    "multimodal_features" -> (Multimodal.featureLanes _),
+    "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)))
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * agg_approx_distinct (engine-specific hash/signature/centroid/sketch
-    * internals), multimodal_features + multimodal_resize (stub codec). */
+    * internals — each covered instead by a recall/error-bound suite). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",
     "search_partial" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE lower(p_name) LIKE '%bolt%' ORDER BY p_partkey LIMIT 20",
+    "search_partial_regex" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE regexp_matches(p_name, '(?i).*b.lt.*') ORDER BY p_partkey LIMIT 20",
     "search_exact" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_name = 'red widget' ORDER BY p_partkey",
     "upsert_products" ->
@@ -549,5 +552,28 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
         |  CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """WITH l AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_transform(range(0, 8), j -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(1, length(text) + 1), p -> (p - 1) % 8 = j),
+        |      p -> ascii(substring(text, p, 1)))), 0) AS BIGINT)) AS lanes
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  round(sqrt(CAST(list_sum(list_transform(lanes, x -> x * x)) AS DOUBLE)) / 255.0, 6) AS feature_norm,
+        |  md5(array_to_string(lanes, ' ')) AS lane_digest
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH s AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_transform(range(0, 4), i -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(1, length(text) + 1), p -> ((p - 1) % 8) // 2 = i),
+        |      p -> ascii(substring(text, p, 1)))), 0) AS BIGINT)) AS psums
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  round(CAST(psums[1] AS DOUBLE) / 510.0, 6) AS pooled_0,
+        |  round(CAST(psums[2] AS DOUBLE) / 510.0, 6) AS pooled_1,
+        |  round(CAST(psums[3] AS DOUBLE) / 510.0, 6) AS pooled_2,
+        |  round(CAST(psums[4] AS DOUBLE) / 510.0, 6) AS pooled_3,
+        |  md5(array_to_string(psums, ' ')) AS resize_digest
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -66,11 +66,11 @@ object Multimodal {
     * char-based so the DuckDB oracle's substring matches byte-for-byte
     * on the ASCII fixtures; a real container format swaps in
     * codec-aware byte extraction here). The pipeline shape (metadata →
-    * per-frame explode → stride filter → per-frame digest) is exactly
-    * what a video training-data pipeline runs, oracle-checkable. The
-    * explode fans out ≤30 rows per doc BEFORE the filter prunes to
-    * 1/stride — at scale, push the stride into the sequence step to
-    * generate only sampled indices. */
+    * per-frame generate → per-frame digest) is exactly what a video
+    * training-data pipeline runs, oracle-checkable. The stride is
+    * pushed INTO the sequence step — only sampled indices are ever
+    * generated, so the Generate fan-out is 1/stride of the frame count
+    * (no generate-all-then-filter waste at scale). */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 2)
       : DataFrame =
     Tables.load(spark, dir, "documents")
@@ -79,8 +79,8 @@ object Multimodal {
       .withColumn("frame_size",
         expr("(n_bytes + n_frames - 1) DIV n_frames")) // exact int ceil
       .select(col("doc_id"), col("text"), col("frame_size"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
-      .filter(col("frame_idx") % stride === 0)
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         md5(expr("substring(text, cast(frame_idx * frame_size + 1 as int), cast(frame_size as int))"))
           .as("frame_md5"))
@@ -121,6 +121,61 @@ object Multimodal {
         (m.doc_id, pooled)
       }
       .toDF("doc_id", "features_resized")
+      .orderBy("doc_id")
+  }
+
+  /** Per-lane byte sums as EXACT integer column algebra — the same
+    * rolling checksum [[FakeCodec.decode]] accumulates, but in long
+    * arithmetic (no float accumulation order), so the result is
+    * bit-deterministic and DuckDB-twinnable. Positions are CHARACTER
+    * positions, which equal byte offsets on the ASCII fixtures (same
+    * convention as [[frameSample]]). One aggregate pass per lane stays
+    * inside whole-stage codegen; at 100 TB a single-pass custom
+    * Expression would fold all lanes in one traversal. */
+  private def laneSumsExpr(nLanes: Int, group: Int): org.apache.spark.sql.Column =
+    expr(s"""transform(sequence(0, ${nLanes - 1}), j ->
+      aggregate(filter(sequence(1, length(text)), p -> ((p - 1) % ${FakeCodec.FeatureDim}) div $group = j),
+        0L, (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+
+  /** The hash-checkable form of the feature-extraction key: per-doc lane
+    * sums (exact longs), their digest, and the feature norm derived in
+    * exact integer space (norm of feats = sqrt(Σ laneSum²)/255 since
+    * feats[j] = laneSum[j]/255). Agrees with the float codec path within
+    * float tolerance (MultimodalSpec ties them); the oracle twin runs the
+    * identical list algebra in DuckDB. */
+  def featureLanes(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("lanes", laneSumsExpr(FakeCodec.FeatureDim, 1))
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        round(sqrt(expr("aggregate(lanes, 0L, (a, x) -> a + x * x)")
+          .cast("double")) / lit(255.0), 6).as("feature_norm"),
+        md5(concat_ws(" ",
+          expr("transform(lanes, x -> cast(x as string))"))).as("lane_digest"))
+      .orderBy("doc_id")
+
+  /** The hash-checkable form of the resize key: average-pooled lane sums
+    * (outDim groups of FeatureDim/outDim lanes) as rounded doubles plus
+    * an integer-space digest — the embed_quantize pattern (driver-sortable
+    * scalars, never a raw float array). pooled[i] = Σ bytes in lane group
+    * i / (255 · group) — exactly the average-pool of the codec's lane
+    * features, computed without float accumulation. */
+  def resizeDigest(spark: SparkSession, dir: String, outDim: Int = 4)
+      : DataFrame = {
+    require(FakeCodec.FeatureDim % outDim == 0,
+      s"outDim $outDim must divide ${FakeCodec.FeatureDim}")
+    val group = FakeCodec.FeatureDim / outDim
+    val pooled = (0 until outDim).map(i =>
+      round(expr(s"element_at(psums, ${i + 1})").cast("double") /
+        lit(255.0 * group), 6).as(s"pooled_$i"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("psums", laneSumsExpr(outDim, group))
+      .select(Seq(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes")) ++ pooled :+
+        md5(concat_ws(" ",
+          expr("transform(psums, x -> cast(x as string))")))
+          .as("resize_digest"): _*)
       .orderBy("doc_id")
   }
 

@@ -26,6 +26,18 @@ object Finders {
     df.filter(lower(col(nameCol)).contains(term.toLowerCase))
       .orderBy(orderCol).limit(limit)
 
+  /** A12 regex parity: the reference builds an UNANCHORED case-insensitive
+    * regex around the raw term — `{"$regex": ".*term.*", "$options": "i"}`
+    * (app/api/main.py:157-160) — so regex metacharacters in the term are
+    * INTERPRETED (`b.lt` matches bolt AND belt). [[searchPartial]] keeps
+    * the literal-contains default (what most callers mean); this form
+    * reproduces the reference's interpreted semantics for users porting
+    * wildcard search terms. */
+  def searchRegex(df: DataFrame, nameCol: String, term: String,
+      orderCol: String, limit: Int = 20): DataFrame =
+    df.filter(col(nameCol).rlike("(?i).*" + term + ".*"))
+      .orderBy(orderCol).limit(limit)
+
   /** A13: exact-match search (reference has no limit here —
     * main.py:177 docstring vs :180 code; we keep the code's behavior). */
   def searchExact(df: DataFrame, nameCol: String, term: String,
@@ -52,5 +64,11 @@ object Finders {
 
   def searchExactPart(spark: SparkSession, dir: String): DataFrame =
     searchExact(Tables.load(spark, dir, "part"), "p_name", "red widget",
+      "p_partkey")
+
+  /** `b.lt` is deliberately metacharacter-bearing: the regex form matches
+    * bolt/belt while literal contains matches nothing (FindersSpec). */
+  def searchRegexPart(spark: SparkSession, dir: String): DataFrame =
+    searchRegex(Tables.load(spark, dir, "part"), "p_name", "b.lt",
       "p_partkey")
 }

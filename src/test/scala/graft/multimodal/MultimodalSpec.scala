@@ -44,6 +44,37 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("featureLanes (exact integer algebra) agrees with the float codec path") {
+    val exact = Multimodal.featureLanes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val float = Multimodal.featureNorms(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(exact.keySet === float.keySet)
+    exact.foreach { case (id, (nBytes, norm)) =>
+      assert(nBytes === float(id)._1.toLong, s"doc $id byte count")
+      // float32 accumulation vs exact longs: agree within float tolerance
+      assert(math.abs(norm - float(id)._2) < 1e-2,
+        s"doc $id norm exact=$norm float=${float(id)._2}")
+    }
+  }
+
+  test("resizeDigest pooled scalars agree with the float average-pool path") {
+    val exact = Multimodal.resizeDigest(spark, dir, outDim = 4).collect()
+      .map(r => r.getLong(0) -> (2 to 5).map(r.getDouble)).toMap
+    val float = Multimodal.resizeFeatures(spark, dir, outDim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(exact.keySet === float.keySet)
+    exact.foreach { case (id, pooled) =>
+      pooled.zip(float(id)).foreach { case (e, f) =>
+        assert(math.abs(e - f) < 1e-2, s"doc $id pooled exact=$e float=$f")
+      }
+    }
+    // driver-hashable contract: no array columns in the query output
+    val schema = Multimodal.resizeDigest(spark, dir).schema
+    assert(schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array")), "raw array column leaked")
+  }
+
   test("decodeFeatures keeps the fixed feature dimension and byte counts") {
     val out = Multimodal.decodeFeatures(spark, dir).collect()
     assert(out.nonEmpty)

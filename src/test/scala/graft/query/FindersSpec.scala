@@ -22,6 +22,19 @@ class FindersSpec extends SparkSuite {
     assert(hits === Seq(1L, 2L))   // 3 matches, capped at 2, key-ordered
   }
 
+  test("regex search interprets metacharacters; contains stays literal (A12 parity)") {
+    val rows = Seq((1L, "blue bolt"), (2L, "red belt"), (3L, "b.lt plate"),
+      (4L, "gear")).toDF("code", "product_name")
+    // reference semantics: '.' is a wildcard, case-insensitive, unanchored
+    val regexHits = Finders.searchRegex(rows, "product_name", "B.LT",
+      "code").select("code").as[Long].collect().toSeq
+    assert(regexHits === Seq(1L, 2L, 3L))
+    // the default literal form: 'b.lt' means the three characters b.lt
+    val literalHits = Finders.searchPartial(rows, "product_name", "b.lt",
+      "code").select("code").as[Long].collect().toSeq
+    assert(literalHits === Seq(3L))
+  }
+
   test("exact search: case-sensitive equality, NO limit (reference code behavior)") {
     val hits = Finders.searchExact(products, "product_name", "Oat Milk",
       "code").select("code").as[Long].collect().toSeq
