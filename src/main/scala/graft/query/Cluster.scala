@@ -1,8 +1,8 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.core.Tables
 
 /** Near-duplicate CLUSTERING: the step after pairwise dedup. MinHash /
@@ -10,74 +10,103 @@ import graft.core.Tables
   * transitive closure — connected components — so each group of mutual
   * near-dups keeps exactly one canonical document.
   *
-  * Algorithm: iterative min-label propagation over the (deterministic)
-  * n-gram Jaccard pair set — every node adopts the smallest doc_id
-  * reachable so far; fixpoint when no label changes. Each round is one
-  * hash-partitioned join + one aggregation (both keyed on doc_id — the
-  * exchange is reused across rounds), and the round count is the graph
-  * diameter, which for near-dup graphs is tiny (dup groups are cliques or
-  * short chains — 2 rounds at both test SFs). A 100 TB corpus with
-  * adversarially long chains would swap the loop body for the
-  * alternating large-star/small-star rounds of Kiveris et al.,
-  * "Connected Components in MapReduce" (SoCC'14) — O(log n) rounds, same
-  * join+min primitive, same output contract.
+  * Algorithm: alternating large-star/small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — the public
+  * MapReduce CC algorithm). Each round contracts the graph toward a star
+  * forest rooted at component minima; convergence is O(log n) ROUNDS
+  * REGARDLESS OF DIAMETER — an adversarially long dup-chain that would
+  * take diameter-many rounds under naive label propagation collapses in
+  * ~log₂(chain length) rounds (ClusterSpec proves a 1000-node path).
+  * Both star operations are one hash shuffle (window-min keyed on the
+  * star center) plus a distinct; no collect, no driver-side graph.
   */
 object Cluster {
+
+  /** One large-star round: every node attaches its LARGER neighbors to
+    * the minimum of its neighborhood (Kiveris §3). Emitted edges point
+    * big→small (src > dst), connectivity is preserved, and strictly
+    * smaller labels propagate two hops per round. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy("src")
+    bidir
+      .withColumn("m", least(col("src"), min("dst").over(w)))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node attaches its SMALLER neighbors
+    * (and itself) to the minimum of those — flattening chains of
+    * big→small edges into stars. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val w = Window.partitionBy("src")
+    val withMin = oriented.withColumn("m", min("dst").over(w))
+    withMin.select(col("dst").as("src"), col("m").as("dst"))
+      .union(withMin.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** (count, hash-xor) signature of an edge set: equal signatures across
+    * a round ⇒ fixpoint (the star forest is stable under both ops). XOR
+    * (not sum) — order-independent AND overflow-free under ANSI mode;
+    * the edge set is distinct, so no self-cancellation. One tiny driver
+    * action per round, like any iterative-algorithm convergence check. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"),
+      col("dst"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components over an undirected pair set (columns src, dst):
+    * returns (doc_id, cluster = component minimum) for every node that
+    * appears in `pairs`. Exposed for direct testing on synthetic graphs. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30)
+      : DataFrame = {
+    var e = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .localCheckpoint() // truncate caller lineage before iterating
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // localCheckpoint per round: materializes the round AND keeps the
+      // next round's plan flat (no O(rounds)-deep lineage)
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    // log-round convergence means maxRounds=30 covers any real graph; a
+    // silent non-fixpoint would break the transitive-closure contract
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds")
+    // fixpoint edge set is a star forest big→small: each node's single
+    // dst IS its component minimum; roots label themselves
+    e.select(col("src").as("doc_id"), col("dst").as("cluster"))
+      .union(e.select(col("dst").as("doc_id"), col("dst").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
+  }
 
   /** doc_id → cluster (= min doc_id of its component) + component size.
     * Singletons cluster to themselves. Oracle twin: DuckDB recursive CTE
     * transitive closure over the identical pair set. */
   def dedupCluster(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
+      threshold: Double = 0.3, maxRounds: Int = 30): DataFrame = {
+    // component-find runs over the LINKED subgraph only — near-dup pairs
+    // are a vanishing fraction of the corpus; unlinked docs become
+    // singletons in one final projection instead of shuffling every
+    // doc_id through every round
     val pairs = TextSim.dedupNgram(spark, dir, threshold)
-      .select(col("d1"), col("d2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // undirected: propagate labels both ways
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(pairs, maxRounds)
 
-    // propagate over the LINKED subgraph only — near-dup graphs are a
-    // vanishing fraction of the corpus, so iterating over every document
-    // would shuffle the full doc_id set once per round for nothing;
-    // unlinked docs become singletons in one final projection instead
     val docs = Tables.load(spark, dir, "documents").select("doc_id")
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // neighbor labels flow along edges; keep the smallest seen
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.select("doc_id", "cluster").union(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
-        .filter(col("n.cluster") =!= col("l.cluster"))
-        .count() // one small driver action per round = convergence check
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    // a silent non-converged result would violate the transitive-closure
-    // contract (same component, different cluster ids) — fail loudly;
-    // raise maxIters (or switch to large-star/small-star) for corpora
-    // with >maxIters-long near-dup chains
-    if (!converged) throw new IllegalStateException(
-      s"dedupCluster did not converge within $maxIters rounds")
-
-    // truncate the iterative lineage so downstream plans don't drag the
-    // whole loop along, then release the per-round caches
-    val finalLabels = labels.localCheckpoint()
-    labels.unpersist(); pairs.unpersist(); edges.unpersist()
-
-    // singleton completion: every unlinked doc is its own cluster
-    val mapping = docs.join(finalLabels, Seq("doc_id"), "left")
+    val mapping = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
     val sizes = mapping.groupBy("cluster")

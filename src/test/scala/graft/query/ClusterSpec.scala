@@ -31,6 +31,47 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("adversarial 1000-node chain collapses in O(log n) star rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for naive label propagation
+    // (diameter = n); large-star/small-star must finish in ~log2(n)
+    // rounds — maxRounds=15 would be exceeded by any diameter-bound loop
+    val n = 1000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Cluster.connectedComponents(chain, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ === 0L), "chain must collapse to root 0")
+  }
+
+  test("random graphs: star rounds agree with in-JVM union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nodes = 60
+      val edges = Seq.fill(50)((rnd.nextInt(nodes).toLong,
+        rnd.nextInt(nodes).toLong)).filter(p => p._1 != p._2)
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> {
+          // component min under union-find
+          val root = find(v.toInt)
+          (0 until nodes).filter(u => find(u) == root)
+            .filter(u => edges.exists(e => e._1 == u || e._2 == u)).min.toLong
+        }).toMap
+      val got = Cluster.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial diverged from union-find")
+    }
+  }
+
   test("total mapping: one row per document, unlinked docs are singletons") {
     val n = graft.core.Tables.load(spark, dir, "documents").count()
     assert(clusters.size.toLong === n)
