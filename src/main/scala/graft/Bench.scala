@@ -32,20 +32,31 @@ object Bench {
     }
     // two timed passes, min per query: single-run numbers on a shared
     // box swing up to 3× on transient load/GC; the per-query minimum is
-    // the reproducible steady-state cost (standard benchmarking practice)
-    def timedPass(): Map[String, Double] = benched.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // the reproducible steady-state cost (standard benchmarking practice).
+    // A crashing query records NO time — a sentinel (-1) plus an errors
+    // list, so a regression to "query throws" can never read as a speedup.
+    def timedPass(): Map[String, Option[Double]] =
+      benched.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }.toMap
     val (p1, p2) = (timedPass(), timedPass())
     // sorted key order: stable JSON across rounds for line-based diffs
-    val results = p1.keys.toSeq.sorted
-      .map(k => k -> math.min(p1(k), p2(k)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = p1.keys.toSeq.sorted.map { k =>
+      k -> ((p1(k), p2(k)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      })
+    }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("-1")(_.toString)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

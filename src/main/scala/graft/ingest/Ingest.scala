@@ -43,6 +43,10 @@ object Ingest {
     * that fail `code` validation and count as RECORD failures, not file
     * poison. */
   def readDeliveries(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    // loud precondition — the trailing reduce would otherwise surface an
+    // unrelated UnsupportedOperationException on an empty path list
+    require(paths.nonEmpty,
+      "readDeliveries requires at least one delivery path")
     val (csv, rest) = paths.partition(_.endsWith(".csv"))
     val (jsonl, arrays) = rest.partition(p =>
       p.endsWith(".jsonl") || p.endsWith(".ndjson"))

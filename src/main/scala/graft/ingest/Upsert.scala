@@ -182,9 +182,20 @@ class SnapshotStore(val path: String) {
     val tmp = new Path(s"$path/.manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new Path(s"$path/MANIFEST-$seq")))
-      throw new java.io.IOException(
-        s"snapshot commit lost race for $path/MANIFEST-$seq")
+    // FileContext rename with default Options.Rename.NONE refuses an
+    // existing destination — FileSystem.rename on RawLocalFileSystem
+    // delegates to POSIX rename(2), which silently REPLACES it, so two
+    // concurrent committers could both "win" and one commit vanish.
+    val dst = new Path(s"$path/MANIFEST-$seq")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dst)
+    catch {
+      case e: Exception =>
+        f.delete(tmp, false)
+        throw new java.io.IOException(
+          s"snapshot commit lost race for $dst", e)
+    }
     // GC: keep this and the previous version; drop everything older.
     val keep = (committed.takeRight(1).map(_._2) :+ version).toSet
     committed.dropRight(1).foreach { case (s, _) =>

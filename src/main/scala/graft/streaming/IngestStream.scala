@@ -150,14 +150,70 @@ object IngestStream {
     // degenerate batch: NO data columns inferred at all — every file is
     // either unparseable (corrupt marker only) or an empty delivery.
     // Spark (rightly) refuses queries that touch only the corrupt
-    // column of such a relation, and there is nothing to merge anyway:
-    // mark the batch's files terminally and stop. An entirely
-    // unparseable delivery is poison regardless of format.
+    // column of such a relation, and there is nothing to merge anyway —
+    // but status is still PER FILE (A17): a healthy empty delivery
+    // ([] array) batched with a poison file stays `processed`; only the
+    // files that actually produced corrupt markers fail (array formats)
+    // or count record failures (line formats).
     val dataCols = raw.columns
       .filterNot(Set("_corrupt_record", "_source_file", "_file_id"))
     if (dataCols.isEmpty) {
-      val status = if (hasCorrupt) Status.Failed else Status.Processed
-      upsertControl(cfg, withStatus(status))
+      val statusRows =
+        if (!hasCorrupt) withStatus(Status.Processed)
+        else {
+          // `raw` is unusable here: its ONLY real column is the corrupt
+          // marker, and the JSON scan (rightly) refuses corrupt-only
+          // reads — even cache materialization is one. Re-probe the
+          // batch's JSON files with an explicit schema carrying a dummy
+          // data column so the scan is never corrupt-only.
+          val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__probe",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_corrupt_record",
+              org.apache.spark.sql.types.StringType)))
+          def probe(ps: Seq[String], multiLine: Boolean) =
+            if (ps.isEmpty) None
+            else Some(spark.read.schema(probeSchema)
+              .option("multiLine", multiLine.toString)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .json(ps: _*)
+              .withColumn("_file_id", baseName(input_file_name())))
+          val (jsonlF, arrayF) = files.map(_._1)
+            .filterNot(_.endsWith(".csv"))
+            .partition(p => p.endsWith(".jsonl") || p.endsWith(".ndjson"))
+          val probed = (probe(arrayF, multiLine = true).toSeq ++
+            probe(jsonlF, multiLine = false).toSeq)
+            .reduce(_.unionByName(_))
+          // the __probe disjunct is vacuous (no such field can parse) but
+          // keeps a data column in the scan's required schema — pruning
+          // back to corrupt-only would trip the scan's legality check
+          val corruptCnts = probed
+            .filter(col("_corrupt_record").isNotNull ||
+              col("__probe").isNotNull)
+            .groupBy(col("_file_id"))
+            .agg(count(when(col("_corrupt_record").isNotNull, 1))
+              .as("__n_corrupt"))
+          // line formats break per RECORD, array formats per FILE —
+          // same split as the non-degenerate path below
+          val isLineFmt = col("file_id").rlike("\\.(jsonl|ndjson)$")
+          fileMeta
+            .join(broadcast(corruptCnts),
+              col("file_id") === col("_file_id"), "left")
+            .withColumn("status",
+              when(col("__n_corrupt").isNull, lit(Status.Processed))
+                .when(isLineFmt, lit(Status.ProcessedWithErrors))
+                .otherwise(lit(Status.Failed)))
+            .withColumn("total_records",
+              when(col("__n_corrupt").isNotNull && isLineFmt,
+                col("__n_corrupt")).otherwise(lit(0L)))
+            .withColumn("records_processed", lit(0L))
+            .withColumn("records_failed",
+              when(col("__n_corrupt").isNotNull && isLineFmt,
+                col("__n_corrupt")).otherwise(lit(0L)))
+            .select(controlCols.map(col): _*)
+        }
+      upsertControl(cfg, statusRows)
       raw.unpersist()
       return
     }

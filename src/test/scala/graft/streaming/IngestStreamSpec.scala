@@ -146,6 +146,34 @@ class IngestStreamSpec extends SparkSuite {
     }
   }
 
+  test("degenerate batch keeps per-file status: empty delivery + poison in one batch") {
+    withTmpDir { ws =>
+      val landing = Files.createDirectories(ws.resolve("landing"))
+      // a batch with NO inferable data columns at all: one healthy EMPTY
+      // array delivery, one poison array file, one all-garbage JSONL
+      Files.writeString(landing.resolve("d1_empty.json"), "[]")
+      Files.writeString(landing.resolve("d2_poison.json"), poison)
+      Files.writeString(landing.resolve("d3_garbage.jsonl"),
+        "not json\nstill not json")
+      val cfg = IngestStream.Config(
+        landingDir = landing.toString,
+        warehouseDir = ws.resolve("wh").toString,
+        checkpointDir = ws.resolve("ckpt").toString)
+      IngestStream.runAvailable(spark, cfg)
+      val ctl = IngestStream.controlStore(cfg).read(spark).get
+        .collect().map(r => r.getAs[String]("file_id") ->
+          ((r.getAs[String]("status"), r.getAs[Long]("total_records"),
+            r.getAs[Long]("records_failed")))).toMap
+      // the healthy empty delivery must NOT be dragged down by the
+      // poison file sharing its batch (A17)
+      assert(ctl("d1_empty.json") === ((Status.Processed, 0L, 0L)))
+      assert(ctl("d2_poison.json") === ((Status.Failed, 0L, 0L)))
+      // line-format garbage = record-level failures, not file poison
+      assert(ctl("d3_garbage.jsonl") ===
+        ((Status.ProcessedWithErrors, 2L, 2L)))
+    }
+  }
+
   test("batching invariance: maxFilesPerTrigger=1 (3 micro-batches) ends in the same state as one batch") {
     def runWith(maxFiles: Int): (Seq[String], Map[String, (String, Long, Long, Long)]) =
       withTmpDir { ws =>
