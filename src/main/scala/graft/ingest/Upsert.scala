@@ -83,28 +83,107 @@ object Upsert {
       // array_sort with a comparator on v only — sort_array would demand
       // the whole struct be orderable, which map-typed fields are not
       val sorted = array_sort(
-        collect_list(struct(vCol.as("v"), col(c).as("x"))),
-        (l, r) => when(l.getField("v") < r.getField("v"), -1)
-          .when(l.getField("v") > r.getField("v"), 1).otherwise(0))
-      tagged.schema(c).dataType match {
-        case _ if mergeWholly.contains(c) =>
-          // provenance: the value AT the max version, nulls included
-          get(sorted, size(sorted) - 1).getField("x").as(c)
-        case mt: MapType =>
-          aggregate(sorted, lit(null).cast(mt), (acc, e) => {
-            val m = e.getField("x")
-            when(m.isNull, acc).when(acc.isNull, m)
-              .otherwise(map_concat(
-                map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
-          }).as(c)
-        case _ =>
-          // get() (not element_at): null, not an ANSI error, when every
-          // value for the field is null and the filtered array is empty
-          get(filter(reverse(sorted), e => e.getField("x").isNotNull),
-            lit(0)).getField("x").as(c)
-      }
+        collect_list(struct(vCol.as("v"), col(c).as("x"))), versionCmp)
+      extractField(c, tagged.schema(c).dataType, sorted, mergeWholly)
     }
     tagged.groupBy(col(key)).agg(collapsed.head, collapsed.tail: _*)
+  }
+
+  /** Comparator over the version struct only — sort_array would demand
+    * the whole element be orderable, which map-typed payloads are not. */
+  private val versionCmp: (Column, Column) => Column = (l, r) =>
+    when(l.getField("v") < r.getField("v"), -1)
+      .when(l.getField("v") > r.getField("v"), 1).otherwise(0)
+
+  /** Field collapse over a version-sorted (v, x) array — the single
+    * source of truth for `$set` semantics, shared by the union-form
+    * [[mergeFields]] and the join-form [[mergeFieldsJoin]]. */
+  private def extractField(c: String,
+      dt: org.apache.spark.sql.types.DataType, sorted: Column,
+      mergeWholly: Set[String]): Column = dt match {
+    case _ if mergeWholly.contains(c) =>
+      // provenance: the value AT the max version, nulls included
+      get(sorted, size(sorted) - 1).getField("x").as(c)
+    case mt: MapType =>
+      aggregate(sorted, lit(null).cast(mt), (acc, e) => {
+        val m = e.getField("x")
+        when(m.isNull, acc).when(acc.isNull, m)
+          .otherwise(map_concat(
+            map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
+      }).as(c)
+    case _ =>
+      // get() (not element_at): null, not an ANSI error, when every
+      // value for the field is null and the filtered array is empty
+      get(filter(reverse(sorted), e => e.getField("x").isNotNull),
+        lit(0)).getField("x").as(c)
+  }
+
+  /** Join-form field-level merge: bit-identical semantics to
+    * [[mergeFields]] (UpsertSpec property-ties them on random inputs)
+    * with the 100 TB plan shape — the DELTA alone is collapsed (one
+    * small shuffle), then full-outer-joined against the snapshot and the
+    * snapshot's contribution spliced into each field's version-sorted
+    * array AFTER the join. When the snapshot is a bucketed table on
+    * `key` ([[SnapshotStore]] bucketed mode), its side of the join needs
+    * NO exchange: the nightly merge reads 100 TB in place and shuffles
+    * only the weekly delivery (BucketedUpsertSpec asserts the plan). */
+  def mergeFieldsJoin(snapshot: DataFrame, delta: DataFrame, key: String,
+      version: Seq[Column] = Nil,
+      mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"))
+      : DataFrame = {
+    // align both sides to the union-form's column universe and ORDER
+    // (delta's columns, then snapshot-only ones) — the content-hash
+    // tiebreak serializes this struct, so order parity matters
+    val snapTypes = snapshot.schema.map(f => f.name -> f.dataType).toMap
+    val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+    val allCols = delta.columns ++
+      snapshot.columns.filterNot(delta.columns.contains)
+    val dataCols = allCols.filterNot(_ == key)
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(allCols.map(c => (if (have(c)) col(c)
+        else lit(null).cast(deltaTypes.getOrElse(c, snapTypes(c))))
+        .as(c)).toIndexedSeq: _*)
+    }
+    val contentTiebreak =
+      md5(to_json(struct(dataCols.map(col).toIndexedSeq: _*)))
+    def vOf(precedence: Int) =
+      struct((version :+ lit(precedence)) :+ contentTiebreak: _*)
+
+    // collapse the delta only: per field a version-sorted (v, x) array,
+    // bounded by records-per-key within the delivery
+    val dAligned = aligned(delta).withColumn("__v", vOf(1))
+    val arrCols = dataCols.map(c => array_sort(
+      collect_list(struct(col("__v").as("v"), col(c).as("x"))), versionCmp)
+      .as(s"__arr_$c"))
+    val collapsed = dAligned.groupBy(col(key))
+      .agg(arrCols.head, arrCols.tail: _*)
+      .withColumn("__d_present", lit(true))
+
+    val sAligned = aligned(snapshot)
+      .withColumn("__sv", vOf(0))
+      .withColumn("__s_present", lit(true))
+    val sRenamed = sAligned.select((col(key).as("__s_key") +:
+      dataCols.map(c => col(c).as(s"__s_$c")) :+
+      col("__sv") :+ col("__s_present")).toIndexedSeq: _*)
+
+    val joined = collapsed
+      .join(sRenamed, col(key) === col("__s_key"), "full_outer")
+    val merged = dataCols.map { c =>
+      val dt = deltaTypes.getOrElse(c, snapTypes(c))
+      val snapElem = array(struct(col("__sv").as("v"),
+        col(s"__s_$c").as("x")))
+      // splice the snapshot row into the delta's sorted array — the
+      // version struct (not blanket snapshot-loses) decides its rank,
+      // so out-of-order redelivery cannot clobber a newer snapshot
+      val full = when(col("__s_present").isNull, col(s"__arr_$c"))
+        .when(col("__d_present").isNull, snapElem)
+        .otherwise(array_sort(
+          concat(col(s"__arr_$c"), snapElem), versionCmp))
+      extractField(c, dt, full, mergeWholly)
+    }
+    joined.select(coalesce(col(key), col("__s_key")).as(key) +:
+      merged.toIndexedSeq: _*)
   }
 }
 
@@ -124,13 +203,32 @@ object Upsert {
   * previous version is retained through one commit (in-flight readers
   * finish against it); older versions and manifests are GC'd.
   * Idempotent under replay (Structured Streaming at-least-once + this =
-  * effective exactly-once, SURVEY.md §2 A15). */
-class SnapshotStore(val path: String) {
+  * effective exactly-once, SURVEY.md §2 A15).
+  *
+  * `bucket = Some((key, n))` writes every version BUCKETED on the merge
+  * key (hash-bucket files + a catalog table entry whose location is the
+  * version dir). Readers then get a bucket-aware scan, so the nightly
+  * [[Upsert.mergeFieldsJoin]] joins the snapshot WITHOUT shuffling it —
+  * the 100 TB shape: pay hash-layout once per commit, read in place
+  * forever after. If the catalog entry is gone (fresh JVM — the
+  * in-memory catalog dies with the session) the same files read as
+  * plain parquet: correctness never depends on the catalog, only the
+  * exchange-free plan does. */
+class SnapshotStore(val path: String,
+    val bucket: Option[(String, Int)] = None) {
 
   private val manifestRe = "MANIFEST-(\\d+)".r
 
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // md5 (not hashCode): table names must be recomputable from (path,
+  // seq) alone for reads, and two stores' paths must never collide
+  private lazy val pathTag: String = java.security.MessageDigest
+    .getInstance("MD5").digest(path.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(12)
+
+  private def tableName(seq: Long): String = s"graft_snap_${pathTag}_$seq"
 
   /** (seq, versionDirName) pairs of committed manifests, ascending. */
   private def manifests(spark: SparkSession): Seq[(Long, String)] = {
@@ -151,11 +249,20 @@ class SnapshotStore(val path: String) {
     }.sortBy(_._1)
   }
 
+  /** Bucket-aware read when the catalog still has the version's table;
+    * plain parquet otherwise. */
+  private def readVersion(spark: SparkSession, seq: Long, v: String)
+      : DataFrame =
+    if (bucket.isDefined &&
+        spark.catalog.tableExists(tableName(seq)))
+      spark.table(tableName(seq))
+    else spark.read.parquet(s"$path/$v")
+
   def exists(spark: SparkSession): Boolean = manifests(spark).nonEmpty
 
   def read(spark: SparkSession): Option[DataFrame] =
-    manifests(spark).lastOption.map { case (_, v) =>
-      spark.read.parquet(s"$path/$v")
+    manifests(spark).lastOption.map { case (seq, v) =>
+      readVersion(spark, seq, v)
     }
 
   /** Retained snapshot sequence numbers, ascending. Retention keeps the
@@ -167,8 +274,8 @@ class SnapshotStore(val path: String) {
 
   /** Read a specific retained version; None once GC'd. */
   def readAt(spark: SparkSession, seq: Long): Option[DataFrame] =
-    manifests(spark).find(_._1 == seq).map { case (_, v) =>
-      spark.read.parquet(s"$path/$v")
+    manifests(spark).find(_._1 == seq).map { case (s, v) =>
+      readVersion(spark, s, v)
     }
 
   /** Atomically publish `df` as the new live snapshot. */
@@ -178,7 +285,20 @@ class SnapshotStore(val path: String) {
     val committed = manifests(spark)
     val seq = committed.lastOption.map(_._1 + 1).getOrElse(0L)
     val version = s"v-$seq-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(s"$path/$version")
+    bucket match {
+      case Some((key, n)) =>
+        // bucketed layout rides the catalog: an external table entry at
+        // the version dir. Stale same-name entries (a dead writer's)
+        // are dropped first; the data write is still to a fresh dir, so
+        // readers of the PREVIOUS version are untouched.
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(seq)}")
+        df.write.mode("overwrite")
+          .option("path", s"$path/$version")
+          .bucketBy(n, key).sortBy(key)
+          .saveAsTable(tableName(seq))
+      case None =>
+        df.write.mode("overwrite").parquet(s"$path/$version")
+    }
     val tmp = new Path(s"$path/.manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
@@ -196,10 +316,12 @@ class SnapshotStore(val path: String) {
         throw new java.io.IOException(
           s"snapshot commit lost race for $dst", e)
     }
-    // GC: keep this and the previous version; drop everything older.
+    // GC: keep this and the previous version; drop everything older
+    // (catalog entries of GC'd bucketed versions go with their dirs).
     val keep = (committed.takeRight(1).map(_._2) :+ version).toSet
     committed.dropRight(1).foreach { case (s, _) =>
       f.delete(new Path(s"$path/MANIFEST-$s"), false)
+      if (bucket.isDefined) spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}")
     }
     f.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName

@@ -284,27 +284,63 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Hot-key sketch for adaptive salting: a seeded sample's per-key
+    * histogram, thresholded at the sampled equivalent of `hotThreshold`
+    * rows. Detection is best-effort BY DESIGN — a missed hot key only
+    * costs skew (the unsalted behavior), never correctness, and the
+    * result is provably identical either way. At 100 TB this is the
+    * standard pre-pass: one 2% scan with map-side partial counts, vs
+    * paying a blanket ×salt explode on every row of the build side. */
+  def detectHotKeys(df: DataFrame, keyCol: String, hotThreshold: Long,
+      fraction: Double = 0.02): DataFrame =
+    df.sample(withReplacement = false, fraction, seed = 7L)
+      .groupBy(keyCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= math.max(1L, math.round(hotThreshold * fraction)))
+      .select(col(keyCol).as("__hot_key"))
+
+  /** Inner equi-join with salting applied ONLY to detected hot keys:
+    * non-hot rows join on (key, 0) exactly as a plain join; hot probe
+    * rows derive a deterministic salt from `saltSource` (content-derived,
+    * NOT rand(), so replays and retries stay idempotent) and the build
+    * side replicates hot keys ×`salt` so every (key, salt) pair still
+    * meets its match. The broadcast hot-key tag costs nothing when the
+    * hot set is empty; the old unconditional form paid the ×salt build
+    * explode even on perfectly uniform data. */
+  def skewSaltedJoin(probe: DataFrame, probeKey: String,
+      saltSource: org.apache.spark.sql.Column, build: DataFrame,
+      buildKey: String, salt: Int, hot: DataFrame): DataFrame = {
+    val probeT = probe
+      .join(broadcast(hot), probe(probeKey) === hot("__hot_key"), "left")
+      .withColumn("__salt", when(col("__hot_key").isNotNull,
+        pmod(saltSource, lit(salt))).otherwise(lit(0)))
+      .drop("__hot_key")
+    val buildT = build
+      .join(broadcast(hot), build(buildKey) === hot("__hot_key"), "left")
+      .withColumn("__salt", explode(sequence(lit(0),
+        when(col("__hot_key").isNotNull, lit(salt - 1)).otherwise(lit(0)))))
+      .drop("__hot_key")
+    probeT.join(buildT, probeT(probeKey) === buildT(buildKey) &&
+        probeT("__salt") === buildT("__salt"))
+      .drop("__salt")
+  }
+
   /** Skew-salted fact-fact join: the manual remedy for a hot join key
     * (one giant customer / one boilerplate document) that AQE's skew
     * split can't always reach (e.g. when the skewed side feeds an
-    * aggregation). The probe side derives a deterministic salt from an
-    * intra-key column (`l_linenumber` — content-derived, NOT rand(), so
-    * replays and retries stay idempotent); the build side is exploded
-    * ×`salt` so every (key, salt) pair still meets its match. The join
-    * key becomes (key, salt) → a hot key's rows spread over `salt`
-    * reducers. Result is provably identical to the unsalted join — the
-    * oracle runs the PLAIN join, so the equivalence is hash-checked. */
-  def joinSkewSalted(spark: SparkSession, dir: String, salt: Int = 8)
-      : DataFrame = {
+    * aggregation). Salting is ADAPTIVE — [[detectHotKeys]] sketches the
+    * probe side first and only detected hot keys pay the salt spread
+    * (SkewSpec covers both regimes). Result is provably identical to
+    * the unsalted join — the oracle runs the PLAIN join, so the
+    * equivalence is hash-checked on the (uniform) fixture. */
+  def joinSkewSalted(spark: SparkSession, dir: String, salt: Int = 8,
+      hotThreshold: Long = 1000000L): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-      // l_linenumber is 1-based (1..7): shift so salt bucket 0 is live
-      // and the hot key actually spreads over all `salt` reducers
-      .withColumn("salt", pmod(col("l_linenumber") - 1, lit(salt)))
     val ord = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        explode(sequence(lit(0), lit(salt - 1))).as("salt"))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
-        li("salt") === ord("salt"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val hot = detectHotKeys(li, "l_orderkey", hotThreshold)
+    // l_linenumber is 1-based (1..7): shift so salt bucket 0 is live
+    skewSaltedJoin(li, "l_orderkey", col("l_linenumber") - 1,
+        ord, "o_orderkey", salt, hot)
       .groupBy("o_orderpriority")
       .agg(
         sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))

@@ -74,8 +74,13 @@ object IngestStream {
       archiveDir: Option[String] = None,
       maxFilesPerTrigger: Int = 16)
 
+  /** Products snapshot is BUCKETED on the merge key: each weekly merge
+    * then joins the snapshot in place — no snapshot-side shuffle
+    * (Upsert.mergeFieldsJoin + BucketedUpsertSpec's plan assertion).
+    * 8 buckets locally; production sizes toward size/target-partition. */
   def productsStore(cfg: Config) =
-    new SnapshotStore(cfg.warehouseDir + "/products")
+    new SnapshotStore(cfg.warehouseDir + "/products",
+      bucket = Some(("code", 8)))
 
   def controlStore(cfg: Config) =
     new SnapshotStore(cfg.warehouseDir + "/uploaded_files")
@@ -239,10 +244,12 @@ object IngestStream {
       .withColumn("file_id", baseName(col("file_id")))
 
     // upsert valid records into the products snapshot; later file names
-    // (timestamp-prefixed by the reference's upload naming) win.
+    // (timestamp-prefixed by the reference's upload naming) win. Join
+    // form: only the delivery shuffles, the bucketed snapshot is read
+    // in place (the 100 TB merge shape).
     val store = productsStore(cfg)
     val snapshot = store.read(spark).getOrElse(emptyProducts(spark))
-    val merged = Upsert.mergeFields(snapshot, Ingest.valid(prepared),
+    val merged = Upsert.mergeFieldsJoin(snapshot, Ingest.valid(prepared),
       key = "code", version = Seq(col("file_id")))
     store.overwrite(merged)
 
