@@ -80,15 +80,81 @@ object Ivf {
       .select(col("vec_id"), col("m.cid").as("cid"),
         col("m.embedding").as("embedding"))
 
+  // ---------------------------------------------------------------- index
+  //
+  // Training is an OFFLINE indexing job, not a query cost: the trained
+  // model (centroids) and the inverted file (cell assignments) persist
+  // via SnapshotStore and are memoized per session. A query pays only
+  // the probe join. Keyed by (dir, params) — training is deterministic,
+  // so a concurrently-built index is bit-identical and a lost commit
+  // race simply reads the winner's copy.
+
+  private val indexMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
+
+  /** (name, length, mtime) of the corpus files: a regenerated fixture at
+    * the same path must miss the old index. Metadata-only, one listing. */
+  private def dataFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sts =
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    sts.map(s => s"${s.getPath.getName}:${s.getLen}:" +
+      s"${s.getModificationTime}").sorted.mkString(",")
+  }
+
+  private def indexTag(spark: SparkSession, dir: String, nlist: Int,
+      iters: Int, seed: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$nlist|$iters|$seed|${dataFingerprint(spark, dir)}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** Build-or-load the IVF index for (dir, params): returns
+    * (centroids, cell assignments). Disk-persistent across JVMs,
+    * memoized within a session. */
+  def ensureIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      iters: Int = 2, seed: Long = 7L): (DataFrame, DataFrame) = {
+    val tag = indexTag(spark, dir, nlist, iters, seed)
+    val memo = indexMemo.synchronized {
+      val cur = indexMemo.get(spark)
+      if (cur != null) cur
+      else {
+        val m = scala.collection.mutable.Map
+          .empty[String, (DataFrame, DataFrame)]
+        indexMemo.put(spark, m); m
+      }
+    }
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val centStore = new graft.ingest.SnapshotStore(
+          s"target/graft-ivf/$tag/centroids")
+        val cellStore = new graft.ingest.SnapshotStore(
+          s"target/graft-ivf/$tag/cells")
+        if (!(centStore.exists(spark) && cellStore.exists(spark))) {
+          val e = Tables.load(spark, dir, "embeddings")
+          val cent = trainCentroids(e, nlist, iters, seed)
+          val cells = assign(e, cent)
+          // a lost race means an identical index already committed
+          try { centStore.overwrite(cent); cellStore.overwrite(cells) }
+          catch { case _: java.io.IOException => () }
+        }
+        (centStore.read(spark).get, cellStore.read(spark).get)
+      })
+    }
+  }
+
   /** ANN top-k for the fixed query set (vec_id < 10), probing the
-    * `nprobe` nearest cells per query. Same output contract as
-    * [[TextSim.similarityTopk]]. */
+    * `nprobe` nearest cells per query against the PERSISTED index
+    * ([[ensureIndex]]) — query-time cost is the probe join only. Same
+    * output contract as [[TextSim.similarityTopk]]. */
   def similarityIvf(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 8, iters: Int = 2, seed: Long = 7L)
       : DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-    val cent = trainCentroids(e, nlist, iters, seed)
-    val cells = assign(e, cent)
+    val (cent, cells) = ensureIndex(spark, dir, nlist, iters, seed)
 
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("cid").asc)
