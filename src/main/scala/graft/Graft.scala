@@ -61,8 +61,17 @@ class Graft(spark: SparkSession, cfg: IngestStream.Config) {
   def findByCode(code: String): DataFrame =
     products.filter(org.apache.spark.sql.functions.col("code") === code)
 
-  def findPartial(term: String, limit: Int = 20): DataFrame =
-    Finders.searchPartial(products, "product_name", term, "code", limit)
+  /** `regex = false` (default) treats the term literally — what most
+    * callers mean. `regex = true` reproduces the reference's EXACT
+    * endpoint semantics: the term is wrapped `.*term.*` case-insensitive
+    * with metacharacters interpreted (app/api/main.py:157-160), so a
+    * ported query like `b.lt` keeps matching bolt AND belt. */
+  def findPartial(term: String, limit: Int = 20,
+      regex: Boolean = false): DataFrame =
+    if (regex) Finders.searchRegex(products, "product_name", term,
+      "code", limit)
+    else Finders.searchPartial(products, "product_name", term, "code",
+      limit)
 
   def findExact(term: String): DataFrame =
     Finders.searchExact(products, "product_name", term, "code")

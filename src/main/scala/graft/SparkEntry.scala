@@ -99,6 +99,7 @@ object SparkEntry {
     "join_interval" -> (Temporal.intervalJoin _),
     "join_bucketed" -> (Bucketed.joinBucketed _),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
+    "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
@@ -347,6 +348,10 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "scan_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 40 AND l_suppkey BETWEEN 1 AND 10
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
     "events_pruned" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -68,6 +68,21 @@ object Tables {
     else df
   }
 
+  /** (name, length, mtime) fingerprint of a table's parquet files —
+    * derived on-disk artifacts (IVF index, z-order layout) key on it so
+    * a regenerated fixture at the same path can never hit stale state.
+    * Metadata-only: one directory listing. */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sts =
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    sts.map(s => s"${s.getPath.getName}:${s.getLen}:" +
+      s"${s.getModificationTime}").sorted.mkString(",")
+  }
+
   /** Register all tables as temp views (for spark.sql-based operators). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

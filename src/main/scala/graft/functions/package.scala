@@ -24,6 +24,10 @@ package object functions {
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(expr(tokens), seed))
 
+  /** Single-pass byte-lane checksum array — see [[LaneSums]]. */
+  def lane_sums(s: Column, nLanes: Int, group: Int = 1): Column =
+    toCol(LaneSums(expr(s), nLanes, group))
+
   /** Bounded top-k aggregate: array of the k best (score, id) structs
     * per group — see [[TopKPairs]] for the shuffle-size argument vs the
     * window form. */

@@ -124,18 +124,16 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Per-lane byte sums as EXACT integer column algebra — the same
-    * rolling checksum [[FakeCodec.decode]] accumulates, but in long
-    * arithmetic (no float accumulation order), so the result is
-    * bit-deterministic and DuckDB-twinnable. Positions are CHARACTER
-    * positions, which equal byte offsets on the ASCII fixtures (same
-    * convention as [[frameSample]]). One aggregate pass per lane stays
-    * inside whole-stage codegen; at 100 TB a single-pass custom
-    * Expression would fold all lanes in one traversal. */
+  /** Per-lane byte sums as EXACT integer arithmetic — the same rolling
+    * checksum [[FakeCodec.decode]] accumulates, but in longs (no float
+    * accumulation order), so the result is bit-deterministic and
+    * DuckDB-twinnable (byte offsets == char positions on the ASCII
+    * fixtures, same convention as [[frameSample]]). One native
+    * single-pass expression for ALL lanes
+    * ([[graft.functions.LaneSums]], O(len) with zero boxing) — the
+    * composed filter+aggregate form costs a pass per lane. */
   private def laneSumsExpr(nLanes: Int, group: Int): org.apache.spark.sql.Column =
-    expr(s"""transform(sequence(0, ${nLanes - 1}), j ->
-      aggregate(filter(sequence(1, length(text)), p -> ((p - 1) % ${FakeCodec.FeatureDim}) div $group = j),
-        0L, (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+    graft.functions.lane_sums(col("text"), nLanes, group)
 
   /** The hash-checkable form of the feature-extraction key: per-doc lane
     * sums (exact longs), their digest, and the feature norm derived in

@@ -92,24 +92,13 @@ object Ivf {
   private val indexMemo = new java.util.WeakHashMap[SparkSession,
     scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
 
-  /** (name, length, mtime) of the corpus files: a regenerated fixture at
-    * the same path must miss the old index. Metadata-only, one listing. */
-  private def dataFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sts =
-      if (!fs.exists(p)) Nil
-      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    sts.map(s => s"${s.getPath.getName}:${s.getLen}:" +
-      s"${s.getModificationTime}").sorted.mkString(",")
-  }
-
+  /** Tag includes the corpus fingerprint ([[Tables.fingerprint]]): a
+    * regenerated fixture at the same path must miss the old index. */
   private def indexTag(spark: SparkSession, dir: String, nlist: Int,
       iters: Int, seed: Long): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$nlist|$iters|$seed|${dataFingerprint(spark, dir)}"
-        .getBytes("UTF-8"))
+      .digest((s"$dir|$nlist|$iters|$seed|" +
+        Tables.fingerprint(spark, dir, "embeddings")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
   /** Build-or-load the IVF index for (dir, params): returns

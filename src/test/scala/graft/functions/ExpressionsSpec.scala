@@ -26,6 +26,31 @@ class ExpressionsSpec extends SparkSuite {
     assert(out(4).isEmpty)
   }
 
+  test("lane_sums: single pass equals per-lane reference; UTF-8 byte based") {
+    val texts = Seq("hello world", "", "a", "abcdefghij" * 7)
+    val out = texts.toDF("text")
+      .select(col("text"), lane_sums(col("text"), 8),
+        lane_sums(col("text"), 4, 2))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    texts.foreach { t =>
+      val bytes = t.getBytes("UTF-8")
+      def ref(nLanes: Int, group: Int): Seq[Long] = {
+        val s = new Array[Long](nLanes)
+        bytes.zipWithIndex.foreach { case (b, i) =>
+          s((i % (nLanes * group)) / group) += (b & 0xFF).toLong }
+        s.toSeq
+      }
+      assert(out(t)._1 === ref(8, 1), s"lanes(8) for '$t'")
+      assert(out(t)._2 === ref(4, 2), s"lanes(4,2) for '$t'")
+    }
+    // byte-based (like the codec), not char-based: é is 2 UTF-8 bytes
+    val acc = Seq("é").toDF("text")
+      .select(lane_sums(col("text"), 8)).collect().head.getSeq[Long](0)
+    assert(acc.sum === "é".getBytes("UTF-8").map(_ & 0xFF).map(_.toLong).sum)
+    assert(acc.count(_ != 0L) === 2)
+  }
+
   test("dot_product over float and double arrays") {
     val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
