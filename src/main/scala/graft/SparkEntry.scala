@@ -121,6 +121,8 @@ object SparkEntry {
     "quality_filter" -> (TextQuality.qualityFilter _),
     "pii_redact" -> (TextQuality.piiRedact _),
     "dedup_exact" -> (TextSim.dedupExact _),
+    "dedup_canonical" -> (TextSim.dedupCanonical _),
+    "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
@@ -430,6 +432,26 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, n_chars,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      """WITH c AS (SELECT doc_id, lang, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_md5
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, source, canon_md5,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY canon_md5) - 1 AS BIGINT) AS n_absorbed
+        |  FROM c)
+        |SELECT doc_id, lang, source, canon_md5, n_absorbed
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """WITH t AS (SELECT source, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+        |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_en
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

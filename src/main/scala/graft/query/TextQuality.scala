@@ -17,6 +17,27 @@ object TextQuality {
     Tables.load(spark, dir, "documents")
       .withColumn("toks", TextSim.tokens(col("text")))
 
+  /** Per-source corpus panel — the dataset card a data-mix decision
+    * reads before setting sampling weights ([[Sampling.sampleMixture]]):
+    * document and token volume, exact length quantiles, and language
+    * share per source. One hash aggregation over scan-side token
+    * counts; at 100 TB the exact percentile swaps for
+    * `approx_percentile` (same contract as agg_percentile's note).
+    * Deterministic: counts are exact, the quantiles interpolate over
+    * integer token counts, ratios derive from exact operands. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docsTok(spark, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        round(expr("percentile(n_tokens, 0.5D)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9D)"), 6).as("p90_tokens"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("share_en"))
+      .orderBy("source")
+
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus

@@ -112,6 +112,35 @@ object TextSim {
       .orderBy("doc_id")
   }
 
+  /** Canonicalized near-exact dedup (the C4/CCNet normalization family,
+    * public construction): dedup on a NORMALIZED content hash —
+    * lowercase, punctuation stripped, whitespace collapsed — so
+    * reformatted/re-cased/re-punctuated copies of one document collapse
+    * to a single canonical row. Sits between [[dedupExact]] (byte
+    * identity) and the similarity family: one hash-partitioned window,
+    * scan-side normalization, no candidate generation at all — the
+    * cheapest dedup pass a 100 TB curation pipeline runs FIRST to
+    * shrink the input of the expensive near-dup stages. Emits the
+    * surviving rows plus how many duplicates each absorbed. */
+  /** Punctuation becomes a SPACE (not deleted) before collapsing, so
+    * hyphenated/joined variants normalize like spaced ones. */
+  def canonicalMd5(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val canon = canonicalMd5(col("text"))
+    val w = Window.partitionBy(col("canon_md5")).orderBy(col("doc_id").asc)
+    Tables.load(spark, dir, "documents")
+      .withColumn("canon_md5", canon)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_absorbed",
+        count(lit(1)).over(Window.partitionBy(col("canon_md5"))) - 1)
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "canon_md5", "n_absorbed")
+      .orderBy("doc_id")
+  }
+
   /** n-word shingles of a token array (distinct; default 3). */
   def shingles(toks: Column, n: Int = 3): Column =
     array_distinct(transform(

@@ -15,7 +15,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "q5_multi_join_agg", "join_semi", "join_anti", "agg_distinct",
     "sort_limit", "set_union", "set_except", "set_intersect",
     "window_topk", "window_running", "join_bucketed", "join_skew_salted",
-    "stream_dedup")
+    "stream_dedup", "scan_zorder")
 
   test("portable oracle SQL runs on spark.sql and matches the DataFrame form") {
     val dir = TestSpark.sfDir

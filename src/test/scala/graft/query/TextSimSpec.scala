@@ -16,6 +16,24 @@ class TextSimSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("dedup_canonical: re-cased/re-punctuated copies share one canonical hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val variants = Seq(
+      "Hello,  World!", "hello world", "HELLO   WORLD.", "hello-world",
+      "a different document").toDF("text")
+      .select(TextSim.canonicalMd5(col("text")).as("h"))
+      .as[String].collect().toSeq
+    assert(variants.take(4).distinct.size === 1,
+      "normalization variants must collapse to one hash")
+    assert(variants(4) !== variants.head)
+    // fixture invariant: canonical dedup absorbs at least as many rows
+    // as byte-exact dedup (every exact dup is also a canonical dup)
+    val exactN = TextSim.dedupExact(spark, dir).count()
+    val canonN = TextSim.dedupCanonical(spark, dir).count()
+    assert(canonN <= exactN)
+  }
+
   test("dedup_ngram: DF cap above the corpus max changes nothing; a tiny cap prunes candidates") {
     val base = TextSim.dedupNgram(spark, dir).collect().map(_.toString).sorted
     val highCap = TextSim.dedupNgram(spark, dir, maxShingleDf = 100000)
