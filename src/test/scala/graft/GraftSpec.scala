@@ -45,6 +45,10 @@ class GraftSpec extends SparkSuite {
       assert(g.findPartial("oat").count() === 1)
       assert(g.findPartial("zzz").isEmpty)
       assert(g.findExact("Rye Bread").count() === 1)
+      // reference endpoint parity: regex=true interprets metacharacters
+      // ('o.t' matches Oat via the wildcard), literal default does not
+      assert(g.findPartial("o.t", regex = true).count() === 1)
+      assert(g.findPartial("o.t").isEmpty)
     }
   }
 

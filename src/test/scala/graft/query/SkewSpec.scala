@@ -37,6 +37,41 @@ class SkewSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("salting balances reducer partitions under a hot key (not a timing test)") {
+    // the operator's actual claim, asserted deterministically: the hot
+    // key's rows spread over the salt space instead of landing on one
+    // reducer. AQE off so its own skew mitigation can't mask ours.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = ((1 to 8000).map(i => (1L, i.toLong)) ++
+        (2L to 17L).flatMap(k => (1 to 50).map(i => (k, i.toLong))))
+        .toDF("k", "seq")
+      val build = (1L to 20L).map(k => (k, s"v$k")).toDF("bk", "payload")
+      val hot = Relational.detectHotKeys(probe, "k", hotThreshold = 1000L)
+
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong))
+          .collect().max
+
+      val saltedMax = maxPartRows(Relational.skewSaltedJoin(
+        probe, "k", col("seq"), build, "bk", salt = 8, hot))
+      val plainMax = maxPartRows(
+        probe.join(build, probe("k") === build("bk")))
+      info(s"max reducer rows: salted=$saltedMax plain=$plainMax")
+      assert(plainMax >= 8000L, "hot key must swamp one plain reducer")
+      assert(saltedMax < plainMax / 2,
+        s"salting must split the hot reducer ($saltedMax vs $plainMax)")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("empty hot set degenerates to the plain join (salt column constant 0)") {
     val probe = Seq((1L, 10L), (2L, 20L)).toDF("k", "seq")
     val build = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("bk", "payload")
