@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => DotProduct(es.head, es(1))))
     ext.injectFunction(entry("simhash64", classOf[SimHash64],
       es => SimHash64(es.head)))
+    // Rule tier of the extension ladder: literal-term regex search →
+    // codegen'd substring probe (see RegexLiteralRewrite's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RegexLiteralRewrite)
   }
 }

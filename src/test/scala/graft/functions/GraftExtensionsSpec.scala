@@ -34,5 +34,32 @@ class GraftExtensionsSpec extends SparkSuite {
     val sh2 = s2.sql("SELECT simhash64(array('a', 'b')) AS h")
       .collect()(0).getLong(0)
     assert(sh === sh2) // resolves through the injected registry, stable
+
+    // injected optimizer rule: the reference-shaped literal regex
+    // becomes a substring probe; a metacharacter term stays a regex
+    import s2.implicits._
+    // a file-backed relation: ConvertToLocalRelation would otherwise
+    // evaluate the filter at optimization time and hide the expression
+    val part = s2.read.parquet(s"${graft.TestSpark.sfDir}/part.parquet")
+    def optimized(pattern: String): String = part
+      .filter(org.apache.spark.sql.functions.col("p_name").rlike(pattern))
+      .queryExecution.optimizedPlan.toString
+    assert(optimized("(?i).*BOLT.*").contains("Contains(lower(") &&
+      !optimized("(?i).*BOLT.*").contains("RLIKE"),
+      "literal term must rewrite to contains")
+    assert(optimized("(?i).*b.lt.*").contains("RLIKE"),
+      "metacharacter term must keep the regex")
+    // and the rewrite is semantics-preserving: rewritten regex search
+    // equals the literal-contains form on the same data
+    val viaRegex = part
+      .filter(org.apache.spark.sql.functions.col("p_name")
+        .rlike("(?i).*BOLT.*"))
+      .select("p_partkey").as[Long].collect().sorted.toSeq
+    val viaContains = part
+      .filter(org.apache.spark.sql.functions
+        .lower(org.apache.spark.sql.functions.col("p_name"))
+        .contains("bolt"))
+      .select("p_partkey").as[Long].collect().sorted.toSeq
+    assert(viaRegex === viaContains && viaRegex.nonEmpty)
   }
 }
