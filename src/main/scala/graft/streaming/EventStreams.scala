@@ -68,6 +68,26 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-window top-k events by value, via the custom bounded-heap
+    * aggregate ([[graft.functions.TopKPairs]]) running INSIDE streaming
+    * state: each micro-batch updates the k-bounded buffer, the state
+    * store persists the serialized buffer between triggers, and append
+    * mode emits the finalized top-k when the watermark closes the
+    * window. This is the strongest correctness exercise the aggregate
+    * gets — its serialize/merge path runs on every trigger, not just at
+    * one shuffle (EventStreamsSpec drives out-of-order multi-batch
+    * input and checks against the batch form). */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.top_k(col("value"), col("event_id"), k)
+        .as("top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("window_start"), (col("i") + 1).cast("long").as("rn"),
+        col("p.id").as("event_id"), col("p.score").as("value"))
+
   /** Input/output records for [[sessionTracker]]. */
   case class UserEvent(user_id: Long, event_type: String, ts: Timestamp,
       value: Double)

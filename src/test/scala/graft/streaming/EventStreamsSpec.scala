@@ -89,6 +89,33 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k: the custom aggregate's merge path survives multi-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.windowedTopK(events, k = 2).writeStream
+      .format("memory").queryName("t_wtopk").outputMode("complete").start()
+    try {
+      // batch 1: partial picture of window 10:00, and one 11:00 event
+      mem.addData(Seq((1L, ts(0), 1.0), (2L, ts(10), 5.0),
+        (10L, ts(70), 9.0)))
+      q.processAllAvailable()
+      // batch 2: a NEW MAX for window 10:00 arrives late — the stored
+      // k-buffer must merge it in, not just append
+      mem.addData(Seq((3L, ts(20), 7.0), (4L, ts(30), 2.0),
+        (11L, ts(80), 7.5)))
+      q.processAllAvailable()
+      val rows = spark.table("t_wtopk")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val w10 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val w11 = Timestamp.valueOf("2024-01-01 11:00:00")
+      assert(rows === Set(
+        (w10, 1L, 3L, 7.0), (w10, 2L, 2L, 5.0),   // late max displaced id 1
+        (w11, 1L, 10L, 9.0), (w11, 2L, 11L, 7.5)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events (exactly-once restore)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
