@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.core.Tables.dec2
+
+/** Scaling experiment: the same operators at ×1 / ×4 / ×16 the base
+  * fixture volume, so the "would this hold at 100×?" question gets a
+  * measured curve instead of an argument. Scaled copies replicate
+  * lineitem/orders with the join key remapped per replica (stride =
+  * max key + 1): join selectivity and per-key fan-out are preserved
+  * while rows grow linearly — the shape a growing warehouse actually
+  * has. Group-BY cardinality: Q1's stays constant (groups absorb more
+  * rows), the top-k groups stay constant while their contents grow —
+  * which is exactly the regime where the bounded-heap aggregate's
+  * ≤k-rows-per-group shuffle should pull away from the sort-everything
+  * window form.
+  *
+  * Prints one JSON line per factor; SCALE.md records the findings.
+  */
+object Scale {
+
+  private def ensureScaled(spark: SparkSession, sfDir: String, factor: Int)
+      : String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|${Tables.fingerprint(spark, sfDir, "lineitem")}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"target/graft-scale/$tag/f$factor"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lineitem/_SUCCESS"))) {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+          "l_linestatus")
+      val ord = Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+      val stride = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      def rep(df: DataFrame, key: String): DataFrame =
+        (0 until factor).map(i =>
+          df.withColumn(key, col(key) + lit(i * stride)))
+          .reduce(_.unionByName(_))
+      rep(li, "l_orderkey").write.mode("overwrite")
+        .parquet(s"$path/lineitem")
+      rep(ord, "o_orderkey").write.mode("overwrite")
+        .parquet(s"$path/orders")
+    }
+    path
+  }
+
+  private def ops(spark: SparkSession, path: String)
+      : Seq[(String, () => Long)] = {
+    def li = spark.read.parquet(s"$path/lineitem")
+    def ord = spark.read.parquet(s"$path/orders")
+    Seq(
+      "agg_q1" -> (() => li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_quantity"))).as("q"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1) - dec2(col("l_discount")))).as("rev"),
+          count(lit(1)).as("n"))
+        .count()),
+      "join_agg" -> (() => li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(dec2(col("l_extendedprice"))).as("s"),
+          count(lit(1)).as("n"))
+        .count()),
+      "sort_limit" -> (() => ord
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50).count()),
+      // the head-to-head: per-customer top-3, window vs bounded heap.
+      // groups (customers) are constant; rows per group grow with the
+      // factor — the window sorts every group's slice, the aggregate
+      // ships at most 3 rows per (task, group).
+      "topk_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ord.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).count()
+      }),
+      "topk_agg" -> (() => ord.groupBy("o_custkey")
+        .agg(graft.functions.top_k(col("o_totalprice").cast("double"),
+          col("o_orderkey"), 3).as("top"))
+        .select(explode(col("top"))).count()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val factors = Seq(1, 4, 16, 64)
+    factors.foreach { f =>
+      val path = ensureScaled(spark, sfDir, f)
+      val results = ops(spark, path).map { case (name, run) =>
+        run() // warmup: codegen + footer caches
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); run()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }
+      val rows = spark.read.parquet(s"$path/lineitem").count()
+      val qs = results.map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{", ",", "}")
+      println(s"""{"factor":$f,"lineitem_rows":$rows,"queries":$qs}""")
+    }
+    spark.stop()
+  }
+}
