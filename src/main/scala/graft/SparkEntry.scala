@@ -112,6 +112,8 @@ object SparkEntry {
     "stream_dedup" -> (Events.streamDedup _),
     "events_daily" -> (Events.dailyByType _),
     "events_props" -> (Events.propsExtract _),
+    "events_funnel" -> (Events.funnel _),
+    "curate_budget" -> ((s: SparkSession, d: String) => TextQuality.curateBudget(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -386,6 +388,29 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click GROUP BY e.user_id),
+        |s AS (SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n FROM v
+        |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
+        |SELECT stage, n,
+        |  round(CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY stage), n), 6) AS conv_from_prev
+        |FROM s ORDER BY stage""".stripMargin,
+    "curate_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_words,
+        |    round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0), 6) AS quality_score
+        |  FROM t),
+        |c AS (SELECT *, CAST(sum(n_words) OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q)
+        |SELECT source, doc_id, quality_score, n_words, cum_tokens
+        |FROM c WHERE cum_tokens <= 800 ORDER BY source, doc_id""".stripMargin,
     "events_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

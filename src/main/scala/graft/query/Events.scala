@@ -104,6 +104,38 @@ object Events {
         count(when(col("k") > 50, 1)).as("n_high"))
       .orderBy("event_type")
 
+  /** Ordered funnel: view → click → purchase, each stage's timestamp
+    * the EARLIEST occurrence at-or-after the previous stage (the
+    * classic product-analytics conversion funnel). Three per-stage
+    * minimum aggregations chained by (user, time) joins — each stage's
+    * frame is one hash agg keyed on user_id, no window over the full
+    * event set, no ordering shuffle; at 100 TB every stage partitions
+    * by user and the stage frames shrink monotonically. Output: one row
+    * per stage with reached-user counts and the conversion rate from
+    * the previous stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val counts = v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+    val w = Window.orderBy("stage") // 3 rows: trivially single-partition
+    counts
+      .withColumn("conv_from_prev",
+        round(col("n").cast("double") /
+          coalesce(lag(col("n"), 1).over(w), col("n")), 6))
+      .select("stage", "n", "conv_from_prev")
+      .orderBy("stage")
+  }
+
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =

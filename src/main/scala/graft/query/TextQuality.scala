@@ -38,6 +38,30 @@ object TextQuality {
           .cast("double") / count(lit(1)), 6).as("share_en"))
       .orderBy("source")
 
+  /** Budget-constrained curation: per source, admit documents in
+    * quality order (ties by doc_id) until the source's cumulative token
+    * count reaches `budget` — "give me the best N tokens per domain",
+    * the data-selection step between quality scoring and training-mix
+    * sampling. One window over (source), ordered by the ALREADY-ROUNDED
+    * quality score, so the admission order is the cross-engine parity
+    * surface itself. At 100 TB the per-source window partitions by
+    * source; no global ordering exists anywhere. */
+  def curateBudget(spark: SparkSession, dir: String, budget: Long = 800)
+      : DataFrame = {
+    val stats = TextSim.textStats(spark, dir)
+      .select("doc_id", "n_words", "quality_score")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source")
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(stats, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("source", "doc_id", "quality_score", "n_words", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus
