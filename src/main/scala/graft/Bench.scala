@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * not throughput ones.
   */
 object Bench {
-  private val excluded = Set("ingest_e2e_products", "ingest_e2e_control")
+  private def excluded(k: String): Boolean = k.startsWith("ingest_e2e_")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,7 +25,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val benched = SparkEntry.queries.view
-      .filterKeys(k => !excluded.contains(k)).toMap
+      .filterKeys(k => !excluded(k)).toMap
     // untimed warmup pass: compiles every plan's codegen + fills caches
     benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -70,6 +70,7 @@ object SparkEntry {
     // --- Structured Streaming ingest, end-to-end (A15/A16/A17) ---
     "ingest_e2e_products" -> (IngestE2E.products _),
     "ingest_e2e_control" -> (IngestE2E.control _),
+    "ingest_e2e_diff" -> (IngestE2E.diff _),
     // --- relational surface (B1–B11) ---
     "scan_filter_project" -> (Relational.scanFilterProject _),
     "q1_agg" -> (Relational.q1Agg _),
@@ -194,6 +195,11 @@ object SparkEntry {
         |  ('d2_week2.json', 'processed', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
         |  ('d3_poison.json', 'failed', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
         |AS t(file_id, status, total_records, records_processed, records_failed) ORDER BY file_id""".stripMargin,
+    "ingest_e2e_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('0001', 'changed'), ('0002', 'unchanged'),
+        |  ('0003', 'unchanged'), ('0004', 'added'))
+        |AS t(code, change) ORDER BY code""".stripMargin,
     "status_rollup" ->
       """SELECT user_id AS file_id, CAST(count(*) AS BIGINT) AS total_records,
         |  CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS records_processed,

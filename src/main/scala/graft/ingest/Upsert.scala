@@ -187,6 +187,34 @@ object Upsert {
   }
 }
 
+/** Key-level change classification between two snapshot versions — the
+  * audit [[SnapshotStore]]'s bounded retention window exists for:
+  * "what did this delivery actually do?" One full-outer join on the
+  * key; null-safe comparison over the chosen columns. At 100 TB both
+  * sides are bucketed versions of the SAME store, so the join is
+  * bucket-aligned (no exchange on either side). */
+object SnapshotDiff {
+
+  /** One row per key present in either frame, with `change` ∈
+    * added | removed | changed | unchanged (w.r.t. `compare` columns). */
+  def diff(before: DataFrame, after: DataFrame, key: String,
+      compare: Seq[String]): DataFrame = {
+    require(compare.nonEmpty, "diff needs at least one compare column")
+    val b = before.select(col(key).as("__bk") +:
+      compare.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(key).as("__ak") +:
+      compare.map(c => col(c).as(s"__a_$c")): _*)
+    val changed = compare.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    a.join(b, col("__ak") === col("__bk"), "full_outer")
+      .select(coalesce(col("__ak"), col("__bk")).as(key),
+        when(col("__bk").isNull, "added")
+          .when(col("__ak").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("change"))
+  }
+}
+
 /** Atomic snapshot table via a manifest-pointer swap (the Iceberg/Delta-
   * style public pattern) — readers never observe a partial upsert, the
   * property MongoDB gave the reference for free, and there is NO window in

@@ -40,24 +40,32 @@ object IngestE2E {
 
   private val poison = """[{"code": "9999", "product_name": "truncated"""
 
-  /** Run the pipeline in a throwaway workspace; return (products,
-    * control) materialized locally (tiny fixture) so the workspace can be
-    * deleted before the caller writes results. */
-  def run(spark: SparkSession): (DataFrame, DataFrame) = {
+  /** Run the pipeline in a throwaway workspace — TWO sequential
+    * triggers (week-1 delivery + poison, then week 2), so the products
+    * store retains a pre-/post-delivery version pair. Returns
+    * (products, control, diff) materialized locally (tiny fixture) so
+    * the workspace can be deleted before the caller writes results.
+    * The diff is [[graft.ingest.SnapshotDiff]] over the store's
+    * retained versions — the audit the bounded retention window exists
+    * for: week 2 must read as exactly {0001 changed, 0004 added, rest
+    * unchanged}. */
+  def run(spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     val ws = Files.createDirectories(Paths.get(
       "/root/repo/target/graft-e2e/" + java.util.UUID.randomUUID()))
     try {
       val landing = Files.createDirectories(ws.resolve("landing"))
-      Files.writeString(landing.resolve("d1_week1.json"), week1)
-      Files.writeString(landing.resolve("d2_week2.json"), week2)
-      Files.writeString(landing.resolve("d3_poison.json"), poison)
       val cfg = IngestStream.Config(
         landingDir = landing.toString,
         warehouseDir = ws.resolve("warehouse").toString,
         checkpointDir = ws.resolve("checkpoint").toString)
+      Files.writeString(landing.resolve("d1_week1.json"), week1)
+      Files.writeString(landing.resolve("d3_poison.json"), poison)
+      IngestStream.runAvailable(spark, cfg)
+      Files.writeString(landing.resolve("d2_week2.json"), week2)
       IngestStream.runAvailable(spark, cfg)
 
-      val products = IngestStream.productsStore(cfg).read(spark).get
+      val store = IngestStream.productsStore(cfg)
+      val products = store.read(spark).get
         .select(col("code"), col("product_name"),
           element_at(col("extras"), "brands").as("brands"),
           element_at(col("extras"), "quantity").as("quantity"),
@@ -67,25 +75,31 @@ object IngestE2E {
         .select("file_id", "status", "total_records", "records_processed",
           "records_failed")
         .orderBy("file_id")
+      val versions = store.versions(spark)
+      val diffed = graft.ingest.SnapshotDiff.diff(
+          store.readAt(spark, versions(versions.size - 2)).get,
+          store.readAt(spark, versions.last).get,
+          key = "code", compare = Seq("product_name", "file_id"))
+        .orderBy("code")
 
       // materialize before deleting the workspace the plans read from
       def pin(df: DataFrame): DataFrame =
         spark.createDataFrame(
           new java.util.ArrayList(java.util.Arrays.asList(
             df.collect(): _*)), df.schema)
-      (pin(products), pin(control))
+      (pin(products), pin(control), pin(diffed))
     } finally {
       Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.deleteIfExists(p))
     }
   }
 
-  // one pipeline run serves both query keys within a session (Verify and
-  // Bench call them back-to-back); tests wanting a fresh run call run().
+  // one pipeline run serves all three query keys within a session (Verify
+  // and Bench call them back-to-back); tests wanting a fresh run call run().
   @volatile private var cached
-      : Option[(SparkSession, (DataFrame, DataFrame))] = None
+      : Option[(SparkSession, (DataFrame, DataFrame, DataFrame))] = None
 
-  private def memo(spark: SparkSession): (DataFrame, DataFrame) =
+  private def memo(spark: SparkSession): (DataFrame, DataFrame, DataFrame) =
     synchronized {
       cached match {
         case Some((s, r)) if s eq spark => r
@@ -99,4 +113,7 @@ object IngestE2E {
 
   def control(spark: SparkSession, dir: String): DataFrame =
     memo(spark)._2
+
+  def diff(spark: SparkSession, dir: String): DataFrame =
+    memo(spark)._3
 }

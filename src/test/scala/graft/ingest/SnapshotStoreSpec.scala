@@ -61,4 +61,15 @@ class SnapshotStoreSpec extends SparkSuite {
       assert(store.read(spark).get.collect().length === 1)
     }
   }
+
+  test("SnapshotDiff classifies added / removed / changed / unchanged") {
+    val before = Seq(("a", "one"), ("b", "two"), ("c", "three"),
+      ("n", null.asInstanceOf[String])).toDF("code", "name")
+    val after = Seq(("a", "one"), ("b", "TWO"), ("d", "four"),
+      ("n", null.asInstanceOf[String])).toDF("code", "name")
+    val out = SnapshotDiff.diff(before, after, "code", Seq("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "unchanged", "b" -> "changed",
+      "c" -> "removed", "d" -> "added", "n" -> "unchanged"))
+  }
 }
