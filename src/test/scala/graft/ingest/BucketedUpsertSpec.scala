@@ -46,6 +46,26 @@ class BucketedUpsertSpec extends SparkSuite {
     })
   }
 
+  test("property: join-form replay idempotence and batching invariance") {
+    // the streaming pipeline now merges through the join form, so the
+    // exactly-once argument rests on THESE invariants for it
+    checkProp(Prop.forAll(recordsGen, Gen.choose(1, 4)) { (recs, nChunks) =>
+      val snap = Seq(("k1", "base", -1L)).toDF("code", "name", "v")
+      val delta = recs.toDF("code", "name", "v")
+      val once = Upsert.mergeFieldsJoin(snap, delta, "code",
+        version = Seq(col("v")), mergeWholly = Set.empty)
+      val twice = Upsert.mergeFieldsJoin(once, delta, "code",
+        version = Seq(col("v")), mergeWholly = Set.empty)
+      val chunkSize = math.max(1, recs.size / nChunks)
+      val chunked = recs.grouped(chunkSize).foldLeft(snap) { (acc, chunk) =>
+        Upsert.mergeFieldsJoin(acc, chunk.toDF("code", "name", "v"),
+          "code", version = Seq(col("v")), mergeWholly = Set.empty)
+      }
+      sortedRows(once) == sortedRows(twice) &&
+        sortedRows(once) == sortedRows(chunked)
+    }, minSuccessful = 8)
+  }
+
   test("join-form: newer snapshot version beats an out-of-order redelivery") {
     // k9's snapshot carries version 100 — a replayed delta at v=5 must
     // NOT clobber it (blanket delta-wins would): the version struct
