@@ -24,13 +24,16 @@ object Scale {
 
   private def ensureScaled(spark: SparkSession, sfDir: String, factor: Int)
       : String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|${Tables.fingerprint(spark, sfDir, "lineitem")}"
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tag = graft.core.Caches.md5Tag(
+      s"$sfDir|${Tables.fingerprint(spark, sfDir, "lineitem")}")
     val path = s"target/graft-scale/$tag/f$factor"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lineitem/_SUCCESS"))) {
+    // check BOTH markers: a crash between the two writes must trigger a
+    // rebuild, not serve a torn dataset forever
+    val complete = Seq("lineitem", "orders").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
+    if (!complete) {
       val li = Tables.load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",

@@ -465,7 +465,9 @@ object SparkEntry {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_canonical" ->
       """WITH c AS (SELECT doc_id, lang, source,
-        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_md5
+        |    CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |      THEN md5(text)
+        |      ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
         |  FROM documents),
         |r AS (SELECT doc_id, lang, source, canon_md5,
         |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn,

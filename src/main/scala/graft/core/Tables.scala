@@ -29,23 +29,14 @@ object Tables {
   // logical plan, and re-creating it per query re-lists the directory and
   // re-reads parquet footers — measurable fixed cost across a 48-query
   // surface. The cluster-scale analogue is a catalog/file-index cache.
-  // WEAK session keys (like Bucketed.prepared): a strong key would pin
-  // every stopped session's plans and conf for the JVM lifetime.
-  private val loaded = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  // Caches.PerSession purges stopped sessions on access (weak keys
+  // cannot collect these: the DataFrame values reference the session).
+  private val loaded = new Caches.PerSession[
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val per = loaded.synchronized {
-      val cur = loaded.get(spark)
-      if (cur != null) cur
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[(String, String),
-          DataFrame]()
-        loaded.put(spark, m); m
-      }
-    }
-    per.computeIfAbsent((dir, name), _ => load0(spark, dir, name))
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.get(spark)(new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent((dir, name), _ => load0(spark, dir, name))
 
   private def load0(spark: SparkSession, dir: String, name: String)
       : DataFrame = {

@@ -119,8 +119,15 @@ object Upsert {
   }
 
   /** Join-form field-level merge: bit-identical semantics to
-    * [[mergeFields]] (UpsertSpec property-ties them on random inputs)
-    * with the 100 TB plan shape — the DELTA alone is collapsed (one
+    * [[mergeFields]] (BucketedUpsertSpec property-ties them on random
+    * inputs) PROVIDED (1) the snapshot is key-unique — which the output
+    * of any previous merge is by construction (a snapshot with
+    * duplicate keys would fan each duplicate out against the collapsed
+    * delta where the union form collapses them) — and (2) the key is
+    * non-null, which ingest validation guarantees (null-key rows would
+    * pass the equi-join unmatched; see the join-site comment for why
+    * `<=>` is not an option). With the 100 TB plan shape
+    * — the DELTA alone is collapsed (one
     * small shuffle), then full-outer-joined against the snapshot and the
     * snapshot's contribution spliced into each field's version-sorted
     * array AFTER the join. When the snapshot is a bucketed table on
@@ -167,6 +174,13 @@ object Upsert {
       dataCols.map(c => col(c).as(s"__s_$c")) :+
       col("__sv") :+ col("__s_present")).toIndexedSeq: _*)
 
+    // plain equality, deliberately: null-safe `<=>` would make Spark
+    // hash-partition on coalesce(key), which a bucketed snapshot's
+    // layout cannot satisfy — the whole no-snapshot-shuffle point dies.
+    // The PRECONDITION (scaladoc) is a non-null key, which the pipeline
+    // guarantees: records without `code` fail validation and never
+    // reach a merge. (The union form tolerates null keys; this form
+    // would emit a null-key snapshot row and delta row unmerged.)
     val joined = collapsed
       .join(sRenamed, col(key) === col("__s_key"), "full_outer")
     val merged = dataCols.map { c =>
@@ -250,13 +264,14 @@ class SnapshotStore(val path: String,
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // md5 (not hashCode): table names must be recomputable from (path,
-  // seq) alone for reads, and two stores' paths must never collide
-  private lazy val pathTag: String = java.security.MessageDigest
-    .getInstance("MD5").digest(path.getBytes("UTF-8"))
-    .map("%02x".format(_)).mkString.take(12)
-
-  private def tableName(seq: Long): String = s"graft_snap_${pathTag}_$seq"
+  // table name derived from the VERSION DIR name (which carries a
+  // uuid), not the sequence number: two racing committers at the same
+  // seq then register DISTINCT catalog entries, and the loser's entry
+  // can never shadow the winner's committed data — the manifest names
+  // the dir, the dir names the table. md5 (not hashCode): recomputable
+  // and collision-safe across stores.
+  private def tableName(versionDir: String): String =
+    "graft_snap_" + graft.core.Caches.md5Tag(s"$path|$versionDir", 16)
 
   /** (seq, versionDirName) pairs of committed manifests, ascending. */
   private def manifests(spark: SparkSession): Seq[(Long, String)] = {
@@ -282,8 +297,8 @@ class SnapshotStore(val path: String,
   private def readVersion(spark: SparkSession, seq: Long, v: String)
       : DataFrame =
     if (bucket.isDefined &&
-        spark.catalog.tableExists(tableName(seq)))
-      spark.table(tableName(seq))
+        spark.catalog.tableExists(tableName(v)))
+      spark.table(tableName(v))
     else spark.read.parquet(s"$path/$v")
 
   def exists(spark: SparkSession): Boolean = manifests(spark).nonEmpty
@@ -316,14 +331,13 @@ class SnapshotStore(val path: String,
     bucket match {
       case Some((key, n)) =>
         // bucketed layout rides the catalog: an external table entry at
-        // the version dir. Stale same-name entries (a dead writer's)
-        // are dropped first; the data write is still to a fresh dir, so
-        // readers of the PREVIOUS version are untouched.
-        spark.sql(s"DROP TABLE IF EXISTS ${tableName(seq)}")
+        // the version dir. The name derives from the uuid'd dir, so it
+        // is fresh by construction and cannot collide with (or shadow)
+        // a concurrent committer's entry.
         df.write.mode("overwrite")
           .option("path", s"$path/$version")
           .bucketBy(n, key).sortBy(key)
-          .saveAsTable(tableName(seq))
+          .saveAsTable(tableName(version))
       case None =>
         df.write.mode("overwrite").parquet(s"$path/$version")
     }
@@ -345,15 +359,19 @@ class SnapshotStore(val path: String,
           s"snapshot commit lost race for $dst", e)
     }
     // GC: keep this and the previous version; drop everything older
-    // (catalog entries of GC'd bucketed versions go with their dirs).
+    // (catalog entries of GC'd bucketed versions go with their dirs —
+    // including a racing loser's orphan dir + entry).
     val keep = (committed.takeRight(1).map(_._2) :+ version).toSet
     committed.dropRight(1).foreach { case (s, _) =>
       f.delete(new Path(s"$path/MANIFEST-$s"), false)
-      if (bucket.isDefined) spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}")
     }
     f.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v-") && !keep.contains(n)) f.delete(st.getPath, true)
+      if (n.startsWith("v-") && !keep.contains(n)) {
+        if (bucket.isDefined)
+          spark.sql(s"DROP TABLE IF EXISTS ${tableName(n)}")
+        f.delete(st.getPath, true)
+      }
     }
   }
 }

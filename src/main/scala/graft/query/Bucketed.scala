@@ -25,21 +25,14 @@ object Bucketed {
 
   // marked only AFTER a successful write, under the lock — a concurrent
   // caller must not read half-written tables, and a failed CTAS must not
-  // poison the memo for every later call. Weak keys: the memo must not
-  // pin closed SparkSessions in a long-lived JVM.
+  // poison the memo for every later call. Caches.PerSession purges
+  // stopped sessions on access.
   private val prepared =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Set[String]]()
+    new graft.core.Caches.PerSession[scala.collection.mutable.Set[String]]
 
   private def preparedSet(spark: SparkSession)
-      : scala.collection.mutable.Set[String] = {
-    val cur = prepared.get(spark)
-    if (cur != null) cur
-    else {
-      val s = scala.collection.mutable.Set.empty[String]
-      prepared.put(spark, s); s
-    }
-  }
+      : scala.collection.mutable.Set[String] =
+    prepared.get(spark)(scala.collection.mutable.Set.empty[String])
 
   /** Table-name suffix per source dir (one session may serve many SFs). */
   private def tag(dir: String): String =

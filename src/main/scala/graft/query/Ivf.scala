@@ -89,17 +89,15 @@ object Ivf {
   // so a concurrently-built index is bit-identical and a lost commit
   // race simply reads the winner's copy.
 
-  private val indexMemo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
+  private val indexMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
 
   /** Tag includes the corpus fingerprint ([[Tables.fingerprint]]): a
     * regenerated fixture at the same path must miss the old index. */
   private def indexTag(spark: SparkSession, dir: String, nlist: Int,
       iters: Int, seed: Long): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$dir|$nlist|$iters|$seed|" +
-        Tables.fingerprint(spark, dir, "embeddings")).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+    graft.core.Caches.md5Tag(s"$dir|$nlist|$iters|$seed|" +
+      Tables.fingerprint(spark, dir, "embeddings"))
 
   /** Build-or-load the IVF index for (dir, params): returns
     * (centroids, cell assignments). Disk-persistent across JVMs,
@@ -107,15 +105,8 @@ object Ivf {
   def ensureIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       iters: Int = 2, seed: Long = 7L): (DataFrame, DataFrame) = {
     val tag = indexTag(spark, dir, nlist, iters, seed)
-    val memo = indexMemo.synchronized {
-      val cur = indexMemo.get(spark)
-      if (cur != null) cur
-      else {
-        val m = scala.collection.mutable.Map
-          .empty[String, (DataFrame, DataFrame)]
-        indexMemo.put(spark, m); m
-      }
-    }
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
         val centStore = new graft.ingest.SnapshotStore(

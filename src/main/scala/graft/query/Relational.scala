@@ -311,8 +311,11 @@ object Relational {
       buildKey: String, salt: Int, hot: DataFrame): DataFrame = {
     val probeT = probe
       .join(broadcast(hot), probe(probeKey) === hot("__hot_key"), "left")
+      // coalesce: a NULL saltSource must still land in a live bucket
+      // (bucket 0), or the inner join would silently drop the row and
+      // break the equals-the-plain-join contract
       .withColumn("__salt", when(col("__hot_key").isNotNull,
-        pmod(saltSource, lit(salt))).otherwise(lit(0)))
+        coalesce(pmod(saltSource, lit(salt)), lit(0))).otherwise(lit(0)))
       .drop("__hot_key")
     val buildT = build
       .join(broadcast(hot), build(buildKey) === hot("__hot_key"), "left")

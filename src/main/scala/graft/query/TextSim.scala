@@ -123,10 +123,18 @@ object TextSim {
     * shrink the input of the expensive near-dup stages. Emits the
     * surviving rows plus how many duplicates each absorbed. */
   /** Punctuation becomes a SPACE (not deleted) before collapsing, so
-    * hyphenated/joined variants normalize like spaced ones. */
-  def canonicalMd5(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+    * hyphenated/joined variants normalize like spaced ones. A document
+    * with NO [a-z0-9] content at all normalizes to the empty string —
+    * hashing that would collapse every such document (different
+    * non-Latin texts, pure-symbol docs) into one bogus duplicate
+    * group, so the canonical hash falls back to the raw content hash
+    * there (byte-identity dedup only, the honest floor for text this
+    * normalizer cannot see). */
+  def canonicalMd5(text: Column): Column = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    when(canon === "", md5(text)).otherwise(md5(canon))
+  }
 
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     val canon = canonicalMd5(col("text"))

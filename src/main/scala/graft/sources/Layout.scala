@@ -47,27 +47,19 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
 
   // one layout per (session, dir), fingerprint-keyed like the IVF index
-  private val prepared = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Set[String]]()
+  private val prepared =
+    new graft.core.Caches.PerSession[scala.collection.mutable.Set[String]]
 
   private def tag(spark: SparkSession, dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${Tables.fingerprint(spark, dir, "lineitem")}"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+    graft.core.Caches.md5Tag(
+      s"$dir|${Tables.fingerprint(spark, dir, "lineitem")}")
 
   /** Build-or-reuse the z-ordered lineitem copy; returns its path. */
   def ensureZordered(spark: SparkSession, dir: String): String = {
     val t = tag(spark, dir)
     val path = s"target/graft-zorder/$t"
-    val memo = prepared.synchronized {
-      val cur = prepared.get(spark)
-      if (cur != null) cur
-      else {
-        val s = scala.collection.mutable.Set.empty[String]
-        prepared.put(spark, s); s
-      }
-    }
+    val memo = prepared.get(spark)(
+      scala.collection.mutable.Set.empty[String])
     memo.synchronized {
       if (!memo.contains(t)) {
         val fs = new org.apache.hadoop.fs.Path(path)

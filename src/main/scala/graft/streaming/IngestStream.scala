@@ -168,54 +168,64 @@ object IngestStream {
         else {
           // `raw` is unusable here: its ONLY real column is the corrupt
           // marker, and the JSON scan (rightly) refuses corrupt-only
-          // reads — even cache materialization is one. Re-probe the
-          // batch's JSON files with an explicit schema carrying a dummy
-          // data column so the scan is never corrupt-only.
+          // reads — even cache materialization is one.
+          val (jsonlF, arrayF) = files.map(_._1)
+            .filterNot(_.endsWith(".csv"))
+            .partition(p => p.endsWith(".jsonl") || p.endsWith(".ndjson"))
+          // ARRAY files: re-probe with an explicit schema carrying a
+          // dummy data column (the scan must never be corrupt-only);
+          // any corrupt marker ⇒ whole-file poison.
           val probeSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("__probe",
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("_corrupt_record",
               org.apache.spark.sql.types.StringType)))
-          def probe(ps: Seq[String], multiLine: Boolean) =
-            if (ps.isEmpty) None
-            else Some(spark.read.schema(probeSchema)
-              .option("multiLine", multiLine.toString)
+          val poisonIds =
+            if (arrayF.isEmpty)
+              Seq.empty[String].toDF("_file_id")
+            else spark.read.schema(probeSchema)
+              .option("multiLine", "true")
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", "_corrupt_record")
-              .json(ps: _*)
-              .withColumn("_file_id", baseName(input_file_name())))
-          val (jsonlF, arrayF) = files.map(_._1)
-            .filterNot(_.endsWith(".csv"))
-            .partition(p => p.endsWith(".jsonl") || p.endsWith(".ndjson"))
-          val probed = (probe(arrayF, multiLine = true).toSeq ++
-            probe(jsonlF, multiLine = false).toSeq)
-            .reduce(_.unionByName(_))
-          // the __probe disjunct is vacuous (no such field can parse) but
-          // keeps a data column in the scan's required schema — pruning
-          // back to corrupt-only would trip the scan's legality check
-          val corruptCnts = probed
-            .filter(col("_corrupt_record").isNotNull ||
-              col("__probe").isNotNull)
-            .groupBy(col("_file_id"))
-            .agg(count(when(col("_corrupt_record").isNotNull, 1))
-              .as("__n_corrupt"))
-          // line formats break per RECORD, array formats per FILE —
-          // same split as the non-degenerate path below
+              .json(arrayF: _*)
+              .withColumn("_file_id", baseName(input_file_name()))
+              // vacuous __probe disjunct keeps a data column in the
+              // scan's required schema (corrupt-only would be refused)
+              .filter(col("_corrupt_record").isNotNull ||
+                col("__probe").isNotNull)
+              .select("_file_id").distinct()
+          // LINE files: in a degenerate batch, EVERY line is a failed
+          // record (unparseable, or parseable-but-empty ⇒ no `code`),
+          // so the honest counters are the nonblank line counts — via
+          // a text read, which has no corrupt-column legality problem.
+          val lineCnts =
+            if (jsonlF.isEmpty)
+              Seq.empty[(String, Long)].toDF("_file_id", "__n_lines")
+            else spark.read.text(jsonlF: _*)
+              .withColumn("_file_id", baseName(input_file_name()))
+              .filter(trim(col("value")) =!= "")
+              .groupBy("_file_id")
+              .agg(count(lit(1)).as("__n_lines"))
           val isLineFmt = col("file_id").rlike("\\.(jsonl|ndjson)$")
           fileMeta
-            .join(broadcast(corruptCnts),
-              col("file_id") === col("_file_id"), "left")
+            .join(broadcast(poisonIds.withColumn("__poison", lit(true))),
+              col("file_id") === poisonIds("_file_id"), "left")
+            .drop("_file_id")
+            .join(broadcast(lineCnts),
+              col("file_id") === lineCnts("_file_id"), "left")
+            .drop("_file_id")
             .withColumn("status",
-              when(col("__n_corrupt").isNull, lit(Status.Processed))
-                .when(isLineFmt, lit(Status.ProcessedWithErrors))
-                .otherwise(lit(Status.Failed)))
+              when(col("__poison").isNotNull, lit(Status.Failed))
+                .when(isLineFmt && coalesce(col("__n_lines"), lit(0L)) > 0,
+                  lit(Status.ProcessedWithErrors))
+                .otherwise(lit(Status.Processed)))
             .withColumn("total_records",
-              when(col("__n_corrupt").isNotNull && isLineFmt,
-                col("__n_corrupt")).otherwise(lit(0L)))
+              when(isLineFmt, coalesce(col("__n_lines"), lit(0L)))
+                .otherwise(lit(0L)))
             .withColumn("records_processed", lit(0L))
             .withColumn("records_failed",
-              when(col("__n_corrupt").isNotNull && isLineFmt,
-                col("__n_corrupt")).otherwise(lit(0L)))
+              when(isLineFmt, coalesce(col("__n_lines"), lit(0L)))
+                .otherwise(lit(0L)))
             .select(controlCols.map(col): _*)
         }
       upsertControl(cfg, statusRows)

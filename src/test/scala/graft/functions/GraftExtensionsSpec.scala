@@ -44,11 +44,19 @@ class GraftExtensionsSpec extends SparkSuite {
     def optimized(pattern: String): String = part
       .filter(org.apache.spark.sql.functions.col("p_name").rlike(pattern))
       .queryExecution.optimizedPlan.toString
-    assert(optimized("(?i).*BOLT.*").contains("Contains(lower(") &&
+    assert(optimized("(?i).*BOLT.*").contains("Contains(translate(") &&
       !optimized("(?i).*BOLT.*").contains("RLIKE"),
-      "literal term must rewrite to contains")
+      "literal term must rewrite to a translated contains")
     assert(optimized("(?i).*b.lt.*").contains("RLIKE"),
       "metacharacter term must keep the regex")
+    // ASCII-only fold parity: lower('İ') would CONTAIN 'i' (combining
+    // dot), but Java's (?i) does not match it — nor may the rewrite
+    val tricky = Seq("İSTANBUL", "istanbul").toDF("s").repartition(1)
+    val trickyHits = tricky
+      .filter(org.apache.spark.sql.functions.col("s").rlike("(?i).*i.*"))
+      .as[String].collect().toSeq
+    assert(trickyHits === Seq("istanbul"),
+      s"rewrite must keep ASCII-only case folding, got $trickyHits")
     // and the rewrite is semantics-preserving: rewritten regex search
     // equals the literal-contains form on the same data
     val viaRegex = part

@@ -27,6 +27,14 @@ class TextSimSpec extends SparkSuite {
     assert(variants.take(4).distinct.size === 1,
       "normalization variants must collapse to one hash")
     assert(variants(4) !== variants.head)
+    // empty-canonical fallback: docs with no [a-z0-9] content must NOT
+    // collapse together — they fall back to byte-identity hashing
+    val symbolic = Seq("!!!", "???", "!!!").toDF("text")
+      .select(TextSim.canonicalMd5(col("text")).as("h"))
+      .as[String].collect().toSeq
+    assert(symbolic(0) !== symbolic(1),
+      "different non-alnum docs must not share a canonical hash")
+    assert(symbolic(0) === symbolic(2))
     // fixture invariant: canonical dedup absorbs at least as many rows
     // as byte-exact dedup (every exact dup is also a canonical dup)
     val exactN = TextSim.dedupExact(spark, dir).count()
