@@ -51,6 +51,29 @@ class ExpressionsSpec extends SparkSuite {
     assert(acc.count(_ != 0L) === 2)
   }
 
+  test("property: lane_sums equals the composed filter+aggregate specification") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the naive per-lane column-algebra form the native expression
+    // replaced — random ASCII strings, both lane geometries
+    val gen = Gen.listOfN(12,
+      Gen.chooseNum(0x20, 0x7e).map(_.toChar)).map(_.mkString)
+    val p = Prop.forAll(Gen.listOfN(5, gen)) { texts =>
+      val df = texts.toDF("text")
+      def spec(nLanes: Int, group: Int) = df.select(expr(
+        s"""transform(sequence(0, ${nLanes - 1}), j ->
+           aggregate(filter(sequence(1, length(text)), p -> ((p - 1) % ${nLanes * group}) div $group = j),
+             0L, (acc, p) -> acc + ascii(substring(text, p, 1))))""")
+        .as("l")).collect().map(_.getSeq[Long](0)).toSeq
+      def native(nLanes: Int, group: Int) = df
+        .select(lane_sums(col("text"), nLanes, group).as("l"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      native(8, 1) == spec(8, 1) && native(4, 2) == spec(4, 2)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dot_product over float and double arrays") {
     val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
