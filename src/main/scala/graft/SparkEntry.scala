@@ -84,6 +84,8 @@ object SparkEntry {
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "window_ntile" -> (Relational.windowNtile _),
     "agg_pivot" -> (Relational.aggPivot _),
     "window_topk" -> (Relational.windowTopk _),
     "window_topk_agg" -> ((s: SparkSession, d: String) => Relational.windowTopkAgg(s, d)),
@@ -106,6 +108,7 @@ object SparkEntry {
     "sample_mixture" -> (Sampling.sampleMixture _),
     "embed_quantize" -> (TextSim.embedQuantize _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
@@ -122,6 +125,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextSim.textFingerprint _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextQuality.textTfidf(s, d)),
     "quality_filter" -> (TextQuality.qualityFilter _),
+    "text_repetition" -> (TextQuality.textRepetition _),
     "pii_redact" -> (TextQuality.piiRedact _),
     "dedup_exact" -> (TextSim.dedupExact _),
     "dedup_canonical" -> (TextSim.dedupCanonical _),
@@ -256,6 +260,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "agg_pivot" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
@@ -358,6 +372,44 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start,
+        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s)
+        |SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c WHERE chunk_start = 0 OR len(chunk) > 32
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t2),
+        |cnt AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
+        |best AS (SELECT doc_id, gram, n FROM (
+        |    SELECT doc_id, gram, n,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+        |    FROM cnt) WHERE rn = 1),
+        |g5 AS (SELECT doc_id,
+        |    CAST(len(list_distinct(l5)) AS DOUBLE) / len(l5) AS r5
+        |  FROM (SELECT doc_id, list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |        toks[i + 3] || ' ' || toks[i + 4]) AS l5
+        |    FROM t2 WHERE len(toks) >= 5))
+        |SELECT t2.doc_id, CAST(t2.n AS BIGINT) AS n_tokens,
+        |  b.gram AS top_bigram, CAST(b.n AS BIGINT) AS top_bigram_n,
+        |  round(CAST(b.n AS DOUBLE) / (t2.n - 1), 6) AS top_bigram_frac,
+        |  round(g5.r5, 6) AS distinct_5gram_ratio
+        |FROM t2 JOIN best b USING (doc_id) LEFT JOIN g5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "scan_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey BETWEEN 1 AND 40 AND l_suppkey BETWEEN 1 AND 10

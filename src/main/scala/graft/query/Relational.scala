@@ -154,6 +154,43 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** B7 sibling: explicit GROUPING SETS — the general form ROLLUP/CUBE
+    * specialize. Two independent one-dimension panels (per-nation, per-
+    * segment) plus the grand total in ONE pass over the join: Expand
+    * replicates each input row once per set, then a single hash
+    * aggregation — at 100 TB this beats three separate scans+aggs by 3×
+    * on input volume. Same spark.sql form as [[aggRollup]] (the
+    * DataFrame rollup-over-join form trips DetectAmbiguousSelfJoin in
+    * Spark 4.1). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("graft_customer")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** NTILE window: quartile of each order's price within its priority
+    * class. The frame-free ranking window shape: one hash shuffle on the
+    * partition key, per-partition sort, no cross-partition state. The
+    * ORDER BY carries a unique tiebreaker (o_orderkey) so tile edges are
+    * deterministic across engines and partitionings. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "quartile")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** B7 sibling: CUBE over (returnflag, linestatus). */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

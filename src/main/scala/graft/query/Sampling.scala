@@ -83,4 +83,35 @@ object Sampling {
         ((col("cum") - col("n_tokens")) % capacity).as("bin_offset"))
       .orderBy("source", "doc_id")
   }
+
+  /** Overlapping token-window chunking — the document-splitting step of
+    * an embedding / retrieval pipeline (window `win`, stride `stride`,
+    * stride < win ⇒ consecutive chunks overlap by win−stride tokens).
+    * Redundant tail starts (a final window fully contained in the
+    * previous one) are pruned by the `start = 0 OR len > win − stride`
+    * rule, so every emitted chunk contributes tokens no earlier chunk
+    * covered. Scale shape: chunk starts are GENERATED per row
+    * (`sequence(0, n−1, stride)`) and exploded scan-side — no shuffle,
+    * no driver loop; the fan-out is ⌈n/stride⌉ per document by
+    * construction. Emits positions + an md5 of the chunk text (the
+    * driver-hashable digest form). */
+  def docChunk(spark: SparkSession, dir: String,
+      win: Int = 64, stride: Int = 32): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextSim.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - 1, $stride)"))
+          .as("chunk_start"),
+        col("toks"))
+      .withColumn("chunk", expr(s"slice(toks, chunk_start + 1, $win)"))
+      .withColumn("n_chunk_tokens", size(col("chunk")).cast("long"))
+      .filter(col("chunk_start") === 0 ||
+        col("n_chunk_tokens") > (win - stride))
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long"),
+        col("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
 }

@@ -122,6 +122,68 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher repetition rules adapted to
+    * newline-free corpora): the most-frequent token BIGRAM and the share
+    * of bigram slots it covers, plus the distinct-5-gram ratio (how much
+    * of the document is recycled phrasing). A doc whose top bigram
+    * covers a large share, or whose 5-grams mostly repeat, is
+    * boilerplate/spam — these two signals catch what the per-token
+    * rules in [[qualityFilter]] miss.
+    *
+    * Scale shape: ZERO shuffle. The per-doc bigram mode is computed
+    * scan-side — sort the doc's bigram array, then a single
+    * higher-order `aggregate` finds the longest run (count-desc,
+    * gram-asc tie-break falls out of the ascending sort + strict `>`
+    * update). No explode, no groupBy: at 100 TB this stays a projected
+    * scan, where the explode+count form would shuffle one row per
+    * bigram occurrence. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.load(spark, dir, "documents"))
+
+  /** [[textRepetition]]'s core over any (doc_id, text) frame. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    // longest run in the sorted bigram list = (count, gram) of the mode;
+    // ties keep the lexicographically smallest gram (first in sort order,
+    // preserved by the strict > update)
+    val mode = expr(
+      """aggregate(
+        |  array_sort(g2),
+        |  struct(cast('' as string) as prev, cast(0 as bigint) as run,
+        |         cast(0 as bigint) as best_n, cast('' as string) as best_g),
+        |  (acc, x) -> struct(
+        |    x as prev,
+        |    cast(if(x = acc.prev, acc.run + 1, 1) as bigint) as run,
+        |    cast(if(if(x = acc.prev, acc.run + 1, 1) > acc.best_n,
+        |           if(x = acc.prev, acc.run + 1, 1), acc.best_n) as bigint)
+        |      as best_n,
+        |    if(if(x = acc.prev, acc.run + 1, 1) > acc.best_n, x, acc.best_g)
+        |      as best_g),
+        |  acc -> struct(acc.best_n as n, acc.best_g as g))""".stripMargin)
+    docs
+      .withColumn("toks", TextSim.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("g2", expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin))
+      .withColumn("mode", mode)
+      .withColumn("r5", expr(
+        """case when size(toks) >= 5 then
+          |  cast(size(array_distinct(transform(sequence(1, size(toks) - 4),
+          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |      element_at(toks, i + 2), element_at(toks, i + 3),
+          |      element_at(toks, i + 4))))) as double) / (size(toks) - 4)
+          |end""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"),
+        col("mode.g").as("top_bigram"),
+        col("mode.n").as("top_bigram_n"),
+        round(col("mode.n").cast("double") / (col("n_tokens") - 1), 6)
+          .as("top_bigram_frac"),
+        round(col("r5"), 6).as("distinct_5gram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: count and mask emails / phone numbers / URLs.
     *
     * The synthetic corpus carries no PII, so a deterministic planted

@@ -31,6 +31,33 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("doc_chunk: full coverage, fixed overlap, no redundant tails") {
+    val win = 16
+    val stride = 8
+    val out = Sampling.docChunk(spark, dir, win, stride).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextSim.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === docs.filter(_._2 > 0).keySet)
+    out.foreach { case (docId, rows) =>
+      val n = docs(docId)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      val starts = sorted.map(_.getAs[Long]("chunk_start"))
+      val lens = sorted.map(_.getAs[Long]("n_chunk_tokens"))
+      // every token covered: chunks start at 0, consecutive starts gap
+      // ≤ win (overlap ⇒ gap = stride), last chunk reaches the end
+      assert(starts.head === 0L)
+      assert(starts.zip(starts.tail).forall { case (a, b) => b - a == stride })
+      assert(starts.last + lens.last === n, s"doc $docId tail uncovered")
+      // no redundant tails: every non-first chunk adds > win-stride tokens
+      assert(sorted.tail.forall(_.getAs[Long]("n_chunk_tokens") > win - stride))
+      // interior chunks are full windows
+      assert(lens.dropRight(1).forall(_ === win.toLong))
+    }
+  }
+
   test("pack_sequences: offsets stay within capacity and bins are contiguous per shard") {
     val out = Sampling.packSequences(spark, dir, capacity = 512).collect()
     assert(out.nonEmpty)

@@ -11,6 +11,64 @@ class TextQualitySpec extends SparkSuite {
 
   private val dir = TestSpark.sfDir
 
+  test("text_repetition: scan-side mode agrees with explode+groupBy brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextQuality.textRepetition(spark, dir)
+      .select("doc_id", "top_bigram", "top_bigram_n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // brute force: one row per bigram occurrence, count, argmax with the
+    // same (count desc, gram asc) tie-break
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextSim.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("gram").asc)
+    val brute = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("gram"), r.getAs[Long]("n"))).toMap
+    assert(out === brute)
+  }
+
+  test("text_repetition: zero data shuffle (only the final presentation sort)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashEx = TextQuality.textRepetition(spark, dir)
+      .queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+    assert(hashEx.isEmpty,
+      "per-doc mode must be computed scan-side, not via a keyed shuffle")
+  }
+
+  test("text_repetition: planted repetitive vs diverse docs score as expected") {
+    import spark.implicits._
+    // doc 1: 20× "spam ham" ⇒ "ham spam" and "spam ham" runs; top bigram
+    // count 20 ("spam ham"), 19 ("ham spam") — tie-break irrelevant;
+    // distinct 5-grams collapse to 2. doc 2: all-distinct tokens ⇒ every
+    // bigram count 1 (tie → lexicographically smallest), ratio 1.0.
+    val planted = Seq((1L, ("spam ham " * 20).trim),
+        (2L, (1 to 40).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextQuality.repetitionOf(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = out(1L)
+    assert(rep.getAs[String]("top_bigram") === "spam ham")
+    assert(rep.getAs[Long]("top_bigram_n") === 20L)
+    assert(rep.getAs[Double]("distinct_5gram_ratio") < 0.06) // 2/36
+    val div = out(2L)
+    assert(div.getAs[Long]("top_bigram_n") === 1L)
+    assert(div.getAs[String]("top_bigram") === "w01 w02") // smallest gram
+    assert(div.getAs[Double]("distinct_5gram_ratio") === 1.0)
+  }
+
   test("tfidf: scores non-increasing in rank, at most 5 per doc") {
     val rows = TextQuality.textTfidf(spark, dir)
       .select("doc_id", "rank", "tfidf")
