@@ -23,6 +23,25 @@ import graft.core.Tables.{dec2, moneyAvg, moneySum}
   */
 object Relational {
 
+  /** Run SQL against uniquely-named temp views of the given tables.
+    *
+    * View names carry a per-call uuid so two concurrent queries on one
+    * SparkSession can never race on a shared view definition (the old
+    * fixed `graft_customer` names made aggRollup/aggGroupingSets
+    * session-global mutations). Spark analyzes the statement EAGERLY
+    * inside `spark.sql`, so the views are safe to drop before the
+    * returned DataFrame ever executes. */
+  private[query] def viaSql(spark: SparkSession, dir: String,
+      tables: String*)(build: Map[String, String] => String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val names = tables.map(t => t -> s"graft_${t}_$suffix").toMap
+    names.foreach { case (t, v) =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(v)
+    }
+    try spark.sql(build(names))
+    finally names.values.foreach(spark.catalog.dropTempView)
+  }
+
   /** B1: predicate + projection; both must reach the parquet scan
     * (PushedFilters / ReadSchema). */
   def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
@@ -139,20 +158,18 @@ object Relational {
     * explicitly). Expressed via spark.sql: the DataFrame rollup-over-join
     * form trips a DetectAmbiguousSelfJoin false positive in Spark 4.1
     * (Expand duplicates dataset-id-tagged attributes). */
-  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "customer")
-      .createOrReplaceTempView("graft_customer")
-    Tables.load(spark, dir, "nation").createOrReplaceTempView("graft_nation")
-    spark.sql(
-      """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
-        |  count(*) AS n_customers,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_acctbal
-        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP(n_name, c_mktsegment)
-        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
-        |""".stripMargin)
-  }
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    viaSql(spark, dir, "customer", "nation") { v =>
+      s"""SELECT /*+ BROADCAST(${v("nation")}) */ n_name, c_mktsegment,
+         |  count(*) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_acctbal
+         |FROM ${v("customer")} JOIN ${v("nation")}
+         |  ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, c_mktsegment)
+         |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+         |""".stripMargin
+    }
 
   /** B7 sibling: explicit GROUPING SETS — the general form ROLLUP/CUBE
     * specialize. Two independent one-dimension panels (per-nation, per-
@@ -162,20 +179,18 @@ object Relational {
     * on input volume. Same spark.sql form as [[aggRollup]] (the
     * DataFrame rollup-over-join form trips DetectAmbiguousSelfJoin in
     * Spark 4.1). */
-  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "customer")
-      .createOrReplaceTempView("graft_customer")
-    Tables.load(spark, dir, "nation").createOrReplaceTempView("graft_nation")
-    spark.sql(
-      """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
-        |  count(*) AS n_customers,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_acctbal
-        |FROM graft_customer JOIN graft_nation ON c_nationkey = n_nationkey
-        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
-        |""".stripMargin)
-  }
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    viaSql(spark, dir, "customer", "nation") { v =>
+      s"""SELECT /*+ BROADCAST(${v("nation")}) */ n_name, c_mktsegment,
+         |  count(*) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_acctbal
+         |FROM ${v("customer")} JOIN ${v("nation")}
+         |  ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+         |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+         |""".stripMargin
+    }
 
   /** NTILE window: quartile of each order's price within its priority
     * class. The frame-free ranking window shape: one hash shuffle on the
