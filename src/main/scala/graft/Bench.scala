@@ -30,11 +30,13 @@ object Bench {
     benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // two timed passes, min per query: single-run numbers on a shared
-    // box swing up to 3× on transient load/GC; the per-query minimum is
-    // the reproducible steady-state cost (standard benchmarking practice).
-    // A crashing query records NO time — a sentinel (-1) plus an errors
-    // list, so a regression to "query throws" can never read as a speedup.
+    // three timed passes, MEDIAN per query: single-run numbers on a
+    // shared box swing up to 3× on transient load/GC (the r4→r5 "drift"
+    // was exactly this noise); the median of three is robust to one
+    // outlier pass in either direction, where min-of-two still tracked
+    // a single lucky run. A crashing query records NO time — a sentinel
+    // (-1) plus an errors list, so a regression to "query throws" can
+    // never read as a speedup.
     def timedPass(): Map[String, Option[Double]] =
       benched.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -42,12 +44,13 @@ object Bench {
           catch { case _: Throwable => false }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    val passes = Seq.fill(3)(timedPass())
     // sorted key order: stable JSON across rounds for line-based diffs
-    val results = p1.keys.toSeq.sorted.map { k =>
-      k -> ((p1(k), p2(k)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b) => a.orElse(b)
+    val results = passes.head.keys.toSeq.sorted.map { k =>
+      val times = passes.flatMap(_(k)).sorted
+      k -> (times.length match {
+        case 0 => None
+        case n => Some(times(n / 2)) // odd n → true median; n=2 → upper
       })
     }
     val qs = results.map { case (k, v) =>

@@ -79,6 +79,9 @@ object SparkEntry {
     "q5_multi_join_agg" -> (Relational.q5MultiJoinAgg _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
+    "join_outer_left" -> (Relational.joinOuterLeft _),
+    "join_outer_full" -> (Relational.joinOuterFull _),
+    "orders_with_exists" -> (Relational.ordersWithExists _),
     "agg_distinct" -> (Relational.aggDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_percentile" -> (Relational.aggPercentile _),
@@ -118,6 +121,7 @@ object SparkEntry {
     "events_props" -> (Events.propsExtract _),
     "events_funnel" -> (Events.funnel _),
     "curate_budget" -> ((s: SparkSession, d: String) => TextQuality.curateBudget(s, d)),
+    "curate_e2e" -> ((s: SparkSession, d: String) => TextQuality.curateE2e(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -240,6 +244,33 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
     "join_anti" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    "join_outer_left" ->
+      """WITH r AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS returned_qty,
+        |    CAST(count(*) AS BIGINT) AS n_returned_items
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, returned_qty, n_returned_items
+        |FROM orders LEFT JOIN r ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_outer_full" ->
+      """WITH u AS (SELECT o_custkey AS ck_u, CAST(count(*) AS BIGINT) AS n_urgent,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_spend
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |l AS (SELECT o_custkey AS ck_l, CAST(count(*) AS BIGINT) AS n_low,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS low_spend
+        |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+        |SELECT coalesce(ck_u, ck_l) AS custkey, n_urgent, urgent_spend, n_low, low_spend
+        |FROM u FULL OUTER JOIN l ON ck_u = ck_l
+        |ORDER BY custkey""".stripMargin,
+    "orders_with_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  CAST(count(*) AS BIGINT) AS n_orders,
@@ -388,7 +419,8 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |    list_slice(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0), 1, 4096) AS toks
         |  FROM documents),
         |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
@@ -592,6 +624,45 @@ object SparkEntry {
         |    WHEN top_token_ratio > 0.12 THEN 'repetitive' ELSE 'ok' END AS reason FROM m)
         |SELECT doc_id, n_words, distinct_ratio, top_token_ratio, reason, reason = 'ok' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "curate_e2e" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
+        |    AND round(CAST(list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) <= 0.12),
+        |c AS (SELECT *, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |    THEN md5(text)
+        |    ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |  FROM q),
+        |d AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn FROM c)
+        |  WHERE rn = 1),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |m AS (SELECT * FROM d
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |        WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |        ELSE 'c0' END),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
     "pii_redact" ->
       """WITH p AS (SELECT doc_id, text || CASE
         |    WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com'

@@ -30,16 +30,23 @@ object Relational {
     * fixed `graft_customer` names made aggRollup/aggGroupingSets
     * session-global mutations). Spark analyzes the statement EAGERLY
     * inside `spark.sql`, so the views are safe to drop before the
-    * returned DataFrame ever executes. */
+    * returned DataFrame ever executes. CLASSIC-SPARK CONSTRAINT: under
+    * Spark Connect analysis is lazy — the views would be gone before
+    * resolution; porting this helper there means forcing analysis
+    * (touch `df.queryExecution.analyzed`) before the finally runs. */
   private[query] def viaSql(spark: SparkSession, dir: String,
       tables: String*)(build: Map[String, String] => String): DataFrame = {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
     val names = tables.map(t => t -> s"graft_${t}_$suffix").toMap
-    names.foreach { case (t, v) =>
-      Tables.load(spark, dir, t).createOrReplaceTempView(v)
-    }
-    try spark.sql(build(names))
-    finally names.values.foreach(spark.catalog.dropTempView)
+    // view creation sits INSIDE the try: if a later table fails to load,
+    // the finally still drops the views that were already registered
+    // (dropTempView on a never-created name is a no-op, not an error)
+    try {
+      names.foreach { case (t, v) =>
+        Tables.load(spark, dir, t).createOrReplaceTempView(v)
+      }
+      spark.sql(build(names))
+    } finally names.values.foreach(spark.catalog.dropTempView)
   }
 
   /** B1: predicate + projection; both must reach the parquet scan
@@ -121,6 +128,73 @@ object Relational {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
   }
+
+  /** LEFT OUTER join — every order, null-extended with its returned-item
+    * rollup (lineitems with l_returnflag = 'R'). The most common
+    * relational op after inner join; the aggregate-then-outer-join shape
+    * is the standard "fact with optional satellite rollup" pattern. The
+    * build side is pre-aggregated to one row per orderkey, so the output
+    * stays one row per order (o_orderkey is unique in orders — a total
+    * ORDER BY). Orders with no returns prove the null extension. At
+    * scale: both sides shuffle once on orderkey (sort-merge); the
+    * aggregation is partial map-side first. */
+  def joinOuterLeft(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val returns = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(moneySum(col("l_quantity")).as("returned_qty"),
+        count(lit(1)).as("n_returned_items"))
+    orders.join(returns, orders("o_orderkey") === returns("l_orderkey"),
+        "left")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "returned_qty", "n_returned_items")
+      .orderBy("o_orderkey")
+  }
+
+  /** FULL OUTER join — per-customer urgent-order panel ⋈ low-priority
+    * panel, keyed on custkey: customers appear whether they have only
+    * urgent orders (right side null), only low (left side null), or
+    * both. Both inputs are grouped to one row per key, so
+    * coalesce(ck_u, ck_l) is unique — a total ORDER BY. Full outer
+    * cannot broadcast either side (both must null-extend), so the plan
+    * is a single sort-merge shuffle on the key — exactly what it should
+    * be at 100 TB. */
+  def joinOuterFull(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def panel(priority: String, ck: String, n: String, spend: String) =
+      orders.filter(col("o_orderpriority") === priority)
+        .groupBy(col("o_custkey").as(ck))
+        .agg(count(lit(1)).as(n),
+          moneySum(col("o_totalprice")).as(spend))
+    val urgent = panel("1-URGENT", "ck_u", "n_urgent", "urgent_spend")
+    val low = panel("5-LOW", "ck_l", "n_low", "low_spend")
+    urgent.join(low, col("ck_u") === col("ck_l"), "full_outer")
+      .select(coalesce(col("ck_u"), col("ck_l")).as("custkey"),
+        col("n_urgent"), col("urgent_spend"), col("n_low"),
+        col("low_spend"))
+      .orderBy("custkey")
+  }
+
+  /** Correlated EXISTS subquery (TPC-H Q4 shape): orders in a one-year
+    * window having at least one returned lineitem, counted by priority.
+    * Expressed as SQL EXISTS — the planner path a SQL user actually
+    * takes — which Catalyst decorrelates into a left semi join
+    * (RewritePredicateSubquery); OuterJoinSpec asserts the physical plan
+    * really is a semi join, not a per-row subquery. The oracle twin is
+    * the same statement. */
+  def ordersWithExists(spark: SparkSession, dir: String): DataFrame =
+    viaSql(spark, dir, "orders", "lineitem") { v =>
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM ${v("orders")} o
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM ${v("lineitem")} l
+         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority
+         |""".stripMargin
+    }
 
   /** B4b: customers with no orders (left anti). */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {

@@ -97,7 +97,20 @@ object Sampling {
     * driver-hashable digest form). */
   def docChunk(spark: SparkSession, dir: String,
       win: Int = 64, stride: Int = 32): DataFrame =
-    Tables.load(spark, dir, "documents")
+    chunkOf(Tables.load(spark, dir, "documents"), win, stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** [[docChunk]]'s core over any (doc_id, text) frame — per-row
+    * stateless column algebra, so the SAME plan runs on a batch frame
+    * and inside a streaming micro-batch
+    * ([[graft.streaming.DocChunkStream]]). No ordering here: a stream
+    * cannot globally sort; the batch key adds its presentation ORDER BY
+    * on top. */
+  def chunkOf(docs: DataFrame, win: Int = 64, stride: Int = 32)
+      : DataFrame = {
+    require(stride > 0 && stride <= win,
+      s"stride must be in (0, win]: stride=$stride win=$win")
+    docs
       .withColumn("toks", TextSim.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -109,9 +122,11 @@ object Sampling {
       .filter(col("chunk_start") === 0 ||
         col("n_chunk_tokens") > (win - stride))
       .select(col("doc_id"),
-        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        // integer division: `/` would be double-divide-then-truncate,
+        // exact only while chunk_start is a stride multiple
+        expr(s"chunk_start DIV $stride").as("chunk_idx"),
         col("chunk_start").cast("long"),
         col("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
+  }
 }

@@ -62,6 +62,74 @@ object TextQuality {
       .orderBy("source", "doc_id")
   }
 
+  /** End-to-end curation pipeline — the five stages a pretraining corpus
+    * actually goes through, composed as ONE lazy plan (no intermediate
+    * writes, no driver barriers between stages):
+    *
+    *   1. quality gate   — [[qualityFilter]]'s Gopher rules (keep only
+    *                       `reason = ok`)
+    *   2. canonical dedup — first doc per [[TextSim.canonicalMd5]] group
+    *                       among the quality survivors
+    *   3. decontamination — drop the eval split itself (doc_id % 50 = 0)
+    *                       and any training doc sharing ≥2 distinct
+    *                       4-gram shingles with an eval doc
+    *                       ([[TextSim.decontaminate]] reused as-is)
+    *   4. mixture sampling — per-source hash-threshold rates
+    *                       ([[Sampling.sampleMixture]]'s thresholds)
+    *   5. sequence packing — per-source capacity bins
+    *                       ([[Sampling.packSequences]]'s window)
+    *
+    * Stage order is semantic, not incidental: dedup picks its canonical
+    * representative among quality-passing docs, decontamination sees the
+    * deduped corpus, and packing bins only the final survivors. Scale
+    * shape: stages 1 and 4 are scan-side predicates; stage 2 is one
+    * hash-partitioned window; stage 3 is a broadcast anti-join (the
+    * contaminated-id set is benchmark-sized, MBs against a TB corpus);
+    * stage 5 is one per-source window. Total: two shuffles on the big
+    * side plus the broadcast — five jobs' worth of curation in one
+    * pipeline. */
+  def curateE2e(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame = {
+    // stage 1: quality gate (rule expressions identical to qualityFilter
+    // — comparisons are over the ROUNDED ratios, the parity surface)
+    val topTokCount = array_max(transform(array_distinct(col("toks")),
+      t => size(filter(col("toks"), x => x === t))))
+    val nWords = size(col("toks")).cast("long")
+    val kept = docsTok(spark, dir)
+      .withColumn("n_tokens", nWords)
+      .filter(col("n_tokens") >= 20 &&
+        round(size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens"), 6) >= 0.45 &&
+        round(topTokCount.cast("double") / col("n_tokens"), 6) <= 0.12)
+    // stage 2: canonical dedup among the survivors
+    val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    val deduped = kept
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+    // stage 3: decontamination (contaminated ids from the SAME operator
+    // users run standalone; eval split leaves the training corpus too)
+    val contaminated = TextSim.decontaminate(spark, dir)
+      .select("doc_id").distinct()
+    val clean = deduped
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // stage 4: mixture sampling (sampleMixture's per-source thresholds)
+    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+    val thr = when(grp === 0, "0d").when(grp === 1, "26")
+      .when(grp === 2, "59").otherwise("c0")
+    val mixed = clean.filter(md5(col("doc_id").cast("string")) < thr)
+    // stage 5: pack the survivors into capacity bins per source shard
+    val wPack = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("cum", sum(col("n_tokens")).over(wPack))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $capacity").as("bin"),
+        ((col("cum") - col("n_tokens")) % capacity).as("bin_offset"))
+      .orderBy("source", "doc_id")
+  }
+
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus
@@ -136,12 +204,25 @@ object TextQuality {
     * gram-asc tie-break falls out of the ascending sort + strict `>`
     * update). No explode, no groupBy: at 100 TB this stays a projected
     * scan, where the explode+count form would shuffle one row per
-    * bigram occurrence. */
+    * bigram occurrence. Per-row memory is BOUNDED: analysis looks at
+    * the first `maxTokens` tokens only (`slice`), so the token, bigram
+    * and 5-gram arrays that materialize together per row are capped by
+    * construction — an adversarial 10M-token document costs the same as
+    * a `maxTokens`-token one. The cap is part of the operator contract
+    * and is mirrored in the DuckDB oracle twin (same honesty pattern as
+    * [[TextSim.dedupNgram]]'s document-frequency cap). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(Tables.load(spark, dir, "documents"))
 
+  /** Analysis window for [[repetitionOf]]: repetition signals stabilize
+    * well before this many tokens; beyond it, more tokens only cost
+    * memory. Mirrored in the oracle twin in SparkEntry. */
+  val RepetitionMaxTokens = 4096
+
   /** [[textRepetition]]'s core over any (doc_id, text) frame. */
-  def repetitionOf(docs: DataFrame): DataFrame = {
+  def repetitionOf(docs: DataFrame,
+      maxTokens: Int = RepetitionMaxTokens): DataFrame = {
+    require(maxTokens >= 2, s"maxTokens must be >= 2: $maxTokens")
     // longest run in the sorted bigram list = (count, gram) of the mode;
     // ties keep the lexicographically smallest gram (first in sort order,
     // preserved by the strict > update)
@@ -160,7 +241,7 @@ object TextQuality {
         |      as best_g),
         |  acc -> struct(acc.best_n as n, acc.best_g as g))""".stripMargin)
     docs
-      .withColumn("toks", TextSim.tokens(col("text")))
+      .withColumn("toks", slice(TextSim.tokens(col("text")), 1, maxTokens))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") >= 2)
       .withColumn("g2", expr(

@@ -21,18 +21,9 @@ class PlanAuditSpec extends SparkSuite {
   // scores against a 16-row broadcast centroid model
   private val bnljAllowed = Set("similarity_topk", "similarity_ivf")
 
-  /** AQE wraps the real operators in leaf-like nodes (AdaptiveSparkPlan,
-    * query stages) that TreeNode.collect does NOT descend into — recurse
-    * through them or the whole audit is vacuous. */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => Nil
-    }
-    p +: (p.children ++ inner).flatMap(allNodes)
-  }
+  // AQE-aware traversal lives in [[PlanNodes]] — shared by every
+  // plan-shape suite so no assertion can go vacuously green again.
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanNodes.all(p)
 
   test("no cartesian product; every parquet scan is column-pruned") {
     val dir = TestSpark.sfDir

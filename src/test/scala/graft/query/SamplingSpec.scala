@@ -58,6 +58,32 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("doc_chunk: invariants hold across (win, stride) combos; bad strides rejected") {
+    // stride == win (no overlap), stride < win (overlap), non-divisor
+    // strides where float division would round the index wrong
+    for ((win, stride) <- Seq((16, 16), (16, 8), (10, 3), (7, 5), (64, 32))) {
+      val rows = Sampling.docChunk(spark, dir, win, stride).collect()
+      assert(rows.nonEmpty, s"(win=$win stride=$stride) produced no chunks")
+      rows.foreach { r =>
+        val (start, idx) =
+          (r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_idx"))
+        assert(start % stride === 0L, s"start $start not a stride multiple")
+        assert(idx === start / stride,
+          s"(win=$win stride=$stride) idx $idx != $start div $stride")
+        val len = r.getAs[Long]("n_chunk_tokens")
+        assert(len >= 1L && len <= win.toLong)
+      }
+      // idx is dense per doc: 0..k with no gaps
+      rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+        val idxs = rs.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+        assert(idxs === (0L until idxs.length.toLong).toSeq,
+          s"doc $d chunk_idx not dense: $idxs")
+      }
+    }
+    intercept[IllegalArgumentException](Sampling.docChunk(spark, dir, 16, 0))
+    intercept[IllegalArgumentException](Sampling.docChunk(spark, dir, 16, 17))
+  }
+
   test("pack_sequences: offsets stay within capacity and bins are contiguous per shard") {
     val out = Sampling.packSequences(spark, dir, capacity = 512).collect()
     assert(out.nonEmpty)

@@ -39,13 +39,40 @@ class TextQualitySpec extends SparkSuite {
   test("text_repetition: zero data shuffle (only the final presentation sort)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    val hashEx = TextQuality.textRepetition(spark, dir)
-      .queryExecution.executedPlan.collect {
+    def hashShuffles(df: org.apache.spark.sql.DataFrame) =
+      graft.PlanNodes.all(df).collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }
-    assert(hashEx.isEmpty,
+    // sensitivity guard: the traversal MUST see the shuffle in a plan
+    // that definitely has one — with AQE on, a bare `.collect` over
+    // executedPlan stops at the AdaptiveSparkPlanExec wrapper and this
+    // whole test goes vacuously green (PlanAuditSpec documents the trap)
+    val grouped = graft.core.Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)))
+    assert(hashShuffles(grouped).nonEmpty,
+      "plan traversal is AQE-blind — zero-shuffle assertion is vacuous")
+    assert(hashShuffles(TextQuality.textRepetition(spark, dir)).isEmpty,
       "per-doc mode must be computed scan-side, not via a keyed shuffle")
+  }
+
+  test("text_repetition: per-row analysis window caps at maxTokens") {
+    import spark.implicits._
+    // 3 tokens, cap 2 ⇒ only the first bigram is visible; n_tokens
+    // reports the ANALYZED count (the operator contract, mirrored in
+    // the oracle twin's list_slice)
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val r = TextQuality.repetitionOf(docs, maxTokens = 2).collect().head
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    assert(r.getAs[String]("top_bigram") === "a b")
+    assert(r.getAs[Long]("top_bigram_n") === 1L)
+    // default cap leaves the fixture corpus untouched: every doc is
+    // far below RepetitionMaxTokens, so capped == uncapped
+    val capped = TextQuality.textRepetition(spark, dir).collect()
+    val uncapped = TextQuality
+      .repetitionOf(graft.core.Tables.load(spark, dir, "documents"),
+        maxTokens = Int.MaxValue).collect()
+    assert(capped === uncapped)
   }
 
   test("text_repetition: planted repetitive vs diverse docs score as expected") {
