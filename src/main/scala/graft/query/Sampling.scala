@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -50,17 +50,23 @@ object Sampling {
     * under re-ingestion, and engine-portable. Still a pure scan-side
     * predicate: the per-row threshold is derived from the row's own
     * `source` column — no join, no shuffle, at any corpus size. */
-  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
-    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
-    val thr = when(grp === 0, "0d")   // ≈  5%
-      .when(grp === 1, "26")          // ≈ 15%
-      .when(grp === 2, "59")          // ≈ 35%
-      .otherwise("c0")                // ≈ 75%
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .withColumn("mix_threshold", thr)
+      .withColumn("mix_threshold", mixtureThreshold)
       .filter(md5(col("doc_id").cast("string")) < col("mix_threshold"))
       .select("doc_id", "source", "mix_threshold")
       .orderBy("doc_id")
+
+  /** The per-source mixing-rate table (hex thresholds on md5(doc_id)) —
+    * THE single definition; [[sampleMixture]] and
+    * [[TextQuality.curateE2e]] both read it, so a rate change cannot
+    * drift between the standalone key and the composed pipeline. */
+  private[query] def mixtureThreshold: Column = {
+    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+    when(grp === 0, "0d")   // ≈  5%
+      .when(grp === 1, "26") // ≈ 15%
+      .when(grp === 2, "59") // ≈ 35%
+      .otherwise("c0")       // ≈ 75%
   }
 
   /** Sequence packing (concat-and-split): lay documents end to end in
@@ -71,17 +77,26 @@ object Sampling {
     * global ordering would serialize). Emits each document's bin and
     * intra-bin offset. */
   def packSequences(spark: SparkSession, dir: String,
-      capacity: Int = 2048): DataFrame = {
+      capacity: Int = 2048): DataFrame =
+    packBins(Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens",
+          size(TextSim.tokens(col("text"))).cast("long")),
+      capacity)
+      .orderBy("source", "doc_id")
+
+  /** The bin/offset algebra over any (source, doc_id, n_tokens) frame —
+    * THE single definition; [[packSequences]] and
+    * [[TextQuality.curateE2e]] both run it. No ordering here (the batch
+    * key adds its presentation sort). */
+  private[query] def packBins(docs: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "documents")
-      .withColumn("n_tokens",
-        size(TextSim.tokens(col("text"))).cast("long"))
+    docs
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) DIV $capacity").as("bin"),
         ((col("cum") - col("n_tokens")) % capacity).as("bin_offset"))
-      .orderBy("source", "doc_id")
   }
 
   /** Overlapping token-window chunking — the document-splitting step of

@@ -90,17 +90,12 @@ object TextQuality {
     * pipeline. */
   def curateE2e(spark: SparkSession, dir: String,
       capacity: Int = 2048): DataFrame = {
-    // stage 1: quality gate (rule expressions identical to qualityFilter
-    // — comparisons are over the ROUNDED ratios, the parity surface)
-    val topTokCount = array_max(transform(array_distinct(col("toks")),
-      t => size(filter(col("toks"), x => x === t))))
-    val nWords = size(col("toks")).cast("long")
-    val kept = docsTok(spark, dir)
-      .withColumn("n_tokens", nWords)
-      .filter(col("n_tokens") >= 20 &&
-        round(size(array_distinct(col("toks"))).cast("double") /
-          col("n_tokens"), 6) >= 0.45 &&
-        round(topTokCount.cast("double") / col("n_tokens"), 6) <= 0.12)
+    // stage 1: quality gate — the SAME rule definition qualityFilter
+    // serves ([[withQualitySignals]]), keep ⇔ reason = ok
+    val kept = withQualitySignals(docsTok(spark, dir))
+      .filter(col("reason") === "ok")
+      .withColumn("n_tokens", col("n_words"))
+      .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")
     // stage 2: canonical dedup among the survivors
     val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
     val deduped = kept
@@ -114,19 +109,11 @@ object TextQuality {
     val clean = deduped
       .filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    // stage 4: mixture sampling (sampleMixture's per-source thresholds)
-    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
-    val thr = when(grp === 0, "0d").when(grp === 1, "26")
-      .when(grp === 2, "59").otherwise("c0")
-    val mixed = clean.filter(md5(col("doc_id").cast("string")) < thr)
-    // stage 5: pack the survivors into capacity bins per source shard
-    val wPack = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mixed
-      .withColumn("cum", sum(col("n_tokens")).over(wPack))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"(cum - n_tokens) DIV $capacity").as("bin"),
-        ((col("cum") - col("n_tokens")) % capacity).as("bin_offset"))
+    // stage 4: mixture sampling — sampleMixture's threshold table
+    val mixed = clean.filter(
+      md5(col("doc_id").cast("string")) < Sampling.mixtureThreshold)
+    // stage 5: pack the survivors — packSequences' bin algebra
+    Sampling.packBins(mixed, capacity)
       .orderBy("source", "doc_id")
   }
 
@@ -169,10 +156,22 @@ object TextQuality {
     *   low_diversity  — distinct-token ratio < 0.45
     *   repetitive     — most-frequent token > 12% of all tokens
     * Pure per-row column algebra — scales as a single projected scan. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    withQualitySignals(docsTok(spark, dir))
+      .select(col("doc_id"), col("n_words"), col("distinct_ratio"),
+        col("top_token_ratio"), col("reason"),
+        (col("reason") === "ok").as("keep"))
+      .orderBy("doc_id")
+
+  /** The Gopher rule signals over any frame carrying `toks` — THE
+    * single definition of the thresholds (20 / 0.45 / 0.12) and their
+    * rounded-ratio comparisons; [[qualityFilter]] and [[curateE2e]]
+    * both read `reason` from here, so a threshold change cannot drift
+    * between the standalone key and the composed pipeline. */
+  private[query] def withQualitySignals(docs: DataFrame): DataFrame = {
     val topTokCount = array_max(transform(array_distinct(col("toks")),
       t => size(filter(col("toks"), x => x === t))))
-    docsTok(spark, dir)
+    docs
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("distinct_ratio",
         round(size(array_distinct(col("toks"))).cast("double") /
@@ -184,10 +183,6 @@ object TextQuality {
           .when(col("distinct_ratio") < 0.45, "low_diversity")
           .when(col("top_token_ratio") > 0.12, "repetitive")
           .otherwise("ok"))
-      .select(col("doc_id"), col("n_words"), col("distinct_ratio"),
-        col("top_token_ratio"), col("reason"),
-        (col("reason") === "ok").as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Repetition signals (the Gopher repetition rules adapted to

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.query.Sampling
@@ -8,13 +9,17 @@ import graft.query.Sampling
 /** Streaming twin of the document chunker (`doc_chunk`): documents
   * arriving on a stream are chunked per micro-batch with EXACTLY the
   * batch operator's plan ([[Sampling.chunkOf]] is per-row stateless
-  * column algebra — no state store, no watermark needed) and appended
-  * to a parquet sink.
+  * column algebra — no state store, no watermark needed) and written
+  * to a parquet sink partitioned by micro-batch id.
   *
-  * Exactly-once story: the checkpointed source replays a failed batch,
-  * and the parquet append is committed through the streaming sink's
-  * batch-id manifest — the same landing-pipeline guarantee IngestStream
-  * documents. At scale the chunk fan-out (⌈n/stride⌉ per doc) happens
+  * Effectively-once story: foreachBatch is at-least-once (a crash
+  * between the sink write and the checkpoint offset commit replays the
+  * batch), so the write must be REPLAY-IDEMPOTENT: each batch
+  * overwrites ONLY its own `batch_id=<n>` partition (dynamic partition
+  * overwrite) — a replayed batch rewrites the same partition with the
+  * same rows instead of appending duplicates. Same guarantee shape as
+  * IngestStream's idempotent merge, keyed here by the deterministic
+  * batch id. At scale the chunk fan-out (⌈n/stride⌉ per doc) happens
   * inside each micro-batch partition; nothing accumulates between
   * triggers. */
 object DocChunkStream {
@@ -23,15 +28,25 @@ object DocChunkStream {
     * `outPath`. foreachBatch (rather than a direct writeStream) so the
     * chunker slots into the landing pipeline next to the other
     * per-batch stages — and the test can assert per-micro-batch
-    * results. */
+    * results. `name` must be unique per active stream on the session. */
   def start(docs: DataFrame, outPath: String, checkpointDir: String,
-      win: Int = 64, stride: Int = 32): StreamingQuery =
+      win: Int = 64, stride: Int = 32,
+      name: String = "graft-doc-chunk"): StreamingQuery = {
+    // fail at start(), not asynchronously at the first trigger
+    require(stride > 0 && stride <= win,
+      s"stride must be in (0, win]: stride=$stride win=$win")
     docs.writeStream
-      .queryName("graft-doc-chunk")
+      .queryName(name)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Sampling.chunkOf(batch, win, stride)
-          .write.mode("append").parquet(outPath)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
       }
       .start()
+  }
 }

@@ -107,17 +107,7 @@ class BucketedUpsertSpec extends SparkSuite {
 
       def exchanges(df: DataFrame): Int = {
         df.collect() // materialize so AQE finalizes its stages
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        def all(p: SparkPlan): Seq[SparkPlan] = {
-          val inner = p match {
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case q: QueryStageExec => Seq(q.plan)
-            case _ => Nil
-          }
-          p +: (p.children ++ inner).flatMap(all)
-        }
-        all(df.queryExecution.executedPlan)
+        graft.PlanNodes.all(df)
           .collect { case e: ShuffleExchangeExec => e }.size
       }
 

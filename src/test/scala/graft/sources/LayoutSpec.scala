@@ -1,11 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSuite, TestSpark}
+import graft.{PlanNodes, SparkSuite, TestSpark}
 import graft.core.Tables
 
 /** Z-order layout: the Morton code must interleave correctly, and the
@@ -29,17 +28,9 @@ class LayoutSpec extends SparkSuite {
 
     def scanRows(df: DataFrame): Long = {
       df.collect()
-      def all(p: SparkPlan): Seq[SparkPlan] = {
-        val inner = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case _ => Nil
-        }
-        p +: (p.children ++ inner).flatMap(all)
-      }
       // AQE traversal can reach the same scan via stage reuse — dedupe
       // by node identity or the metric double-counts
-      all(df.queryExecution.executedPlan)
+      PlanNodes.all(df)
         .collect { case s: FileSourceScanExec => s }
         .distinctBy(System.identityHashCode)
         .map(_.metrics("numOutputRows").value).sum

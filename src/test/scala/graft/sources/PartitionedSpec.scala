@@ -19,18 +19,8 @@ class PartitionedSpec extends SparkSuite {
     val pruned = Partitioned.eventsPruned(spark, dir)
     pruned.collect() // execute so AQE finalizes and scan metrics populate
     // AQE nests the real operators inside leaf-like stage wrappers —
-    // recurse through them to reach the scans
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      val inner = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(allNodes)
-    }
-    val scans = allNodes(pruned.queryExecution.executedPlan).collect {
+    // graft.PlanNodes recurses through them to reach the scans
+    val scans = graft.PlanNodes.all(pruned).collect {
       case f: FileSourceScanExec if f.metadata
         .get("Location").exists(_.contains("graft_events_by_day")) => f
     }
