@@ -82,6 +82,8 @@ object SparkEntry {
     "join_outer_left" -> (Relational.joinOuterLeft _),
     "join_outer_full" -> (Relational.joinOuterFull _),
     "orders_with_exists" -> (Relational.ordersWithExists _),
+    "parts_below_avg_qty" -> (Relational.partsBelowAvgQty _),
+    "customers_without_urgent" -> (Relational.customersWithoutUrgent _),
     "agg_distinct" -> (Relational.aggDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_percentile" -> (Relational.aggPercentile _),
@@ -271,6 +273,20 @@ object SparkEntry {
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "parts_below_avg_qty" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "customers_without_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  CAST(count(*) AS BIGINT) AS n_orders,

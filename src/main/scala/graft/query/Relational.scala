@@ -196,6 +196,47 @@ object Relational {
          |""".stripMargin
     }
 
+  /** Correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose
+    * quantity falls below 20 % of their own part's average quantity,
+    * rolled up per brand — the "small orders" demand question. Catalyst
+    * decorrelates the per-row subquery into ONE per-partkey aggregate
+    * left-outer-joined back to lineitem (RewriteCorrelatedScalarSubquery)
+    * — a single extra shuffle at scale, never a per-row re-scan;
+    * OuterJoinSpec asserts the join is there and no subquery survives
+    * in the physical plan. Cross-engine determinism: quantities are
+    * integral, so sum/count/avg are EXACT doubles on both engines and
+    * the 0.2·avg comparison cannot flip on summation order. */
+  def partsBelowAvgQty(spark: SparkSession, dir: String): DataFrame =
+    viaSql(spark, dir, "lineitem", "part") { v =>
+      s"""SELECT p_brand, count(*) AS n_small,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS small_revenue
+         |FROM ${v("lineitem")} l
+         |JOIN ${v("part")} p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+         |  FROM ${v("lineitem")} l2 WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY p_brand
+         |ORDER BY p_brand
+         |""".stripMargin
+    }
+
+  /** NOT EXISTS anti-join — customers with no urgent orders. The
+    * null-tolerant planner path SQL users take for "absence" queries:
+    * decorrelates to a plain LeftAnti (asserted in OuterJoinSpec),
+    * unlike [[joinAnti]]'s NOT IN, which must plan a null-aware anti
+    * join (different, more expensive operator when the subquery column
+    * is nullable). One shuffle per side at scale. */
+  def customersWithoutUrgent(spark: SparkSession, dir: String): DataFrame =
+    viaSql(spark, dir, "customer", "orders") { v =>
+      s"""SELECT c_custkey, c_name, c_mktsegment
+         |FROM ${v("customer")} c
+         |WHERE NOT EXISTS (SELECT 1 FROM ${v("orders")} o
+         |  WHERE o.o_custkey = c.c_custkey
+         |    AND o.o_orderpriority = '1-URGENT')
+         |ORDER BY c_custkey
+         |""".stripMargin
+    }
+
   /** B4b: customers with no orders (left anti). */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.execution.joins.BaseJoinExec
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,47 @@ class OuterJoinSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val out = df.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.sameElements(manual))
+  }
+
+  test("parts_below_avg_qty: scalar subquery decorrelates to an aggregate join") {
+    val df = Relational.partsBelowAvgQty(spark, dir)
+    // the correlated subquery must be GONE from the physical plan —
+    // rewritten to a per-partkey aggregate joined back, never a
+    // per-row re-scan
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Subquery"),
+      "scalar subquery survived into the physical plan")
+    val types = joinTypes(df)
+    assert(types.count(t => t == LeftOuter || t == Inner) >= 2,
+      s"expected the decorrelated agg join + the part join, got $types")
+    // semantics vs the manual decorrelated form
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg((avg("l_quantity") * 0.2).as("thr"))
+    val manual = li.join(avgQ, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("thr"))
+      .join(graft.core.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val out = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === manual)
+  }
+
+  test("customers_without_urgent: NOT EXISTS decorrelates to LeftAnti") {
+    val df = Relational.customersWithoutUrgent(spark, dir)
+    val types = joinTypes(df)
+    assert(types.contains(LeftAnti),
+      s"NOT EXISTS must decorrelate to LeftAnti, got $types")
+    val manual = graft.core.Tables.load(spark, dir, "customer")
+      .join(graft.core.Tables.load(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(df.select("c_custkey").collect().map(_.getLong(0)).toSet
+      === manual)
+    assert(manual.nonEmpty, "fixture must contain urgent-free customers")
   }
 
   test("viaSql: concurrent rollup + grouping sets on one session") {
