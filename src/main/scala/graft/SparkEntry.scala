@@ -87,6 +87,7 @@ object SparkEntry {
     "agg_distinct" -> (Relational.aggDistinct _),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
     "agg_percentile" -> (Relational.aggPercentile _),
+    "agg_percentile_approx" -> (Relational.aggPercentileApprox _),
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
@@ -154,8 +155,9 @@ object SparkEntry {
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
-    * agg_approx_distinct (engine-specific hash/signature/centroid/sketch
-    * internals — each covered instead by a recall/error-bound suite). */
+    * agg_approx_distinct, agg_percentile_approx (engine-specific
+    * hash/signature/centroid/sketch internals — each covered instead by
+    * a recall/error-bound suite). */
   def oracleSql: Map[String, String] = Map(
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",

@@ -259,6 +259,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** The 100 TB percentile: [[aggPercentile]]'s exact form must sort
+    * every group member; this swap runs Spark's native
+    * Greenwald–Khanna-style sketch (`approx_percentile`) — fixed
+    * memory per group, mergeable map-side partials, relative error
+    * bounded by `accuracy`. Rows-only at the driver gate (sketch
+    * internals are engine-specific — DuckDB's approx_quantile uses a
+    * different sketch); ApproxSpec bounds the error against the exact
+    * percentiles instead. */
+  def aggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5D, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.9D, 10000)").as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** B6: distinct counting. */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")

@@ -41,6 +41,33 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("approx percentile lands within the neighboring exact quantiles") {
+    val dir = TestSpark.sfDir
+    val approx = Relational.aggPercentileApprox(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // GK-sketch guarantee is on RANK error (±1/accuracy); with
+    // accuracy=10000 and fixture groups ≪ 10000 rows the rank error is
+    // <1 — but assert the robust envelope (value between the exact p±5
+    // quantiles) so the test survives larger fixtures
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D))")
+        .as("q"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, Seq(lo50, hi50, lo90, hi90)) =>
+      val (p50, p90) = approx(k)
+      info(f"$k: p50=$p50%.3f in [$lo50%.3f,$hi50%.3f] " +
+        f"p90=$p90%.3f in [$lo90%.3f,$hi90%.3f]")
+      assert(p50 >= lo50 && p50 <= hi50,
+        s"group $k p50 $p50 outside [$lo50, $hi50]")
+      assert(p90 >= lo90 && p90 <= hi90,
+        s"group $k p90 $p90 outside [$lo90, $hi90]")
+    }
+  }
+
   test("approx distinct within 5% of exact per group") {
     val dir = TestSpark.sfDir
     val approx = Relational.aggApproxDistinct(spark, dir)
