@@ -31,7 +31,7 @@ object Scale {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // check BOTH markers: a crash between the two writes must trigger a
     // rebuild, not serve a torn dataset forever
-    val complete = Seq("lineitem", "orders").forall(t =>
+    val complete = Seq("lineitem", "orders", "documents").forall(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
     if (!complete) {
       val li = Tables.load(spark, sfDir, "lineitem")
@@ -50,6 +50,16 @@ object Scale {
         .parquet(s"$path/lineitem")
       rep(ord, "o_orderkey").write.mode("overwrite")
         .parquet(s"$path/orders")
+      // documents: replicas keep their TEXT (only doc_id shifts) — the
+      // crawl-duplication regime, where dedup must collapse factor-many
+      // byte-identical copies instead of sailing past disjoint ids
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val dStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 until factor).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * dStride)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$path/documents")
     }
     path
   }
@@ -88,7 +98,15 @@ object Scale {
       "topk_agg" -> (() => ord.groupBy("o_custkey")
         .agg(graft.functions.top_k(col("o_totalprice").cast("double"),
           col("o_orderkey"), 3).as("top"))
-        .select(explode(col("top"))).count()))
+        .select(explode(col("top"))).count()),
+      // the composed curation pipeline on a corpus with factor-many
+      // byte-identical replicas: quality gate scales with rows, the
+      // canonical-dedup window collapses the replication (its groups
+      // grow with factor), decontamination's broadcast side grows too
+      // (every replica of an eval doc contributes shingles) — the
+      // operator mix a real crawl actually stresses
+      "curate_dedup" -> (() => graft.query.TextQuality
+        .curateE2eOf(spark.read.parquet(s"$path/documents")).count()))
   }
 
   def main(args: Array[String]): Unit = {

@@ -89,10 +89,17 @@ object TextQuality {
     * side plus the broadcast — five jobs' worth of curation in one
     * pipeline. */
   def curateE2e(spark: SparkSession, dir: String,
-      capacity: Int = 2048): DataFrame = {
+      capacity: Int = 2048): DataFrame =
+    curateE2eOf(Tables.load(spark, dir, "documents"), capacity)
+
+  /** [[curateE2e]]'s core over any (doc_id, source, text) frame (the
+    * scaled-copy harness [[graft.Scale]] runs it on replicated
+    * corpora, where canonical dedup collapses the replicas). */
+  def curateE2eOf(docs: DataFrame, capacity: Int = 2048): DataFrame = {
     // stage 1: quality gate — the SAME rule definition qualityFilter
     // serves ([[withQualitySignals]]), keep ⇔ reason = ok
-    val kept = withQualitySignals(docsTok(spark, dir))
+    val kept = withQualitySignals(
+        docs.withColumn("toks", TextSim.tokens(col("text"))))
       .filter(col("reason") === "ok")
       .withColumn("n_tokens", col("n_words"))
       .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")
@@ -104,7 +111,7 @@ object TextQuality {
       .filter(col("rn") === 1)
     // stage 3: decontamination (contaminated ids from the SAME operator
     // users run standalone; eval split leaves the training corpus too)
-    val contaminated = TextSim.decontaminate(spark, dir)
+    val contaminated = TextSim.decontaminateOf(docs)
       .select("doc_id").distinct()
     val clean = deduped
       .filter(col("doc_id") % 50 =!= 0)

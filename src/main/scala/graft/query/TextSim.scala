@@ -357,8 +357,16 @@ object TextSim {
     * oracle joins the raw strings — agreement doubles as a collision
     * check. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+      minOverlap: Int = 2): DataFrame =
+    decontaminateOf(Tables.load(spark, dir, "documents"), n, minOverlap)
+
+  /** [[decontaminate]]'s core over any (doc_id, text) frame (the
+    * scaled-copy harness [[graft.Scale]] runs it on replicated
+    * corpora). */
+  def decontaminateOf(docs: DataFrame, n: Int = 4,
       minOverlap: Int = 2): DataFrame = {
-    val sh = docsTok(spark, dir)
+    val sh = docs
+      .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
