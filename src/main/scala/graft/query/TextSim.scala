@@ -214,6 +214,48 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
+  /** Edit-distance near-dup pairs: candidates share ≥1 (capped)
+    * 3-gram shingle — the same bounded postings-list generation as
+    * [[dedupNgram]], never an all-pairs product — then the O(L²)
+    * Levenshtein DP runs ONLY on candidate pairs, gated by the free
+    * necessary-condition prefilter dist ≥ |len₁ − len₂| (a pure length
+    * comparison that prunes before any DP work; it cannot change the
+    * result set, so the oracle omits it). A pair is a near-dup when the
+    * edit distance is within `maxRel` of the longer text. Catches
+    * small-patch duplication (timestamps, typo fixes, template fills)
+    * that token-set Jaccard under-weights and byte-exact dedup misses
+    * entirely. Integer DP — bit-identical across engines, so the key is
+    * fully hash-checkable (Spark joins 64-bit shingle hashes, the
+    * oracle joins raw strings: agreement doubles as a collision
+    * check). */
+  def dedupLevenshtein(spark: SparkSession, dir: String,
+      maxRel: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingleSets(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val postings = sh.groupBy("sh_h")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+      .select("docs")
+    val cand = postings
+      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
+      .select(col("d1"), explode(
+        slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+      .distinct()
+    val docs = Tables.load(spark, dir, "documents")
+    val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    cand.join(t1, "d1").join(t2, "d2")
+      .withColumn("maxlen", greatest(length(col("t1")), length(col("t2"))))
+      .filter(abs(length(col("t1")) - length(col("t2")))
+        <= col("maxlen") * maxRel)
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= col("maxlen") * maxRel)
+      .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"),
+        round(col("dist").cast("double") / col("maxlen"), 6)
+          .as("rel_dist"))
+      .orderBy("d1", "d2")
+  }
+
   /** MinHash + LSH near-dup (public banding construction: Broder '97 /
     * MMDS ch.3): 32 hash slots from xxhash64(shingle ⊕ slot), 8 bands × 4
     * rows; band-equal docs are candidates; exact Jaccard verifies.

@@ -108,4 +108,37 @@ class TextSimSpec extends SparkSuite {
     // every exact duplicate text must produce a duplicate fingerprint
     assert(nDupFps >= nDupDocs)
   }
+
+  test("dedup_levenshtein: distances match a reference DP; pairs well-formed") {
+    val out = TextSim.dedupLevenshtein(spark, dir).collect()
+    assert(out.nonEmpty, "fixture must contain edit-distance near-dups")
+    val texts = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // textbook Wagner–Fischer, two-row form — independent of both
+    // Spark's and DuckDB's implementations
+    def lev(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    out.foreach { r =>
+      val (d1, d2) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      assert(d1 < d2, s"pair ($d1, $d2) not ordered")
+      val dist = r.getAs[Long]("dist")
+      assert(dist === lev(texts(d1), texts(d2)).toLong,
+        s"pair ($d1, $d2): engine dist $dist != reference DP")
+      val maxlen = math.max(texts(d1).length, texts(d2).length)
+      assert(dist <= 0.2 * maxlen)
+      assert(r.getAs[Double]("rel_dist") ===
+        math.round(dist.toDouble / maxlen * 1e6) / 1e6)
+    }
+  }
 }
