@@ -713,8 +713,9 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 3),
         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
         |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |ld AS (SELECT d1, d2, levenshtein(t1.text, t2.text) AS dist,
         |    greatest(len(t1.text), len(t2.text)) AS maxlen
         |  FROM cand JOIN t t1 ON d1 = t1.doc_id JOIN t t2 ON d2 = t2.doc_id)

@@ -214,22 +214,31 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
-  /** Edit-distance near-dup pairs: candidates share ≥1 (capped)
-    * 3-gram shingle — the same bounded postings-list generation as
-    * [[dedupNgram]], never an all-pairs product — then the O(L²)
-    * Levenshtein DP runs ONLY on candidate pairs, gated by the free
-    * necessary-condition prefilter dist ≥ |len₁ − len₂| (a pure length
-    * comparison that prunes before any DP work; it cannot change the
-    * result set, so the oracle omits it). A pair is a near-dup when the
-    * edit distance is within `maxRel` of the longer text. Catches
-    * small-patch duplication (timestamps, typo fixes, template fills)
-    * that token-set Jaccard under-weights and byte-exact dedup misses
-    * entirely. Integer DP — bit-identical across engines, so the key is
-    * fully hash-checkable (Spark joins 64-bit shingle hashes, the
-    * oracle joins raw strings: agreement doubles as a collision
-    * check). */
+  /** Edit-distance near-dup pairs: candidates share ≥ `minShared`
+    * (capped) 3-gram shingles — the same bounded postings-list
+    * generation as [[dedupNgram]], never an all-pairs product — then
+    * the O(L²) Levenshtein DP runs ONLY on candidate pairs, gated by
+    * the free necessary-condition prefilter dist ≥ |len₁ − len₂| (a
+    * pure length comparison that prunes before any DP work; it cannot
+    * change the result set, so the oracle omits it). A pair is a
+    * near-dup when the edit distance is within `maxRel` of the longer
+    * text. Catches small-patch duplication (timestamps, typo fixes,
+    * template fills) that token-set Jaccard under-weights and
+    * byte-exact dedup misses entirely.
+    *
+    * `minShared` is PART OF THE CONTRACT (mirrored in the oracle, the
+    * dedupNgram DF-cap honesty pattern) because it is what keeps the
+    * DP affordable: at sf0.1, ≥1 shared shingle admits 1.13M candidate
+    * pairs; ≥3 admits 10.3k, and every true ≤20 %-distance pair in the
+    * fixture shares ≥8 shingles — near-dup texts share many shingles
+    * by nature, so the floor trims coincidental single-shingle overlap
+    * without touching real hits. Integer DP — bit-identical across
+    * engines, so the key is fully hash-checkable (Spark joins 64-bit
+    * shingle hashes, the oracle joins raw strings: agreement doubles
+    * as a collision check). */
   def dedupLevenshtein(spark: SparkSession, dir: String,
-      maxRel: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
+      maxRel: Double = 0.2, minShared: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingleSets(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val postings = sh.groupBy("sh_h")
@@ -240,7 +249,8 @@ object TextSim {
       .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
       .select(col("d1"), explode(
         slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
-      .distinct()
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
     val docs = Tables.load(spark, dir, "documents")
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
