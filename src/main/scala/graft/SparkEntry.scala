@@ -123,6 +123,8 @@ object SparkEntry {
     "events_daily" -> (Events.dailyByType _),
     "events_props" -> (Events.propsExtract _),
     "events_funnel" -> (Events.funnel _),
+    "events_retention" -> (Events.retention _),
+    "window_rank_stats" -> (Relational.windowRankStats _),
     "curate_budget" -> ((s: SparkSession, d: String) => TextQuality.curateBudget(s, d)),
     "curate_e2e" -> ((s: SparkSession, d: String) => TextQuality.curateE2e(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
@@ -520,6 +522,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q)
         |SELECT source, doc_id, quality_score, n_words, cum_tokens
         |FROM c WHERE cum_tokens <= 800 ORDER BY source, doc_id""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS cohort_size,
+        |  CAST(count(DISTINCT CASE WHEN ev.day = c.cohort_day + INTERVAL 1 DAY
+        |    THEN ev.user_id END) AS BIGINT) AS d1_retained,
+        |  CAST(count(DISTINCT CASE WHEN ev.day = c.cohort_day + INTERVAL 7 DAY
+        |    THEN ev.user_id END) AS BIGINT) AS d7_retained
+        |FROM c JOIN ev ON c.user_id = ev.user_id
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
     "events_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

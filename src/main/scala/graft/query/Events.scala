@@ -138,6 +138,33 @@ object Events {
 
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
+  /** D1/D7 retention cohorts — the product-analytics staple: users
+    * grouped by their first active day; per cohort, how many returned
+    * exactly 1 / 7 days later. Shape at scale: the distinct
+    * (user, day) activity set and the per-user cohort minimum both
+    * hash-partition by user_id, so the join between them is
+    * co-partitioned (one shuffle each side, no re-exchange); the final
+    * rollup groups by cohort day — cardinality = days observed, tiny.
+    * Day arithmetic stays in timestamp_ntz (session tz UTC) to match
+    * the dumped-parquet/oracle convention [[dailyByType]] documents. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    cohort.join(ev, "user_id")
+      .groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(
+          col("day") === col("cohort_day") + expr("INTERVAL 1 DAY"),
+          col("user_id"))).as("d1_retained"),
+        countDistinct(when(
+          col("day") === col("cohort_day") + expr("INTERVAL 7 DAY"),
+          col("user_id"))).as("d7_retained"))
+      .orderBy("cohort_day")
+  }
+
   def dailyByType(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       // date_trunc coerces TIMESTAMP_NTZ → TimestampType; cast back so the

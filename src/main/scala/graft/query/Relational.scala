@@ -338,6 +338,24 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Distribution-position window functions — percent_rank, cume_dist,
+    * dense_rank over a per-priority price order (unique tiebreak ⇒
+    * every rank deterministic, so percent_rank/cume_dist are exactly
+    * (rank−1)/(n−1) and rank/n on identical integers in both engines —
+    * rounded anyway, the standard parity surface). Same scale class as
+    * [[windowNtile]]: one partition shuffle + per-partition sort. */
+  def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy("o_orderkey")
+  }
+
   /** B7 sibling: CUBE over (returnflag, linestatus). */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

@@ -1,0 +1,40 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, TestSpark}
+
+/** Retention-cohort invariants beyond the DuckDB hash compare: cohorts
+  * partition the user base, and retained counts re-derive from a
+  * driver-side replay of the (user, day) activity set. */
+class EventsSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("events_retention: cohorts partition users; counts match a replay") {
+    val out = Events.retention(spark, dir).collect()
+    assert(out.nonEmpty)
+    val activity = graft.core.Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val byUser = activity.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).sortBy(_.toString)
+    }
+    // every user is in exactly one cohort: sizes sum to the user count
+    assert(out.map(_.getAs[Long]("cohort_size")).sum === byUser.size)
+    out.foreach { r =>
+      val cohortDay = r.getAs[java.time.LocalDateTime]("cohort_day")
+      val users = byUser.filter(_._2.head == cohortDay).keySet
+      assert(r.getAs[Long]("cohort_size") === users.size)
+      def retained(k: Int) = users.count(u =>
+        byUser(u).contains(cohortDay.plusDays(k)))
+      assert(r.getAs[Long]("d1_retained") === retained(1))
+      assert(r.getAs[Long]("d7_retained") === retained(7))
+    }
+    // the fixture must actually exercise retention, not just cohorts
+    assert(out.map(_.getAs[Long]("d1_retained")).sum > 0)
+    assert(out.map(_.getAs[Long]("d7_retained")).sum > 0)
+  }
+}
