@@ -24,12 +24,17 @@ object Scale {
 
   private def ensureScaled(spark: SparkSession, sfDir: String, factor: Int)
       : String = {
+    // tag over EVERY replicated source: a driver-regenerated
+    // documents.parquet must invalidate the cache even when lineitem's
+    // name/len/mtime are unchanged
     val tag = graft.core.Caches.md5Tag(
-      s"$sfDir|${Tables.fingerprint(spark, sfDir, "lineitem")}")
+      Seq("lineitem", "orders", "documents")
+        .map(t => Tables.fingerprint(spark, sfDir, t))
+        .mkString(s"$sfDir|", "|", ""))
     val path = s"target/graft-scale/$tag/f$factor"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // check BOTH markers: a crash between the two writes must trigger a
+    // check ALL THREE markers: a crash between writes must trigger a
     // rebuild, not serve a torn dataset forever
     val complete = Seq("lineitem", "orders", "documents").forall(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))

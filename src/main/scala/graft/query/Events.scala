@@ -136,35 +136,44 @@ object Events {
       .orderBy("stage")
   }
 
-  /** Event funnel-ish rollup: per event_type daily counts + distinct
-    * users (mixes date_trunc, countDistinct). */
   /** D1/D7 retention cohorts — the product-analytics staple: users
     * grouped by their first active day; per cohort, how many returned
-    * exactly 1 / 7 days later. Shape at scale: the distinct
-    * (user, day) activity set and the per-user cohort minimum both
-    * hash-partition by user_id, so the join between them is
-    * co-partitioned (one shuffle each side, no re-exchange); the final
-    * rollup groups by cohort day — cardinality = days observed, tiny.
-    * Day arithmetic stays in timestamp_ntz (session tz UTC) to match
-    * the dumped-parquet/oracle convention [[dailyByType]] documents. */
+    * exactly 1 / 7 days later. Shape at scale: ONE event-grain shuffle
+    * — groupBy(user_id) with a map-side-partial collect_set folds each
+    * user's distinct active days into one array row, then cohort day
+    * (array_min) and the D1/D7 membership tests (array_contains) are
+    * per-row column algebra; the final rollup shuffles only user-grain
+    * rows and groups by cohort day (cardinality = days observed, tiny).
+    * A join-based phrasing (cohort ⋈ activity) would shuffle the
+    * event-grain data TWICE: distinct() hash-partitions by
+    * (user_id, day), which does not satisfy the join's user_id
+    * clustering. The per-user array is bounded by days-observed (≤ a
+    * few thousand for years of daily grain), so collect_set cannot
+    * blow up a task row the way per-doc token arrays can. Day
+    * arithmetic stays in timestamp_ntz (session tz UTC) to match the
+    * dumped-parquet/oracle convention [[dailyByType]] documents. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    val perUser = Tables.load(spark, dir, "events")
       .select(col("user_id"),
         date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
-      .distinct()
-    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    cohort.join(ev, "user_id")
+      .groupBy("user_id")
+      .agg(collect_set(col("day")).as("days"))
+      .select(col("user_id"), col("days"),
+        array_min(col("days")).as("cohort_day"))
+    perUser
       .groupBy("cohort_day")
-      .agg(countDistinct(col("user_id")).as("cohort_size"),
-        countDistinct(when(
-          col("day") === col("cohort_day") + expr("INTERVAL 1 DAY"),
-          col("user_id"))).as("d1_retained"),
-        countDistinct(when(
-          col("day") === col("cohort_day") + expr("INTERVAL 7 DAY"),
-          col("user_id"))).as("d7_retained"))
+      .agg(count(lit(1)).as("cohort_size"),
+        count(when(array_contains(col("days"),
+          col("cohort_day") + expr("INTERVAL 1 DAY")), lit(1)))
+          .as("d1_retained"),
+        count(when(array_contains(col("days"),
+          col("cohort_day") + expr("INTERVAL 7 DAY")), lit(1)))
+          .as("d7_retained"))
       .orderBy("cohort_day")
   }
 
+  /** Event funnel-ish rollup: per event_type daily counts + distinct
+    * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       // date_trunc coerces TIMESTAMP_NTZ → TimestampType; cast back so the

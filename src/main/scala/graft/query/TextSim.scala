@@ -160,6 +160,21 @@ object TextSim {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
 
+  /** All ordered pairs within each row's sorted `arr` column — the
+    * shared candidate-expansion core of [[dedupNgram]],
+    * [[dedupLevenshtein]] and [[dedupEmbeddingAnn]]. Two Generate
+    * operators — posexplode + explode(slice) stay inside whole-stage
+    * codegen, where a transform/flatten HOF chain would be interpreted
+    * per row (~40 % slower measured at sf0.1). Pair fan-out is bounded
+    * by the caller's cap on size(arr); arrays must be pre-sorted
+    * (array_sort upstream) so (a, b) is deterministic with a < b. */
+  private def orderedPairs(postings: DataFrame, arr: String,
+      a: String, b: String): DataFrame =
+    postings
+      .select(posexplode(col(arr)).as(Seq("i", a)), col(arr))
+      .select(col(a), explode(
+        slice(col(arr), col("i") + lit(2), size(col(arr)))).as(b))
+
   /** n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
     * (index join, not cross product), exact Jaccard computed per pair.
     *
@@ -193,14 +208,9 @@ object TextSim {
       .select("docs")
     val counts = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // all ordered pairs within one posting (bounded by maxShingleDf²) via
-    // two Generate operators — posexplode + explode(slice) stay inside
-    // whole-stage codegen, where a transform/flatten HOF chain would be
-    // interpreted per row (~40% slower measured at sf0.1)
-    val common = postings.filter(size(col("docs")) >= 2)
-      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
-      .select(col("d1"), explode(
-        slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+    // all ordered pairs within one posting (bounded by maxShingleDf²)
+    val common = orderedPairs(
+        postings.filter(size(col("docs")) >= 2), "docs", "d1", "d2")
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
     common
@@ -245,10 +255,7 @@ object TextSim {
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxShingleDf))
       .select("docs")
-    val cand = postings
-      .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
-      .select(col("d1"), explode(
-        slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("d2"))
+    val cand = orderedPairs(postings, "docs", "d1", "d2")
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     val docs = Tables.load(spark, dir, "documents")
@@ -380,12 +387,7 @@ object TextSim {
     val postings = bucketed.groupBy("t", "bucket")
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // codegen-friendly pair expansion (see dedupNgram)
-    val cand = postings
-      .select(posexplode(col("ids")).as(Seq("i", "v1")), col("ids"))
-      .select(col("v1"), explode(
-        slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("v2"))
-      .distinct()
+    val cand = orderedPairs(postings, "ids", "v1", "v2").distinct()
     cand
       .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")),
         "v1")

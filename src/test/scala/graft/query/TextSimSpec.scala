@@ -137,8 +137,11 @@ class TextSimSpec extends SparkSuite {
         s"pair ($d1, $d2): engine dist $dist != reference DP")
       val maxlen = math.max(texts(d1).length, texts(d2).length)
       assert(dist <= 0.2 * maxlen)
-      assert(r.getAs[Double]("rel_dist") ===
-        math.round(dist.toDouble / maxlen * 1e6) / 1e6)
+      // tolerance, not exact: Spark's Round is BigDecimal HALF_UP over
+      // Double.toString, which can disagree with math.round(x*1e6) on
+      // a 7th-digit halfway tie (e.g. 13/640 = 0.0203125)
+      assert(math.abs(r.getAs[Double]("rel_dist") -
+        dist.toDouble / maxlen) < 1e-6 + 1e-9)
     }
   }
 }
