@@ -124,7 +124,10 @@ object SparkEntry {
     "events_props" -> (Events.propsExtract _),
     "events_funnel" -> (Events.funnel _),
     "events_retention" -> (Events.retention _),
+    "events_date_parts" -> (Events.dateParts _),
     "window_rank_stats" -> (Relational.windowRankStats _),
+    "agg_conditional" -> (Relational.aggConditional _),
+    "corpus_hist" -> ((s: SparkSession, d: String) => TextQuality.corpusHist(s, d)),
     "curate_budget" -> ((s: SparkSession, d: String) => TextQuality.curateBudget(s, d)),
     "curate_e2e" -> ((s: SparkSession, d: String) => TextQuality.curateE2e(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
@@ -535,6 +538,33 @@ object SparkEntry {
         |    THEN ev.user_id END) AS BIGINT) AS d7_retained
         |FROM c JOIN ev ON c.user_id = ev.user_id
         |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "events_date_parts" ->
+      """SELECT event_id,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+        |  CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mo,
+        |  CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |  CAST(minute(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mi,
+        |  CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS isodow,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |    AS days_since
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_disc,
+        |  max(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "corpus_hist" ->
+      """SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
     "window_rank_stats" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

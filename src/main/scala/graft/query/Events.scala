@@ -172,6 +172,29 @@ object Events {
       .orderBy("cohort_day")
   }
 
+  /** Calendar-part extraction panel — the date dimension a warehouse
+    * derives at scan time (year/month/day/hour/minute, ISO weekday,
+    * month end, days since a fixed epoch). Pure per-row column algebra
+    * on the scan, no shuffle (the total ORDER BY is oracle-only).
+    * Cross-engine traps this key pins down: Spark's `dayofweek` is
+    * Sunday=1 while DuckDB's is Sunday=0 — `weekday(ts) + 1` equals
+    * DuckDB's `isodow` (Monday=1) on both; day arithmetic goes through
+    * DATE casts so NTZ timestamps never shift. */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        (weekday(col("ts")) + lit(1)).cast("long").as("isodow"),
+        last_day(col("ts")).as("month_end"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy("event_id")
+
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =

@@ -356,6 +356,27 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Conditional aggregation — SQL's `FILTER (WHERE …)` clause, the
+    * idiom behind every one-pass KPI panel ("count all, count bulk,
+    * revenue under discount, max F-status quantity — per flag").
+    * Spark has no FILTER syntax on Column aggregates; the equivalent
+    * is aggregating over `when(pred, x)` (aggregates skip nulls), and
+    * it compiles to the same single partial+final hash aggregate as
+    * the unconditional panel — one scan, one shuffle, no per-predicate
+    * passes. `max(when(…))` is used for the F-only statistic instead
+    * of a sum/count division so a group with zero F rows yields NULL
+    * rather than an ANSI divide-by-zero. */
+  def aggConditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_all"),
+        count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"),
+        moneySum(when(col("l_discount") > 0.05, col("l_extendedprice")))
+          .as("rev_disc"),
+        max(when(col("l_linestatus") === "F", col("l_quantity")))
+          .as("max_qty_f"))
+      .orderBy("l_returnflag")
+
   /** B7 sibling: CUBE over (returnflag, linestatus). */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")

@@ -38,6 +38,24 @@ object TextQuality {
           .cast("double") / count(lit(1)), 6).as("share_en"))
       .orderBy("source")
 
+  /** Per-source document-length histogram — the distribution panel
+    * behind "is this crawl slice truncation-heavy?". Buckets are
+    * fixed-width (`floor(n_chars / width)`), NOT quantile-based, so
+    * the key is pure map-side column algebra + one tiny hash aggregate
+    * (cardinality = sources × occupied buckets); an equi-depth
+    * histogram would need a global sort. Both engines compute the
+    * bucket as floor over float division of exact integers — exact for
+    * any n_chars < 2^52. */
+  def corpusHist(spark: SparkSession, dir: String, width: Int = 50)
+      : DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"),
+        floor(col("n_chars") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "bucket")
+
   /** Budget-constrained curation: per source, admit documents in
     * quality order (ties by doc_id) until the source's cumulative token
     * count reaches `budget` — "give me the best N tokens per domain",

@@ -1,8 +1,9 @@
 package graft.query
 
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSuite, TestSpark}
+import graft.{PlanNodes, SparkSuite, TestSpark}
 
 /** Retention-cohort invariants beyond the DuckDB hash compare: cohorts
   * partition the user base, and retained counts re-derive from a
@@ -36,5 +37,20 @@ class EventsSpec extends SparkSuite {
     // the fixture must actually exercise retention, not just cohorts
     assert(out.map(_.getAs[Long]("d1_retained")).sum > 0)
     assert(out.map(_.getAs[Long]("d7_retained")).sum > 0)
+  }
+
+  test("retention plan: one event-grain shuffle, three exchanges total") {
+    // the scaladoc's scale claim, CI-guarded: user_id hash agg (the only
+    // event-grain exchange) + cohort_day rollup hash + the oracle-only
+    // final range sort — a join-based phrasing would add a fourth
+    val ex = PlanNodes.all(Events.retention(spark, dir))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 3, s"${ex.size} shuffle exchanges:\n${ex.mkString("\n")}")
+  }
+
+  test("date-parts plan: scan-side only — no shuffle but the final sort") {
+    val ex = PlanNodes.all(Events.dateParts(spark, dir))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 1, s"${ex.size} shuffle exchanges:\n${ex.mkString("\n")}")
   }
 }
