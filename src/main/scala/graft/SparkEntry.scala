@@ -143,6 +143,7 @@ object SparkEntry {
     "dedup_canonical" -> (TextSim.dedupCanonical _),
     "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
+    "text_novelty" -> ((s: SparkSession, d: String) => TextSim.textNovelty(s, d)),
     "dedup_levenshtein" -> ((s: SparkSession, d: String) => TextSim.dedupLevenshtein(s, d)),
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
@@ -642,6 +643,18 @@ object SparkEntry {
         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
         |  round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_en
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |  CAST(count(*) FILTER (WHERE df.df > 2) AS BIGINT) AS n_common,
+        |  round(1 - count(*) FILTER (WHERE df.df > 2) / CAST(count(*) AS DOUBLE), 6)
+        |    AS novelty
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -224,6 +224,36 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
+  /** Boilerplate share per document (the C4/RefinedWeb signal): the
+    * fraction of a doc's distinct shingles whose corpus document
+    * frequency exceeds `commonDf` — high share ⇒ the doc is mostly
+    * template/navigation text repeated across the crawl. Shape at
+    * scale: one shingle-grain aggregate for the DF table, one
+    * shingle-grain equi-join back, one doc-grain rollup — all linear
+    * in total shingle count, no pairwise anything. (If the common-
+    * shingle set (df > commonDf) is known to be small it could be
+    * broadcast instead of joined, but boilerplate-heavy crawls are
+    * exactly where it is NOT small, so the shuffle join is the honest
+    * default.) Counts are integers and the ratio is rounded — fully
+    * hash-checkable; Spark joins 64-bit shingle hashes while the
+    * oracle joins raw strings, so agreement doubles as a collision
+    * check. Docs under 3 tokens have no shingles and are excluded on
+    * both sides. */
+  def textNovelty(spark: SparkSession, dir: String, commonDf: Int = 2)
+      : DataFrame = {
+    val sh = shingleSets(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("df") > commonDf, lit(1))).as("n_common"))
+      .select(col("doc_id"), col("n_sh"), col("n_common"),
+        round(lit(1) - col("n_common").cast("double") / col("n_sh"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup pairs: candidates share ≥ `minShared`
     * (capped) 3-gram shingles — the same bounded postings-list
     * generation as [[dedupNgram]], never an all-pairs product — then
