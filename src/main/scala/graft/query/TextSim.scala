@@ -168,7 +168,7 @@ object TextSim {
     * per row (~40 % slower measured at sf0.1). Pair fan-out is bounded
     * by the caller's cap on size(arr); arrays must be pre-sorted
     * (array_sort upstream) so (a, b) is deterministic with a < b. */
-  private def orderedPairs(postings: DataFrame, arr: String,
+  private[query] def orderedPairs(postings: DataFrame, arr: String,
       a: String, b: String): DataFrame =
     postings
       .select(posexplode(col(arr)).as(Seq("i", a)), col(arr))

@@ -144,4 +144,27 @@ class TextSimSpec extends SparkSuite {
         dist.toDouble / maxlen) < 1e-6 + 1e-9)
     }
   }
+
+  test("orderedPairs property: exactly the i<j pairs of every array") {
+    // the shared candidate-expansion core of three dedup operators —
+    // property-tied to its specification (all ordered pairs, nothing
+    // else) so a slice off-by-one can't silently drop candidates
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val arraysGen = Gen.listOfN(5,
+      Gen.chooseNum(0L, 20L).flatMap(n => Gen.pick(n.toInt min 12,
+        0L until 40L)).map(_.toSeq.sorted))
+    val prop = Prop.forAll(arraysGen) { arrays =>
+      val df = arrays.toDF("docs")
+      val got = TextSim.orderedPairs(df, "docs", "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = arrays.flatMap(ds =>
+        for (i <- ds.indices; j <- i + 1 until ds.size)
+          yield (ds(i), ds(j))).sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
