@@ -89,6 +89,9 @@ object SparkEntry {
     "agg_percentile" -> (Relational.aggPercentile _),
     "agg_percentile_approx" -> (Relational.aggPercentileApprox _),
     "agg_rollup" -> (Relational.aggRollup _),
+    "agg_grouping_id" -> (Relational.aggGroupingId _),
+    "set_union_byname" -> (Relational.setUnionByName _),
+    "string_funcs" -> (Relational.stringFuncs _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "window_ntile" -> (Relational.windowNtile _),
@@ -305,6 +308,33 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "set_union_byname" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderpriority, o_orderkey FROM orders
+        |  WHERE o_orderpriority = '5-LOW')
+        |ORDER BY o_orderkey""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  substring(p_name, 1, 8) AS name_sub,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  reverse(p_name) AS name_rev,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "agg_rollup" ->
       """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -356,6 +356,57 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** ROLLUP with explicit grouping flags — `grouping_id()` is how a
+    * report distinguishes a real NULL group key from a subtotal row,
+    * the part of grouping-set semantics [[aggRollup]] leaves implicit.
+    * Spark's bitmask convention (detail=0, subtotal over the trailing
+    * key=1, grand total=3) matches DuckDB's GROUPING(a, b) exactly —
+    * this key pins that. Same one-aggregate Expand shape as rollup. */
+  def aggGroupingId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("rev"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Schema-drift union — `unionByName(allowMissingColumns = true)`,
+    * the operator behind merging deliveries whose schemas evolved
+    * (the reference's heterogeneous-JSON world): columns align by
+    * NAME, not position, and a column absent from one side
+    * null-extends. Pure map-side concatenation — no shuffle (the
+    * total order is oracle-only). */
+  def setUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    // different column ORDER and a missing column on purpose
+    val low = orders.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_orderpriority", "o_orderkey")
+    urgent.unionByName(low, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** Scalar string-function panel over part names — the everyday
+    * transform surface (case fold, translate, pad, token split,
+    * substring, concat, reverse, length), all codegen'd built-ins
+    * evaluated scan-side in one projection. Pins cross-engine string
+    * semantics (1-based substring, separator-dropping concat_ws,
+    * delimiter-splitting split_part) on ASCII fixture data. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        substring(col("p_name"), 1, 8).as("name_sub"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_name")).as("name_rev"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
   /** Conditional aggregation — SQL's `FILTER (WHERE …)` clause, the
     * idiom behind every one-pass KPI panel ("count all, count bulk,
     * revenue under discount, max F-status quantity — per flag").
