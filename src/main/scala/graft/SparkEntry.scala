@@ -315,7 +315,7 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority ASC NULLS FIRST,
-        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+        |  o_orderstatus ASC NULLS FIRST, gid ASC""".stripMargin,
     "set_union_byname" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders

@@ -154,6 +154,10 @@ object Events {
     * dumped-parquet/oracle convention [[dailyByType]] documents. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.load(spark, dir, "events")
+      // a NULL user is no user: drop it here, matching the join-based
+      // SQL phrasing (an equi-join on user_id never matches NULL) —
+      // groupBy alone would keep a NULL-user cohort the oracle drops
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"),
         date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
       .groupBy("user_id")

@@ -368,8 +368,11 @@ object Relational {
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
         moneySum(col("o_totalprice")).as("rev"))
+      // gid tiebreak: a genuine-NULL status detail row (gid=0) and the
+      // priority subtotal (gid=1) share (priority, NULL) sort keys —
+      // without gid their relative order is engine-dependent
       .orderBy(col("o_orderpriority").asc_nulls_first,
-        col("o_orderstatus").asc_nulls_first)
+        col("o_orderstatus").asc_nulls_first, col("gid").asc)
 
   /** Schema-drift union — `unionByName(allowMissingColumns = true)`,
     * the operator behind merging deliveries whose schemas evolved
