@@ -15,7 +15,15 @@ class SqlSurfaceSpec extends SparkSuite {
     "q5_multi_join_agg", "join_semi", "join_anti", "agg_distinct",
     "sort_limit", "set_union", "set_except", "set_intersect",
     "window_topk", "window_running", "join_bucketed", "join_skew_salted",
-    "stream_dedup", "scan_zorder")
+    "stream_dedup", "scan_zorder",
+    // round-6 additions that are plain ANSI (BY NAME unions, isodow,
+    // GROUPING(a,b) and list functions stay DuckDB-only; events_retention
+    // is value-identical but its CAST(ts AS TIMESTAMP) lands on
+    // TimestampType under spark.sql vs the NTZ DataFrame convention)
+    "join_outer_left", "join_outer_full", "orders_with_exists",
+    "customers_without_urgent", "parts_below_avg_qty",
+    "window_rank_stats", "agg_conditional", "corpus_hist",
+    "string_funcs")
 
   test("portable oracle SQL runs on spark.sql and matches the DataFrame form") {
     val dir = TestSpark.sfDir
