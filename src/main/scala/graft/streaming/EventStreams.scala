@@ -58,6 +58,20 @@ object EventStreams {
         .as("purchase_value"), col("v.view_ts"), col("v.value")
         .as("view_value"))
 
+  /** Stream-static enrichment — each micro-batch joined to a STATIC
+    * dimension, the most common streaming join in practice (event →
+    * user segment / product attributes). No watermark or join-state
+    * involved: Spark re-evaluates the static side per trigger, so a
+    * dimension served through SnapshotStore picks up a snapshot swap
+    * at the next micro-batch automatically. The explicit broadcast
+    * ships the dim once per executor and the stream side never
+    * shuffles — the same dimension-join shape the batch engine uses.
+    * LEFT join: an event with no dimension row survives
+    * null-extended rather than silently dropping from the stream. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Exactly-once restoration over an at-least-once source: drop
     * re-delivered events by key. `dropDuplicatesWithinWatermark` keeps
     * dedup state only for keys younger than the watermark horizon —

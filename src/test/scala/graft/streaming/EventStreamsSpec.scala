@@ -167,4 +167,27 @@ class EventStreamsSpec extends SparkSuite {
     // every event appears in exactly 2 sliding windows
     assert(rows.map(_._3).sum === fixture.size * 2L)
   }
+
+  test("stream-static enrichment: every event kept, dim left-joined per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_type", "ts", "value")
+    // u3 exists only in the dim: a left join must NOT resurrect it;
+    // u2 exists only in the stream: it must survive null-extended
+    val dim = Seq(("u1", "gold"), ("u3", "silver")).toDF("user_id", "segment")
+    val q = EventStreams.enrich(events, dim).writeStream
+      .format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      mem.addData(fixture.take(3))
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3))
+      q.processAllAvailable()
+      val out = spark.table("t_enrich").collect()
+      assert(out.length === fixture.size, "left join must keep every event")
+      val pairs = out.map(r =>
+        (r.getAs[String]("user_id"), r.getAs[String]("segment"))).toSet
+      assert(pairs === Set(("u1", "gold"), ("u2", null)))
+    } finally q.stop()
+  }
 }
