@@ -104,6 +104,11 @@ object SparkEntry {
     "set_union" -> (Relational.setUnion _),
     "set_except" -> (Relational.setExcept _),
     "set_intersect" -> (Relational.setIntersect _),
+    "set_except_all" -> (Relational.setExceptAll _),
+    "set_intersect_all" -> (Relational.setIntersectAll _),
+    "join_nullsafe" -> (Relational.joinNullsafe _),
+    "agg_minmax_by" -> (Relational.aggMinmaxBy _),
+    "agg_corr" -> (Relational.aggCorr _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
@@ -128,6 +133,9 @@ object SparkEntry {
     "events_funnel" -> (Events.funnel _),
     "events_retention" -> (Events.retention _),
     "events_date_parts" -> (Events.dateParts _),
+    "events_gapfill" -> (Events.gapfill _),
+    "doc_tokens_pos" -> (TextSim.docTokensPos _),
+    "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
     "agg_conditional" -> (Relational.aggConditional _),
     "corpus_hist" -> ((s: SparkSession, d: String) => TextQuality.corpusHist(s, d)),
@@ -398,6 +406,52 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT partkey FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL SELECT l_partkey AS partkey FROM lineitem WHERE l_linestatus = 'F')
+        |ORDER BY partkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT partkey FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL SELECT l_partkey AS partkey FROM lineitem WHERE l_linestatus = 'F')
+        |ORDER BY partkey""".stripMargin,
+    "join_nullsafe" ->
+      """WITH keyed AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri, o_totalprice FROM orders),
+        |dim AS (
+        |  SELECT pri, coalesce(pri, '(unprioritized)') AS label FROM (
+        |    SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS pri FROM orders))
+        |SELECT label, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM keyed JOIN dim ON keyed.pri IS NOT DISTINCT FROM dim.pri
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "agg_minmax_by" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+        |  max(CASE WHEN rmax = 1 THEN o_totalprice END) AS top_price,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey,
+        |  max(CASE WHEN rmin = 1 THEN o_totalprice END) AS bottom_price,
+        |  count(*) AS n_orders
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)
@@ -582,6 +636,34 @@ object SparkEntry {
         |    AS days_since
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "events_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+        |  FROM events WHERE value > 250 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT s.day, t.event_type, coalesce(d.n_events, 0) AS n_events
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY s.day, t.event_type""".stripMargin,
+    "doc_tokens_pos" ->
+      """SELECT doc_id, CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "corpus_melt" ->
+      """WITH wide AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+        |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, value
+        |FROM (UNPIVOT wide ON n_docs, total_chars, avg_chars INTO NAME metric VALUE value)
+        |ORDER BY source, metric""".stripMargin,
     "agg_conditional" ->
       """SELECT l_returnflag,
         |  CAST(count(*) AS BIGINT) AS n_all,

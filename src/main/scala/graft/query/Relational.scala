@@ -659,4 +659,108 @@ object Relational {
       .select(col("o_custkey").as("custkey"))
     building.intersect(urgent).orderBy("custkey")
   }
+
+  /** B11d: multiset EXCEPT ALL — partkeys of returned line items minus,
+    * occurrence-for-occurrence, those on finished lines. Distinct set ops
+    * collapse the bag; ALL semantics keep max(0, m−n) copies per value —
+    * a different planner path entirely (Spark rewrites to a count-diff
+    * aggregate + Generate/ReplicateRows, NOT a distinct). Scale: one hash
+    * aggregate on the value, no row-level anti join. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("partkey"))
+    val finished = li.filter(col("l_linestatus") === "F")
+      .select(col("l_partkey").as("partkey"))
+    returned.exceptAll(finished).orderBy("partkey")
+  }
+
+  /** B11e: multiset INTERSECT ALL — min(m, n) copies per partkey common
+    * to both bags. Same ReplicateRows planner path as [[setExceptAll]]. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").as("partkey"))
+    val finished = li.filter(col("l_linestatus") === "F")
+      .select(col("l_partkey").as("partkey"))
+    returned.intersectAll(finished).orderBy("partkey")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a derived
+    * priority key where '3-MEDIUM' maps to NULL, joined back to a
+    * distinct-key dimension. A plain equi-join silently DROPS the null
+    * group (~20 % of orders here); the null-safe operator matches
+    * NULL <=> NULL, so the '(unprioritized)' row survives with its full
+    * count — that row existing is the semantic under test. Scale: the
+    * dimension is distinct-collapsed and broadcast; the fact side never
+    * shuffles. */
+  def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val keyed = orders.select(
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri"),
+      col("o_totalprice"))
+    val dim = orders
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("dpri"))
+      .distinct()
+      .withColumn("label", coalesce(col("dpri"), lit("(unprioritized)")))
+    keyed.join(broadcast(dim), keyed("pri") <=> dim("dpri"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy("label")
+  }
+
+  /** max_by/min_by: the argmax aggregate — "which order was the most /
+    * least expensive per priority" — without a window. The ordering key
+    * is a (price, orderkey) struct so ties are deterministic (lexical
+    * struct comparison == the oracle's two-key ORDER BY). Scale: this is
+    * THE swap for rank-1 window queries — a plain hash aggregate with
+    * map-side partials instead of shuffling and fully sorting every
+    * group. */
+  def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey")))
+          .as("bottom_orderkey"),
+        min(col("o_totalprice")).as("bottom_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Pearson correlation from EXACT decimal moment sums. Built-in
+    * `corr()` accumulates doubles in partition order — not reproducible
+    * across engines (or even across runs with different partitioning).
+    * Here the five moments are exact DECIMAL sums (deterministic in any
+    * order), cast to double once, and combined with one fixed-shape
+    * arithmetic expression — bit-identical in Spark and DuckDB, so the
+    * key is hash-checkable. Scale: still one partial-then-final hash
+    * aggregate; the determinism costs nothing. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec2(col("l_quantity"))
+    val p = dec2(col("l_extendedprice"))
+    val moments = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(p).cast("double").as("sy"),
+        sum(q * p).cast("double").as("sxy"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p * p).cast("double").as("syy"))
+    // round(…, 9): the moment sums are bit-identical, but the combining
+    // arithmetic can differ by 1 ULP across engines (C++ FMA contraction
+    // the JVM never emits) — 9 decimals is ~1e9 ULPs of headroom
+    moments.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
 }

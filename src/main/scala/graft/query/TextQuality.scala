@@ -56,6 +56,26 @@ object TextQuality {
         max(col("n_chars")).as("max_chars"))
       .orderBy("source", "bucket")
 
+  /** Wide→long reshape (unpivot/melt): the per-source stats panel as
+    * (source, metric, value) rows — the shape dashboards and metric
+    * stores ingest. Uses the native `Dataset.unpivot` (Expand node, one
+    * scan-side row-multiply by the metric count — NOT a union of N
+    * re-scans). All measures are cast to double BEFORE the reshape so
+    * the long column has one type; avg is exact-sum / count, division
+    * done identically in the oracle. */
+  def corpusMelt(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("n_chars")).cast("double").as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"))
+    wide.unpivot(Array(col("source")),
+        Array(col("n_docs"), col("total_chars"), col("avg_chars")),
+        "metric", "value")
+      .orderBy("source", "metric")
+  }
+
   /** Budget-constrained curation: per source, admit documents in
     * quality order (ties by doc_id) until the source's cumulative token
     * count reaches `budget` — "give me the best N tokens per domain",

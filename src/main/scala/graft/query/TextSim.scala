@@ -39,6 +39,21 @@ object TextSim {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** Lateral flatten WITH position: one output row per (doc, token
+    * index) — the explode shape every sequence-labeling / chunk-offset
+    * pipeline needs, where plain explode loses the offset. Tokenization
+    * here is a bare single-space split (not [[tokens]]) so the oracle's
+    * string_split is character-identical. Scale: posexplode is scan-side
+    * Generate — fan-out ~tokens-per-doc, zero shuffle before the oracle
+    * ORDER BY; the doc_id sample bounds the dump size only. */
+  def docTokensPos(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
   /** Per-document quality/statistics: word counts, BPE-ish token count,
     * average word length, stopword ratio, uniqueness, quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {

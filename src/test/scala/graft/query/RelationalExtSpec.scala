@@ -1,0 +1,127 @@
+package graft.query
+
+import org.apache.spark.sql.execution.ExpandExec
+import org.apache.spark.sql.functions._
+
+import graft.{PlanNodes, SparkSuite, TestSpark}
+
+/** Behavior contracts for the round-6 extension keys beyond the DuckDB
+  * hash compare: multiset set-op arithmetic, null-safe join group
+  * preservation, argmax/window agreement, gap-fill completeness, melt
+  * plan shape, and explode-with-position losslessness. */
+class RelationalExtSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("set_except_all keeps max(0, m-n) copies per value") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val m = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("m"))
+    val n = li.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n"))
+    val expected = m.join(n, Seq("partkey"), "left")
+      .select(greatest(coalesce(col("m"), lit(0L)) -
+        coalesce(col("n"), lit(0L)), lit(0L)).as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    assert(Relational.setExceptAll(spark, dir).count() === expected)
+  }
+
+  test("set_intersect_all keeps min(m, n) copies per value") {
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val m = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("m"))
+    val n = li.filter(col("l_linestatus") === "F")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n"))
+    val expected = m.join(n, Seq("partkey"))
+      .select(least(col("m"), col("n")).as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    assert(Relational.setIntersectAll(spark, dir).count() === expected)
+  }
+
+  test("join_nullsafe preserves the NULL key group a plain join drops") {
+    val out = Relational.joinNullsafe(spark, dir).cache()
+    try {
+      val orders = graft.core.Tables.load(spark, dir, "orders")
+      val nMedium = orders
+        .filter(col("o_orderpriority") === "3-MEDIUM").count()
+      assert(nMedium > 0, "fixture must contain 3-MEDIUM orders")
+      val nullGroup = out.filter(col("label") === "(unprioritized)")
+        .collect()
+      assert(nullGroup.length === 1, "NULL <=> NULL must match")
+      assert(nullGroup(0).getAs[Long]("n_orders") === nMedium,
+        "the null group must carry its FULL count")
+      // sanity: the operator partitions ALL orders (nothing dropped)
+      val total = out.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+      assert(total === orders.count())
+    } finally out.unpersist()
+  }
+
+  test("agg_minmax_by: argmax key's own row carries the max price") {
+    val out = Relational.aggMinmaxBy(spark, dir)
+    val orders = graft.core.Tables.load(spark, dir, "orders")
+    val top = out.select(col("top_orderkey").as("o_orderkey"),
+      col("top_price"))
+    val joined = top.join(orders, Seq("o_orderkey"))
+    assert(joined.filter(col("top_price") =!= col("o_totalprice"))
+      .count() === 0, "max_by key must point at the max-price row")
+  }
+
+  test("events_gapfill: full spine, explicit zeros, counts preserved") {
+    val out = Events.gapfill(spark, dir).cache()
+    try {
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      val days = ev.select(col("ts").cast("date")).distinct().count()
+      val types = ev.select("event_type").distinct().count()
+      // the event fixture has at least one event every day, so the
+      // spine day count equals the distinct event-day count
+      assert(out.count() === days * types,
+        "every (day, type) cell must be present")
+      assert(out.filter(col("n_events") === 0).count() > 0,
+        "gaps must be explicit zeros, not missing rows")
+      val kept = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      val expected = ev.filter(col("value") > 250).count()
+      assert(kept === expected, "gap filling must not invent events")
+    } finally out.unpersist()
+  }
+
+  test("corpus_melt reshapes via one Expand, not N re-scans") {
+    val out = TextQuality.corpusMelt(spark, dir)
+    assert(PlanNodes.all(out).exists(_.isInstanceOf[ExpandExec]),
+      "unpivot should plan as a scan-side Expand")
+    val sources = graft.core.Tables.load(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(out.count() === sources * 3, "3 metrics per source")
+  }
+
+  test("agg_corr tracks the built-in estimator") {
+    val exact = Relational.aggCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = graft.core.Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet === builtin.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v) <= 1.0)
+      assert(math.abs(v - builtin(k)) < 1e-9,
+        s"$k: exact-moment $v vs built-in ${builtin(k)}")
+    }
+  }
+
+  test("doc_tokens_pos is lossless: tokens rejoin to the original text") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+    val rebuilt = TextSim.docTokensPos(spark, dir)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(struct(col("pos"),
+        col("tok")))).getField("tok")).as("rebuilt"))
+    val cmp = docs.join(rebuilt, Seq("doc_id"))
+    assert(cmp.count() === docs.count())
+    assert(cmp.filter(col("text") =!= col("rebuilt")).count() === 0,
+      "positions must order tokens back into the exact original text")
+  }
+}
