@@ -58,6 +58,26 @@ object EventStreams {
         .as("purchase_value"), col("v.view_ts"), col("v.value")
         .as("view_value"))
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
+    * a purchase with NO qualifying view still comes out — null-extended
+    * — once the watermark guarantees no matching view can still arrive.
+    * That deferred null-extension is THE left-outer streaming semantic:
+    * the engine must hold the unmatched row in state until the view-side
+    * watermark passes the join range's upper bound, then emit exactly
+    * one null row for it (an eager emit would double-fire if a late
+    * match landed). Same bounded-state eviction as the inner form. */
+  def intervalJoinLeftOuter(purchases: DataFrame, views: DataFrame)
+      : DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(views.withWatermark("view_ts", "1 hour").alias("v"),
+        expr("""p.user_id = v.v_user AND
+                v.view_ts > p.ts - INTERVAL 30 MINUTES AND
+                v.view_ts <= p.ts"""),
+        "leftOuter")
+      .select(col("p.user_id"), col("p.ts"), col("p.value")
+        .as("purchase_value"), col("v.view_ts"), col("v.value")
+        .as("view_value"))
+
   /** Stream-static enrichment — each micro-batch joined to a STATIC
     * dimension, the most common streaming join in practice (event →
     * user segment / product attributes). No watermark or join-state

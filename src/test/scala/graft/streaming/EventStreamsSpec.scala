@@ -89,6 +89,43 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join defers null-extension to the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val vMem = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pMem.toDF().toDF("user_id", "ts", "value")
+    val views = vMem.toDF().toDF("v_user", "view_ts", "value")
+    val q = EventStreams.intervalJoinLeftOuter(purchases, views)
+      .writeStream
+      .format("memory").queryName("t_ivjlo").outputMode("append").start()
+    try {
+      def emitted() = spark.table("t_ivjlo")
+        .select("user_id", "view_value").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      vMem.addData(Seq((1L, ts(0), 10.0)))  // in range for u1's purchase
+      pMem.addData(Seq((1L, ts(20), 5.0),
+        (2L, ts(30), 6.0)))                 // u2: no view at all
+      q.processAllAvailable()
+      // matches emit eagerly; the unmatched row must NOT be out yet —
+      // a view for u2 could still arrive under the current watermark
+      assert(emitted() === Set((1L, Some(10.0))),
+        "unmatched row emitted before the watermark allowed it")
+      // push both watermarks far past u2's join range (wm lags one
+      // micro-batch, so nudge twice)
+      for (m <- Seq(300, 310)) {
+        vMem.addData(Seq((99L, ts(m), 0.0)))
+        pMem.addData(Seq((99L, ts(m), 0.0)))
+        q.processAllAvailable()
+      }
+      assert(emitted().contains((2L, None)),
+        "watermark passage must null-extend the unmatched purchase")
+      // and exactly once: one physical null row for u2 (set-dedup would
+      // mask a double emission, so count rows in the sink itself)
+      assert(spark.table("t_ivjlo").where("user_id = 2").count() === 1)
+    } finally q.stop()
+  }
+
   test("windowed top-k: the custom aggregate's merge path survives multi-batch state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
