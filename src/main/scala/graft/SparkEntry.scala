@@ -109,6 +109,9 @@ object SparkEntry {
     "join_nullsafe" -> (Relational.joinNullsafe _),
     "agg_minmax_by" -> (Relational.aggMinmaxBy _),
     "agg_corr" -> (Relational.aggCorr _),
+    "agg_mode" -> (Relational.aggMode _),
+    "window_first_last" -> (Relational.windowFirstLast _),
+    "array_funcs" -> (TextSim.arrayFuncs _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
@@ -452,6 +455,37 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY cnt DESC, c_nationkey DESC) AS rn
+        |  FROM c)
+        |SELECT c_mktsegment,
+        |  max(CASE WHEN rn = 1 THEN c_nationkey END) AS modal_nationkey,
+        |  max(CASE WHEN rn = 1 THEN cnt END) AS modal_count,
+        |  CAST(sum(cnt) AS BIGINT) AS n_customers
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "window_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_orderkey,
+        |  last_value(o_orderkey) OVER w AS last_orderkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+    "array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
+        |  toks[-1] AS last_tok,
+        |  array_to_string(toks[1:3], '_') AS first3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)

@@ -731,6 +731,47 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** first/last/nth_value over an explicit full frame: each customer's
+    * first, latest, and second order. The frame must be UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING explicitly — last_value over the
+    * default frame (..CURRENT ROW) is the classic silent-wrong-answer,
+    * returning the current row instead of the partition's last. One row
+    * per customer via a post-window distinct on already-constant
+    * columns. Scale: one shuffle on the partition key, same as any
+    * window; the tiebroken ordering makes every value deterministic. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        last(col("o_orderkey")).over(w).as("last_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_orderkey"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** Deterministic mode (most frequent value) per group — built-in
+    * `mode()` breaks ties arbitrarily, so this runs the scalable
+    * two-level form instead: count per (group, value), then argmax by
+    * (count, value) with the value itself as tiebreak. Scale: two hash
+    * aggregates with map-side partials; nothing sorts a whole group,
+    * which is what the naive "order by count desc limit 1 per group"
+    * does. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("c_nationkey"), struct(col("cnt"), col("c_nationkey")))
+          .as("modal_nationkey"),
+        max(struct(col("cnt"), col("c_nationkey"))).getField("cnt")
+          .as("modal_count"),
+        sum(col("cnt")).as("n_customers"))
+      .orderBy("c_mktsegment")
+
   /** Pearson correlation from EXACT decimal moment sums. Built-in
     * `corr()` accumulates doubles in partition order — not reproducible
     * across engines (or even across runs with different partitioning).

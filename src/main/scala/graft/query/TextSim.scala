@@ -54,6 +54,26 @@ object TextSim {
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
       .orderBy("doc_id", "pos")
 
+  /** Scalar array-function panel over the token array: size, distinct
+    * size, membership, 1-based position, last element, and a joined
+    * slice — the column algebra a pipeline uses to interrogate
+    * array<string> columns without exploding them. Everything projects
+    * to SCALARS (the differential oracle compares scalar columns;
+    * list-typed output would pin the compare to pandas list hashing).
+    * Scale: pure scan-side projection, zero shuffle before the oracle
+    * ordering. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "the").as("first_the"),
+        element_at(col("toks"), -1).as("last_tok"),
+        concat_ws("_", slice(col("toks"), 1, 3)).as("first3"))
+      .orderBy("doc_id")
+
   /** Per-document quality/statistics: word counts, BPE-ish token count,
     * average word length, stopword ratio, uniqueness, quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {

@@ -112,6 +112,53 @@ class RelationalExtSpec extends SparkSuite {
     }
   }
 
+  test("agg_mode picks the max count and breaks ties toward the larger value") {
+    val counts = graft.core.Tables.load(spark, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("cnt")).cache()
+    try {
+      Relational.aggMode(spark, dir).collect().foreach { row =>
+        val seg = row.getString(0)
+        val inSeg = counts.filter(col("c_mktsegment") === seg)
+        val maxCnt = inSeg.agg(max(col("cnt"))).collect()(0).getLong(0)
+        assert(row.getAs[Long]("modal_count") === maxCnt)
+        // c_nationkey is int-typed; compare through Number to dodge boxing
+        val tieWinner = inSeg.filter(col("cnt") === maxCnt)
+          .agg(max(col("c_nationkey"))).collect()(0)
+          .getAs[Number](0).longValue
+        assert(row.getAs[Number]("modal_nationkey").longValue === tieWinner,
+          s"$seg: tiebreak must choose the largest value among max-count")
+      }
+    } finally counts.unpersist()
+  }
+
+  test("window_first_last matches an independent sorted-list recomputation") {
+    val out = Relational.windowFirstLast(spark, dir).cache()
+    try {
+      val orders = graft.core.Tables.load(spark, dir, "orders")
+      assert(out.count() ===
+        orders.select("o_custkey").distinct().count(),
+        "one row per customer")
+      // independent path: sorted collect_list instead of a window frame;
+      // `when` leaves second_orderkey NULL for single-order partitions,
+      // the same contract nth_value(2) has
+      val expected = orders.groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(col("o_orderdate"),
+          col("o_orderkey")))).as("s"))
+        .select(col("o_custkey"),
+          element_at(col("s"), 1).getField("o_orderkey")
+            .as("first_orderkey"),
+          element_at(col("s"), -1).getField("o_orderkey")
+            .as("last_orderkey"),
+          when(size(col("s")) >= 2,
+            element_at(col("s"), 2).getField("o_orderkey"))
+            .as("second_orderkey"))
+      assert(out.exceptAll(expected).count() === 0 &&
+        expected.exceptAll(out).count() === 0,
+        "window-frame and sorted-aggregate forms must agree row-for-row")
+    } finally out.unpersist()
+  }
+
   test("doc_tokens_pos is lossless: tokens rejoin to the original text") {
     val docs = graft.core.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 97 === 0)
