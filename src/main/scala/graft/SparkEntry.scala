@@ -112,6 +112,9 @@ object SparkEntry {
     "agg_mode" -> (Relational.aggMode _),
     "window_first_last" -> (Relational.windowFirstLast _),
     "array_funcs" -> (TextSim.arrayFuncs _),
+    "higher_order_funcs" -> (TextSim.hofFuncs _),
+    "map_funcs" -> (Relational.mapFuncs _),
+    "q3_top_orders" -> (Relational.q3TopOrders _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
@@ -137,6 +140,7 @@ object SparkEntry {
     "events_retention" -> (Events.retention _),
     "events_date_parts" -> (Events.dateParts _),
     "events_gapfill" -> (Events.gapfill _),
+    "events_anomaly" -> (Events.anomalyDaily _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -486,6 +490,44 @@ object SparkEntry {
         |  array_to_string(toks[1:3], '_') AS first3
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "higher_order_funcs" ->
+      """SELECT doc_id,
+        |  CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS sum_tok_len,
+        |  CAST(len(list_filter(toks, x -> len(x) > 4)) AS BIGINT) AS n_long,
+        |  len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+        |  len(list_filter(toks, x -> len(x) >= 30)) = 0 AS all_short,
+        |  CAST(len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS BIGINT) AS n_adj_repeat
+        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "map_funcs" ->
+      """SELECT p_partkey,
+        |  m['brand'][1] AS brand_val,
+        |  CAST(cardinality(m) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(m), ',') AS keys_csv,
+        |  array_to_string(map_values(m), ',') AS vals_csv,
+        |  map_concat(m, MAP(['size'], [CAST(p_size AS VARCHAR)]))['size'][1] AS size_val
+        |FROM (SELECT p_partkey, p_size, MAP(['brand','type'], [p_brand, p_type]) AS m FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, sum(n) OVER w AS s, sum(n*n) OVER w AS ss,
+        |    count(*) OVER w AS cnt FROM d WINDOW w AS (PARTITION BY event_type)),
+        |z AS (SELECT event_type, day, n,
+        |    round((n - CAST(s AS DOUBLE)/cnt)
+        |      / sqrt((ss - CAST(s*s AS DOUBLE)/cnt) / (cnt - 1)), 6) AS zscore
+        |  FROM m)
+        |SELECT event_type, day, n, zscore, abs(zscore) > 2.0 AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)

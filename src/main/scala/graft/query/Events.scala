@@ -245,4 +245,35 @@ object Events {
         countDistinct(col("user_id")).as("n_users"),
         moneySum(col("value")).as("total_value"))
       .orderBy("day", "event_type")
+
+  /** Daily-count anomaly flags per event type: z-score of each day's
+    * event count against the type's full-history mean/stddev. The
+    * moments (Σn, Σn², count) are EXACT integer window sums; both
+    * engines then run the identical double expression on them, so the
+    * 6-dp rounding only absorbs ulp-level divergence (the agg_corr
+    * pattern — built-in stddev would compare two different streaming
+    * variance algorithms instead). The flag is derived from the ROUNDED
+    * z so the boolean can never disagree across engines while the
+    * rounded z agrees.
+    *
+    * Scale: one (type, day) hash agg with map-side combine reduces the
+    * stream to ~types × days rows; the unbounded window then runs over
+    * that already-tiny frame — the heavy input never reaches a window. */
+  def anomalyDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("zscore", round(
+        (col("n") - col("s").cast("double") / col("cnt")) /
+          sqrt((col("ss") - (col("s") * col("s")).cast("double") / col("cnt"))
+            / (col("cnt") - lit(1))), 6))
+      .select(col("event_type"), col("day"), col("n"), col("zscore"),
+        (abs(col("zscore")) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

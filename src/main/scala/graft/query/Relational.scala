@@ -120,6 +120,36 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q3 shape (shipping-priority top-N): segment-filtered
+    * customers ⋈ open orders ⋈ not-yet-shipped lineitems, revenue per
+    * order, top 10. The segment/date predicates sit on the base scans
+    * (pushed to parquet); the customer side is explicitly broadcast
+    * (dimension-sized after its filter) so only lineitem⋈orders pays a
+    * shuffle; the top-10 over (revenue, date, orderkey) executes as
+    * TakeOrderedAndProject — ≤10 rows per task reach the driver, no
+    * global sort materializes. Ties carry a full tiebreak so the LIMIT
+    * is deterministic for the differential oracle. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val items = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    items.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** B4a: customers that have at least one order (left semi). */
   def joinSemi(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
@@ -408,6 +438,32 @@ object Relational {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         reverse(col("p_name")).as("name_rev"),
         length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** Map-typed column panel: construction (map_from_arrays), lookup
+    * (element_at), interrogation (size / map_keys / map_values) and
+    * merge (map_concat) — the surface a pipeline uses for typed
+    * key→value metadata columns. Everything projects to SCALARS for
+    * the differential oracle (map-typed output would pin the compare
+    * to pandas dict hashing; DuckDB's `m['k']` also yields a LIST, so
+    * scalar projection is the only stable parity surface). Both
+    * engines preserve map insertion order for literal construction,
+    * which the keys/vals CSV columns pin. Scale: pure scan-side column
+    * algebra, zero shuffle before the oracle ordering. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .withColumn("m", map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type"))))
+      .select(col("p_partkey"),
+        element_at(col("m"), "brand").as("brand_val"),
+        size(col("m")).cast("long").as("m_size"),
+        concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+        concat_ws(",", map_values(col("m"))).as("vals_csv"),
+        element_at(
+          map_concat(col("m"),
+            map(lit("size"), col("p_size").cast("string"))),
+          "size").as("size_val"))
       .orderBy("p_partkey")
 
   /** Conditional aggregation — SQL's `FILTER (WHERE …)` clause, the

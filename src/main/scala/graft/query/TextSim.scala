@@ -74,6 +74,32 @@ object TextSim {
         concat_ws("_", slice(col("toks"), 1, 3)).as("first3"))
       .orderBy("doc_id")
 
+  /** Higher-order-function panel: transform / aggregate / filter /
+    * exists / forall / zip_with lambdas over the token array — the
+    * column algebra a pipeline uses to interrogate array columns
+    * WITHOUT exploding them (per-row work, no Generate fan-out, no
+    * shuffle). All outputs live in integer/boolean space so the
+    * cross-engine compare is exact. `n_adj_repeat` pairs each token
+    * with its successor via zip_with against a 1-shifted slice —
+    * zip_with pads the short side with null, and === null is null,
+    * which the filter drops, so the trailing pair self-excludes. */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame =
+    docsTok(spark, dir)
+      .select(col("doc_id"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0L),
+          (acc, x) => acc + x).as("sum_tok_len"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long")
+          .as("n_long"),
+        exists(col("toks"), t => t === "the").as("has_the"),
+        forall(col("toks"), t => length(t) < 30).as("all_short"),
+        size(filter(
+          zip_with(col("toks"),
+            slice(col("toks"), lit(2),
+              greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => a === b),
+          x => x)).cast("long").as("n_adj_repeat"))
+      .orderBy("doc_id")
+
   /** Per-document quality/statistics: word counts, BPE-ish token count,
     * average word length, stopword ratio, uniqueness, quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {

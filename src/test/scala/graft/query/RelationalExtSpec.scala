@@ -171,4 +171,67 @@ class RelationalExtSpec extends SparkSuite {
     assert(cmp.filter(col("text") =!= col("rebuilt")).count() === 0,
       "positions must order tokens back into the exact original text")
   }
+
+  test("q3_top_orders: broadcast dim, top-N execution, ordered output") {
+    val df = Relational.q3TopOrders(spark, dir)
+    val nodes = PlanNodes.all(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "segment-filtered customer side must broadcast")
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "LIMIT over ORDER BY must run as top-N, not a global sort")
+    val rows = df.collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue must be non-increasing")
+  }
+
+  test("events_anomaly: z-scores center at zero and the flag matches") {
+    val out = Events.anomalyDaily(spark, dir).cache()
+    try {
+      // Σ(x − mean) = 0 exactly, so rounded z-scores per type must sum
+      // to ~0 (n_days × rounding ulp at most)
+      val sums = out.groupBy("event_type")
+        .agg(sum(col("zscore")).as("zsum"), count(lit(1)).as("days"))
+        .collect()
+      sums.foreach { r =>
+        assert(math.abs(r.getAs[Double]("zsum")) <=
+          r.getAs[Long]("days") * 1e-6, s"z-scores must center at 0: $r")
+      }
+      assert(out.filter((abs(col("zscore")) > 2.0) =!= col("is_anomaly"))
+        .count() === 0, "flag must derive from the rounded z-score")
+      assert(out.filter(col("is_anomaly")).count() < out.count() / 10,
+        "anomalies must be the rare tail, not the bulk")
+    } finally out.unpersist()
+  }
+
+  test("higher_order_funcs agrees with an explode-based recomputation") {
+    val toks = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(TextSim.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val expected = toks
+      .withColumn("next_tok", lead(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id")
+      .agg(sum(length(col("tok"))).as("e_sum"),
+        count(when(length(col("tok")) > 4, lit(1))).as("e_long"),
+        count(when(col("tok") === col("next_tok"), lit(1))).as("e_adj"))
+    val cmp = TextSim.hofFuncs(spark, dir).join(expected, Seq("doc_id"))
+    assert(cmp.count() === 500)
+    assert(cmp.filter(col("sum_tok_len") =!= col("e_sum") ||
+      col("n_long") =!= col("e_long") ||
+      col("n_adj_repeat") =!= col("e_adj")).count() === 0,
+      "lambda algebra must match the explode+window recomputation")
+  }
+
+  test("map_funcs round-trips construction through lookup") {
+    val part = graft.core.Tables.load(spark, dir, "part")
+    val cmp = Relational.mapFuncs(spark, dir).join(part, Seq("p_partkey"))
+    assert(cmp.filter(col("m_size") =!= 2 ||
+      col("keys_csv") =!= "brand,type" ||
+      col("brand_val") =!= col("p_brand") ||
+      col("vals_csv") =!= concat_ws(",", col("p_brand"), col("p_type")) ||
+      col("size_val") =!= col("p_size").cast("string")).count() === 0)
+  }
 }
