@@ -78,6 +78,27 @@ object EventStreams {
         .as("purchase_value"), col("v.view_ts"), col("v.value")
         .as("view_value"))
 
+  /** FULL OUTER stream-stream interval join — completes the join
+    * family: BOTH sides null-extend. A purchase with no qualifying
+    * view emits once the view-side watermark clears its range (as in
+    * the left-outer form), AND a view that no purchase ever claimed
+    * emits null-extended once the purchase-side watermark passes the
+    * last instant a claiming purchase could still arrive (view_ts +
+    * 30 min). So state eviction is symmetric: each side's rows are
+    * held exactly until the OTHER side's watermark proves no match
+    * can come — the same bounded-state guarantee, applied twice. */
+  def intervalJoinFullOuter(purchases: DataFrame, views: DataFrame)
+      : DataFrame =
+    purchases.withWatermark("ts", "1 hour").alias("p")
+      .join(views.withWatermark("view_ts", "1 hour").alias("v"),
+        expr("""p.user_id = v.v_user AND
+                v.view_ts > p.ts - INTERVAL 30 MINUTES AND
+                v.view_ts <= p.ts"""),
+        "fullOuter")
+      .select(col("p.user_id"), col("p.ts"), col("p.value")
+        .as("purchase_value"), col("v.v_user").as("view_user"),
+        col("v.view_ts"), col("v.value").as("view_value"))
+
   /** Stream-static enrichment — each micro-batch joined to a STATIC
     * dimension, the most common streaming join in practice (event →
     * user segment / product attributes). No watermark or join-state

@@ -126,6 +126,49 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join null-extends BOTH sides exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val vMem = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pMem.toDF().toDF("user_id", "ts", "value")
+    val views = vMem.toDF().toDF("v_user", "view_ts", "value")
+    val q = EventStreams.intervalJoinFullOuter(purchases, views)
+      .writeStream
+      .format("memory").queryName("t_ivjfo").outputMode("append").start()
+    try {
+      def emitted() = spark.table("t_ivjfo")
+        .select("user_id", "view_user", "view_value").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      vMem.addData(Seq(
+        (1L, ts(0), 10.0),   // in range for u1's purchase → matches
+        (3L, ts(5), 30.0)))  // u3: view no purchase will ever claim
+      pMem.addData(Seq((1L, ts(20), 5.0),
+        (2L, ts(30), 6.0)))  // u2: purchase with no view at all
+      q.processAllAvailable()
+      // the match emits eagerly; neither unmatched row may be out yet
+      assert(emitted() === Set((Some(1L), Some(1L), Some(10.0))),
+        "unmatched rows emitted before the watermark allowed them")
+      // push both watermarks far past both join ranges (wm lags one
+      // micro-batch, so nudge twice)
+      for (m <- Seq(300, 310)) {
+        vMem.addData(Seq((99L, ts(m), 0.0)))
+        pMem.addData(Seq((99L, ts(m), 0.0)))
+        q.processAllAvailable()
+      }
+      val out = emitted()
+      assert(out.contains((Some(2L), None, None)),
+        "watermark passage must null-extend the unmatched purchase")
+      assert(out.contains((None, Some(3L), Some(30.0))),
+        "watermark passage must null-extend the unclaimed view")
+      // exactly once each — count physical sink rows, not the set
+      assert(spark.table("t_ivjfo").where("user_id = 2").count() === 1)
+      assert(spark.table("t_ivjfo")
+        .where("view_user = 3 AND user_id IS NULL").count() === 1)
+    } finally q.stop()
+  }
+
   test("windowed top-k: the custom aggregate's merge path survives multi-batch state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
