@@ -114,6 +114,7 @@ object SparkEntry {
     "array_funcs" -> (TextSim.arrayFuncs _),
     "higher_order_funcs" -> (TextSim.hofFuncs _),
     "map_funcs" -> (Relational.mapFuncs _),
+    "regexp_funcs" -> (Relational.regexpFuncs _),
     "q3_top_orders" -> (Relational.q3TopOrders _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "window_range" -> (Relational.windowRange _),
@@ -508,6 +509,15 @@ object SparkEntry {
         |  map_concat(m, MAP(['size'], [CAST(p_size AS VARCHAR)]))['size'][1] AS size_val
         |FROM (SELECT p_partkey, p_size, MAP(['brand','type'], [p_brand, p_type]) AS m FROM part)
         |ORDER BY p_partkey""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_extract(p_name, '(\d+)', 1) AS first_num,
+        |  array_to_string(regexp_extract_all(p_name, '([aeiou]+)', 1), ',') AS vowel_runs,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_matches(p_name, '^[a-z]') AS starts_lower,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -466,6 +466,27 @@ object Relational {
           "size").as("size_val"))
       .orderBy("p_partkey")
 
+  /** Regexp-function panel: extract / extract_all / count / like /
+    * replace, all in the RE2-common regex subset (the pii_redact
+    * portability rule) so both engines compile the identical automaton.
+    * `first_num` deliberately never matches on this fixture — it pins
+    * the empty-string-on-no-match contract (both engines return ''
+    * rather than NULL). Spark's regexp_replace is global by default;
+    * DuckDB needs the explicit 'g' flag — the twin carries it. Scale:
+    * codegen'd scan-side projection, zero shuffle. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_name"), "(\\d+)", 1).as("first_num"),
+        concat_ws(",", regexp_extract_all(col("p_name"),
+          lit("([aeiou]+)"), lit(1))).as("vowel_runs"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long")
+          .as("n_vowels"),
+        col("p_name").rlike("^[a-z]").as("starts_lower"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("masked"))
+      .orderBy("p_partkey")
+
   /** Conditional aggregation — SQL's `FILTER (WHERE …)` clause, the
     * idiom behind every one-pass KPI panel ("count all, count bulk,
     * revenue under discount, max F-status quantity — per flag").

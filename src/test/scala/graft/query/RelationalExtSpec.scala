@@ -225,6 +225,19 @@ class RelationalExtSpec extends SparkSuite {
       "lambda algebra must match the explode+window recomputation")
   }
 
+  test("regexp_funcs: mask is length-preserving and counts agree") {
+    val part = graft.core.Tables.load(spark, dir, "part")
+    val cmp = Relational.regexpFuncs(spark, dir).join(part, Seq("p_partkey"))
+    assert(cmp.filter(
+      length(col("masked")) =!= length(col("p_name")) ||
+      // independent vowel count: chars removed by translate
+      col("n_vowels") =!=
+        (length(col("p_name")) -
+          length(translate(col("p_name"), "aeiou", ""))).cast("long") ||
+      col("first_num") =!= "" ||
+      !col("starts_lower")).count() === 0)
+  }
+
   test("map_funcs round-trips construction through lookup") {
     val part = graft.core.Tables.load(spark, dir, "part")
     val cmp = Relational.mapFuncs(spark, dir).join(part, Seq("p_partkey"))
