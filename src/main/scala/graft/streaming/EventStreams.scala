@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** True streaming forms of the event-time window operators (SURVEY.md §2
   * B17/B18). The batch-equivalent, oracle-checked forms live in
@@ -209,6 +211,51 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Output record for [[runningTotals]]. */
+  case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Per-user running count/total via `transformWithState` — the
+    * arbitrary-stateful-processing V2 API (Spark 4.x
+    * `StatefulProcessor`), the successor tier above
+    * [[sessionTracker]]'s flatMapGroupsWithState: typed named state
+    * handles (`ValueState`/`ListState`/`MapState`), per-state TTL, and
+    * timers decoupled from the input iterator. State here is one
+    * fixed-size `(n, total)` ValueState per user — bounded by the user
+    * cardinality, hash-partitioned across executors; an optional TTL
+    * evicts idle users without a hand-rolled timeout state machine.
+    * Emits the updated running record once per user per micro-batch
+    * (update semantics). REQUIRES the RocksDB state store provider —
+    * the V2 operator does not run on the default HDFS-backed store;
+    * callers set `spark.sql.streaming.stateStore.providerClass` before
+    * starting the query (EventStreamsSpec shows the wiring). */
+  def runningTotals(events: Dataset[UserEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The [[runningTotals]] state machine: one ValueState per user. */
+  private class RunningTotalProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    import org.apache.spark.sql.Encoders
+    @transient private var agg: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserRunning] = {
+      var (n, total) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; total += e.value }
+      agg.update((n, total))
+      Iterator.single(UserRunning(user, n, total))
+    }
   }
 
   /** Session windows with a 30-minute inactivity gap, per user — the

@@ -196,6 +196,40 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the V2 stateful operator requires the RocksDB provider; scope the
+    // conf to this query (captured at start) and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_type", "ts", "value")
+      .as[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(events).writeStream
+      .format("memory").queryName("t_tws").outputMode("update").start()
+    try {
+      mem.addData(Seq((1L, "view", ts(0), 2.0), (1L, "view", ts(1), 3.0),
+        (2L, "view", ts(2), 10.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, "click", ts(3), 5.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch 1 emits both users' partials; batch 2 re-emits u1 with
+      // state carried over — NOT a fresh (1, 5.0)
+      assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 10.0), (1L, 3L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops re-delivered events (exactly-once restore)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
