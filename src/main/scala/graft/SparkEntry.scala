@@ -142,6 +142,7 @@ object SparkEntry {
     "events_date_parts" -> (Events.dateParts _),
     "events_gapfill" -> (Events.gapfill _),
     "events_anomaly" -> (Events.anomalyDaily _),
+    "variant_funcs" -> (Events.variantExtract _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -538,6 +539,11 @@ object SparkEntry {
         |  FROM m)
         |SELECT event_type, day, n, zscore, abs(zscore) > 2.0 AS is_anomaly
         |FROM z ORDER BY event_type, day""".stripMargin,
+    "variant_funcs" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)

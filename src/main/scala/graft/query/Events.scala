@@ -246,6 +246,26 @@ object Events {
         moneySum(col("value")).as("total_value"))
       .orderBy("day", "event_type")
 
+  /** Semi-structured extraction through the Spark 4 VARIANT type —
+    * `parse_json` once into a binary variant, then typed `variant_get`
+    * paths — the modern tier above [[propsExtract]]'s per-path string
+    * parsing: at 100 TB the JSON text is decoded ONCE per row into a
+    * compact binary form and every subsequent path access is a direct
+    * offset read, not a re-parse (and a variant column in parquet is
+    * shreddable). `try_variant_get` on an absent path pins the
+    * null-on-missing contract (the throwing form would fail the row).
+    * Typed-BIGINT outputs keep the differential oracle in integer
+    * space. Scale: scan-side projection, zero shuffle. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_id"), col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k_val"),
+        try_variant_get(col("v"), "$.missing", "bigint")
+          .as("missing_val"))
+      .orderBy("event_id")
+
   /** Daily-count anomaly flags per event type: z-score of each day's
     * event count against the type's full-history mean/stddev. The
     * moments (Σn, Σn², count) are EXACT integer window sums; both

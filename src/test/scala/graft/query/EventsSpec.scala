@@ -53,4 +53,27 @@ class EventsSpec extends SparkSuite {
       .collect { case e: ShuffleExchangeExec => e }
     assert(ex.size <= 1, s"${ex.size} shuffle exchanges:\n${ex.mkString("\n")}")
   }
+
+  test("variant_funcs: typed extraction, schema inference, round-trip") {
+    import org.apache.spark.sql.functions._
+    val out = Events.variantExtract(spark, dir).cache()
+    try {
+      assert(out.filter(col("k_val").isNull).count() === 0,
+        "every props row carries k")
+      assert(out.filter(col("missing_val").isNotNull).count() === 0,
+        "try_variant_get on an absent path must be null, not an error")
+      // schema inference sees one uniform object shape on this fixture
+      val v = graft.core.Tables.load(spark, dir, "events")
+        .select(parse_json(col("props")).as("v"))
+      val shapes = v.select(schema_of_variant(col("v")).as("s"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(shapes === Set("OBJECT<k: BIGINT>"), s"got $shapes")
+      // binary variant → json round-trips to the original (modulo the
+      // fixture's one space after the colon)
+      val bad = graft.core.Tables.load(spark, dir, "events")
+        .select(col("props"), to_json(parse_json(col("props"))).as("rt"))
+        .filter(col("rt") =!= regexp_replace(col("props"), ": ", ":"))
+      assert(bad.count() === 0, "variant round-trip must preserve value")
+    } finally out.unpersist()
+  }
 }
