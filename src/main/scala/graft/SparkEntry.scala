@@ -115,6 +115,8 @@ object SparkEntry {
     "higher_order_funcs" -> (TextSim.hofFuncs _),
     "map_funcs" -> (Relational.mapFuncs _),
     "regexp_funcs" -> (Relational.regexpFuncs _),
+    "try_funcs" -> (Relational.tryFuncs _),
+    "date_arith_funcs" -> (Relational.dateArithFuncs _),
     "q3_top_orders" -> (Relational.q3TopOrders _),
     "join_skew_salted" -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "window_range" -> (Relational.windowRange _),
@@ -519,6 +521,24 @@ object SparkEntry {
         |  regexp_matches(p_name, '^[a-z]') AS starts_lower,
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) / NULLIF(CAST(l_discount AS DOUBLE), 0) AS price_per_disc,
+        |  l_partkey / NULLIF(l_orderkey % 3, 0) AS part_per_mod,
+        |  TRY_CAST(l_returnflag AS BIGINT) AS flag_num,
+        |  CASE WHEN l_orderkey > 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS overflowed,
+        |  [l_returnflag, l_linestatus][5] AS fifth_elem,
+        |  TRY_CAST(l_returnflag AS TIMESTAMP) AS flag_ts
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "date_arith_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch95,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -487,6 +487,52 @@ object Relational {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("masked"))
       .orderBy("p_partkey")
 
+  /** Error-safe (`try_*`) function panel — NULL-on-error semantics a
+    * pipeline needs to survive dirty data without ANSI aborts:
+    * try_divide (NULL on /0), try_cast (NULL on malformed), try_add
+    * (NULL on bigint overflow), try_element_at (NULL out of bounds),
+    * try_to_timestamp (NULL on unparseable). The DuckDB twin spells
+    * the same contracts via TRY_CAST / NULLIF / native NULL list
+    * indexing / an explicit CASE for the overflow row (DuckDB has no
+    * try_add — the CASE documents the exact semantics being pinned).
+    * Division runs on DOUBLES: the 2-dp inputs are exact in double and
+    * IEEE division is correctly rounded, so both engines produce the
+    * identical bits — a DECIMAL/DECIMAL quotient would instead hit
+    * each engine's own result-scale rule. Scale: scan-side, zero
+    * shuffle. */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double")).as("price_per_disc"),
+        try_divide(col("l_partkey"), col("l_orderkey") % 3)
+          .as("part_per_mod"),
+        col("l_returnflag").try_cast("bigint").as("flag_num"),
+        try_add(lit(Long.MaxValue), col("l_orderkey")).as("overflowed"),
+        try_element_at(array(col("l_returnflag"), col("l_linestatus")),
+          lit(5)).as("fifth_elem"),
+        try_to_timestamp(col("l_returnflag")).as("flag_ts"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date/interval arithmetic panel: day-interval shift, day diff from
+    * an anchor, month-end, end-of-month-clamped add_months, and
+    * year-month formatting — pinning the calendar conventions the two
+    * engines share (boundary-count datediff on midnight timestamps,
+    * clamped month addition). Outputs are timestamps/integers/strings
+    * — no floats, exact compare. Scale: scan-side projection. */
+  def dateArithFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+          .as("days_since_epoch95"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz")
+          .as("month_end"),
+        add_months(col("o_orderdate"), 3).cast("timestamp_ntz")
+          .as("plus3m"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
   /** Conditional aggregation — SQL's `FILTER (WHERE …)` clause, the
     * idiom behind every one-pass KPI panel ("count all, count bulk,
     * revenue under discount, max F-status quantity — per flag").

@@ -238,6 +238,42 @@ class RelationalExtSpec extends SparkSuite {
       !col("starts_lower")).count() === 0)
   }
 
+  test("try_funcs: NULL exactly where the error would be") {
+    val out = Relational.tryFuncs(spark, dir).cache()
+    try {
+      assert(out.filter(col("flag_num").isNotNull).count() === 0,
+        "casting 'N'/'R'/'A' to bigint must be null, not an abort")
+      assert(out.filter(col("fifth_elem").isNotNull).count() === 0)
+      assert(out.filter(col("flag_ts").isNotNull).count() === 0)
+      assert(out.filter(
+        col("overflowed").isNull =!= (col("l_orderkey") > 0)).count() === 0,
+        "try_add overflows to NULL exactly when the addend is positive")
+      assert(out.filter(
+        col("part_per_mod").isNull =!= (col("l_orderkey") % 3 === 0))
+        .count() === 0, "try_divide is NULL exactly on zero divisors")
+    } finally out.unpersist()
+  }
+
+  test("date_arith_funcs: interval shift and clamped month-add agree") {
+    val orders = graft.core.Tables.load(spark, dir, "orders")
+    val cmp = Relational.dateArithFuncs(spark, dir)
+      .join(orders, Seq("o_orderkey")).cache()
+    try {
+      assert(cmp.filter(
+        datediff(col("due_date"), col("o_orderdate")) =!= 30).count() === 0)
+      assert(cmp.filter(col("month_end") < col("o_orderdate"))
+        .count() === 0)
+      assert(cmp.filter(
+        col("ym") =!= date_format(col("o_orderdate"), "yyyy-MM"))
+        .count() === 0)
+      // add_months never lands on an earlier day-of-month than the
+      // clamped month-end allows, and always moves exactly 3 months
+      assert(cmp.filter(
+        months_between(col("plus3m"), col("o_orderdate")) > 3.0)
+        .count() === 0)
+    } finally cmp.unpersist()
+  }
+
   test("map_funcs round-trips construction through lookup") {
     val part = graft.core.Tables.load(spark, dir, "part")
     val cmp = Relational.mapFuncs(spark, dir).join(part, Seq("p_partkey"))
