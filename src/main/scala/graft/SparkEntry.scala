@@ -145,6 +145,7 @@ object SparkEntry {
     "events_gapfill" -> (Events.gapfill _),
     "events_anomaly" -> (Events.anomalyDaily _),
     "variant_funcs" -> (Events.variantExtract _),
+    "variant_safe" -> (Events.variantSafe _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -529,7 +530,8 @@ object SparkEntry {
         |  CASE WHEN l_orderkey > 0 THEN NULL
         |       ELSE 9223372036854775807 END AS overflowed,
         |  [l_returnflag, l_linestatus][5] AS fifth_elem,
-        |  TRY_CAST(l_returnflag AS TIMESTAMP) AS flag_ts
+        |  TRY_CAST(l_returnflag AS TIMESTAMP) AS flag_ts,
+        |  TRY_CAST('1995-01-' || lpad(CAST(l_linenumber * 5 AS VARCHAR), 2, '0') AS TIMESTAMP) AS good_ts
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "date_arith_funcs" ->
       """SELECT o_orderkey,
@@ -563,6 +565,11 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "variant_safe" ->
+      """SELECT event_id,
+        |  TRY_CAST(substring(props, 1, length(props) - 2) AS JSON) IS NOT NULL AS bad_parsed,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),

@@ -266,6 +266,32 @@ object Events {
           .as("missing_val"))
       .orderBy("event_id")
 
+  /** Poison-tolerant VARIANT parsing — the negative-path twin of
+    * [[variantExtract]]. `try_parse_json` yields NULL on malformed
+    * input where `parse_json` would abort the whole job: the
+    * engine-level analog of the reference's poison routing
+    * (`file_splitter.py:74-93` quarantines a malformed file instead of
+    * failing the batch). The corrupt input is derived deterministically
+    * by truncating the props object's last two characters (drops the
+    * closing brace, so the result is always unbalanced → invalid), so
+    * BOTH branches flow through the driver hash: `bad_parsed` is false
+    * on every row (null-on-corrupt), `k_val` proves the good-parse lane
+    * still extracts through the same plan. Choice of form: `parse_json`
+    * (throwing) stays the right default for trusted upstream data where
+    * a silent NULL would mask corruption; `try_parse_json` is the
+    * quarantine-lane choice for raw crawl/user input. Scale: scan-side
+    * projection, zero shuffle. */
+  def variantSafe(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        try_parse_json(
+          expr("substring(props, 1, length(props) - 2)")).as("vbad"),
+        try_parse_json(col("props")).as("vgood"))
+      .select(col("event_id"),
+        col("vbad").isNotNull.as("bad_parsed"),
+        variant_get(col("vgood"), "$.k", "bigint").as("k_val"))
+      .orderBy("event_id")
+
   /** Daily-count anomaly flags per event type: z-score of each day's
     * event count against the type's full-history mean/stddev. The
     * moments (Σn, Σn², count) are EXACT integer window sums; both

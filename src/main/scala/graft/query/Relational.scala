@@ -511,7 +511,18 @@ object Relational {
         try_add(lit(Long.MaxValue), col("l_orderkey")).as("overflowed"),
         try_element_at(array(col("l_returnflag"), col("l_linestatus")),
           lit(5)).as("fifth_elem"),
-        try_to_timestamp(col("l_returnflag")).as("flag_ts"))
+        // Spark's try_to_timestamp yields session-tz TIMESTAMP (ltz);
+        // the oracle's TRY_CAST is ntz — cast so the parquet logical
+        // types agree (same trap as last_day/add_months below).
+        try_to_timestamp(col("l_returnflag")).cast("timestamp_ntz")
+          .as("flag_ts"),
+        // Success path: '1995-01-{05..35}' — parses for linenumber 1-6,
+        // day 35 (linenumber 7) is invalid → NULL. Exercises BOTH the
+        // populated and the null branch so a wrong parse or wrong type
+        // can't hide behind an all-NULL column.
+        try_to_timestamp(concat(lit("1995-01-"),
+          lpad((col("l_linenumber") * 5).cast("string"), 2, "0")))
+          .cast("timestamp_ntz").as("good_ts"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Date/interval arithmetic panel: day-interval shift, day diff from

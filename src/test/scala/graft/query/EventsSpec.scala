@@ -76,4 +76,30 @@ class EventsSpec extends SparkSuite {
       assert(bad.count() === 0, "variant round-trip must preserve value")
     } finally out.unpersist()
   }
+
+  test("variant_safe: try_parse_json NULLs on corrupt input; parse_json throws") {
+    import org.apache.spark.sql.functions._
+    val out = Events.variantSafe(spark, dir).cache()
+    try {
+      assert(out.filter(col("bad_parsed")).count() === 0,
+        "truncated (unbalanced) JSON must parse to NULL on every row")
+      assert(out.filter(col("k_val").isNull).count() === 0,
+        "the good-parse lane must still extract k on every row")
+    } finally out.unpersist()
+    // Literal corrupt fixtures: the exact poison shapes the reference's
+    // file splitter quarantines (truncated object, truncated array,
+    // non-JSON prose) NULL under try_parse_json ...
+    import spark.implicits._
+    val fix = Seq(
+      ("""{"k": 1}""", false), ("""{oops""", true),
+      ("""[1, 2""", true), ("not json at all", true)).toDF("s", "corrupt")
+    assert(fix.filter(
+      try_parse_json(col("s")).isNull =!= col("corrupt")).count() === 0,
+      "try_parse_json must NULL exactly on the corrupt rows")
+    // ... while the throwing form aborts the batch on the same input —
+    // the documented reason variant_safe uses try_parse_json
+    intercept[Exception] {
+      fix.select(parse_json(col("s"))).collect()
+    }
+  }
 }

@@ -245,6 +245,23 @@ class RelationalExtSpec extends SparkSuite {
         "casting 'N'/'R'/'A' to bigint must be null, not an abort")
       assert(out.filter(col("fifth_elem").isNotNull).count() === 0)
       assert(out.filter(col("flag_ts").isNotNull).count() === 0)
+      // success path: days 05..30 parse, day 35 (linenumber 7) fails —
+      // the column must be NULL exactly there and populated elsewhere
+      assert(out.filter(
+        col("good_ts").isNull =!= (col("l_linenumber") === 7))
+        .count() === 0,
+        "try_to_timestamp must parse valid dates and NULL on day 35")
+      assert(out.filter(col("good_ts").isNotNull).count() > 0,
+        "the success path must actually produce non-NULL timestamps")
+      assert(out.filter(col("l_linenumber") === 2).filter(
+        col("good_ts") =!= lit("1995-01-10 00:00:00")
+          .cast("timestamp_ntz")).count() === 0,
+        "parsed value must be the midnight ntz timestamp of the date")
+      // both timestamp columns must be ntz to match the oracle's
+      // TRY_CAST semantics (the r6 schema-mismatch regression)
+      import org.apache.spark.sql.types.TimestampNTZType
+      assert(out.schema("flag_ts").dataType === TimestampNTZType)
+      assert(out.schema("good_ts").dataType === TimestampNTZType)
       assert(out.filter(
         col("overflowed").isNull =!= (col("l_orderkey") > 0)).count() === 0,
         "try_add overflows to NULL exactly when the addend is positive")

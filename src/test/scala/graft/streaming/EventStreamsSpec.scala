@@ -230,6 +230,57 @@ class EventStreamsSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState recovers state across a query stop/restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws-recovery").toString
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_type", "ts", "value")
+      .as[EventStreams.UserEvent]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recovery-capable sink — collect each micro-batch into a buffer
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    import scala.jdk.CollectionConverters._
+    def bufSet = buf.asScala.toSet
+    def start() = EventStreams.runningTotals(events)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[
+          EventStreams.UserRunning], _: Long) =>
+        ds.collect().foreach(r => buf.add((r.user_id, r.n_events, r.total)))
+      }.start()
+    val q1 = start()
+    try {
+      mem.addData(Seq((1L, "view", ts(0), 2.0), (1L, "view", ts(1), 3.0),
+        (2L, "view", ts(2), 10.0)))
+      q1.processAllAvailable()
+      assert(bufSet === Set((1L, 2L, 5.0), (2L, 1L, 10.0)))
+    } finally q1.stop()
+    // restart from the SAME checkpoint — the production property: the
+    // RocksDB state (u1 → (2, 5.0)) must be restored, not rebuilt
+    buf.clear()
+    val q2 = start()
+    try {
+      mem.addData(Seq((1L, "click", ts(3), 5.0)))
+      q2.processAllAvailable()
+      // a fresh (state-lost) run would emit (1, 1, 5.0)
+      assert(bufSet === Set((1L, 3L, 10.0)),
+        s"state must continue across restart; got $bufSet")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops re-delivered events (exactly-once restore)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]

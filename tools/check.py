@@ -10,9 +10,39 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical name for an Arrow type, strict where the driver is
+    strict (timestamp tz-ness, decimal precision/scale, int width) and
+    loose only on representation details that differ between a parquet
+    reader and DuckDB's Arrow export (string vs large_string, timestamp
+    unit, dictionary encoding)."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp[tz]" if t.tz else "timestamp[ntz]"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{norm_type(t.key_type)},{norm_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{norm_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -54,11 +84,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: rows {len(got)} vs {len(exp)}")
             failures += 1
             continue
-        # dtype check (loose: compare kind)
-        mismatch = [c for c in got.columns
-                    if got[c].dtype.kind != exp[c].dtype.kind]
+        # Schema check at the Arrow/parquet logical-type level — the
+        # driver compares there, so pandas-kind equality is not enough
+        # (ltz and ntz timestamps are both kind 'M' but fail the driver).
+        got_types = {f.name: norm_type(f.type)
+                     for f in pq.read_schema(files[0])}
+        exp_types = {f.name: norm_type(f.type)
+                     for f in con.sql(oracle[name]).arrow().schema}
+        mismatch = [(c, got_types[c], exp_types[c]) for c in sorted(got_types)
+                    if got_types[c] != exp_types.get(c, got_types[c])]
         if mismatch:
-            print(f"[FAIL] {name}: dtype mismatch {[(c, str(got[c].dtype), str(exp[c].dtype)) for c in mismatch]}")
+            print(f"[FAIL] {name}: arrow type mismatch {mismatch}")
             failures += 1
             continue
         try:
