@@ -146,6 +146,9 @@ object SparkEntry {
     "events_anomaly" -> (Events.anomalyDaily _),
     "variant_funcs" -> (Events.variantExtract _),
     "variant_safe" -> (Events.variantSafe _),
+    "stream_ivj_inner" -> (streaming.IntervalJoinDrive.inner _),
+    "stream_ivj_left" -> (streaming.IntervalJoinDrive.left _),
+    "stream_ivj_full" -> (streaming.IntervalJoinDrive.full _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -571,6 +574,24 @@ object SparkEntry {
         |  TRY_CAST(substring(props, 1, length(props) - 2) AS JSON) IS NOT NULL AS bad_parsed,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_ivj_inner" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, p.ts, p.purchase_value, v.view_id, v.view_ts, v.view_value
+        |FROM p JOIN v ON p.user_id = v.v_user AND v.view_ts > p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin,
+    "stream_ivj_left" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, p.ts, p.purchase_value, v.view_id, v.view_ts, v.view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.v_user AND v.view_ts > p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+        |ORDER BY p.purchase_id, v.view_id NULLS FIRST""".stripMargin,
+    "stream_ivj_full" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, p.ts, p.purchase_value, v.v_user AS view_user, v.view_id, v.view_ts, v.view_value
+        |FROM p FULL JOIN v ON p.user_id = v.v_user AND v.view_ts > p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
+        |ORDER BY p.purchase_id NULLS FIRST, v.view_id NULLS FIRST""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)

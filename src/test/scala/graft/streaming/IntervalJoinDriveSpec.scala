@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** The SF-scaled interval-join drive must produce EXACTLY the batch
+  * join of the same inputs — the streaming watermark/state machinery
+  * (single-trigger arrival, sentinel flush, exactly-once
+  * null-extension) may not add, drop, or duplicate a single row. */
+class IntervalJoinDriveSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchTwin(mode: String) = {
+    val events = Tables.load(spark, dir, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"), col("value").as("purchase_value"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    val cond = p("user_id") === v("v_user") &&
+      v("view_ts") > p("ts") - expr("INTERVAL 30 MINUTES") &&
+      v("view_ts") <= p("ts")
+    val joinType = mode match {
+      case "inner" => "inner"; case "left" => "leftOuter"
+      case "full" => "fullOuter"
+    }
+    val j = p.join(v, cond, joinType)
+    if (mode == "full")
+      j.select(col("user_id"), col("purchase_id"), col("ts"),
+        col("purchase_value"), col("v_user").as("view_user"),
+        col("view_id"), col("view_ts"), col("view_value"))
+    else
+      j.select(col("user_id"), col("purchase_id"), col("ts"),
+        col("purchase_value"), col("view_id"), col("view_ts"),
+        col("view_value"))
+  }
+
+  for (mode <- Seq("inner", "left", "full"))
+    test(s"$mode streaming drive == batch join, row for row") {
+      val streamed = IntervalJoinDrive.run(spark, dir, mode)
+      val batch = batchTwin(mode)
+      assert(streamed.count() === batch.count(),
+        s"$mode row counts diverge")
+      assert(streamed.exceptAll(batch).count() === 0,
+        s"$mode: streaming emitted rows the batch join doesn't have")
+      assert(batch.exceptAll(streamed).count() === 0,
+        s"$mode: streaming dropped rows the batch join has")
+    }
+}
