@@ -111,7 +111,35 @@ object Scale {
       // (every replica of an eval doc contributes shingles) — the
       // operator mix a real crawl actually stresses
       "curate_dedup" -> (() => graft.query.TextQuality
-        .curateE2eOf(spark.read.parquet(s"$path/documents")).count()))
+        .curateE2eOf(spark.read.parquet(s"$path/documents")).count()),
+      // boilerplate-share: shingle-DF agg + shingle-grain join + doc
+      // rollup — should stay linear in total shingle count
+      "novelty" -> (() => graft.query.TextSim
+        .textNoveltyOf(spark.read.parquet(s"$path/documents")).count()),
+      // edit-distance near-dup, 100 TB recipe: canonical dedup FIRST
+      // (collapses the factor-many byte-identical replicas), THEN the
+      // postings-candidate + DP stage over the survivors. Raw lev on
+      // the replicated corpus is deliberately NOT timed at high
+      // factors: its candidate set grows with C(factor,2) per base doc
+      // (quadratic in duplication — measured by the lev_cand_raw
+      // column), which is exactly why curate_e2e orders the stages
+      // this way.
+      "lev_after_canon" -> (() =>
+        graft.query.TextSim.dedupLevenshteinOf(
+          canonSurvivors(spark.read.parquet(s"$path/documents"))).count()))
+  }
+
+  /** Canonical-dedup pre-pass (the curate_e2e stage-2 shape) over a
+    * bare (doc_id, source, text) corpus: keep the lowest doc_id per
+    * normalized-content hash. */
+  private def canonSurvivors(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    docs.withColumn("canon_md5",
+        graft.query.TextSim.canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "text")
   }
 
   def main(args: Array[String]): Unit = {
@@ -138,7 +166,21 @@ object Scale {
       val rows = spark.read.parquet(s"$path/lineitem").count()
       val qs = results.map { case (k, v) => s"\"$k\":$v" }
         .mkString("{", ",", "}")
-      println(s"""{"factor":$f,"lineitem_rows":$rows,"queries":$qs}""")
+      // candidate-count audit for the levenshtein stage (generation
+      // only — no DP): raw pairs on the replicated corpus (grows with
+      // C(factor,2) per base doc), pairs surviving the ≥3-shared
+      // floor, and pairs after the canonical pre-pass — the number the
+      // timed lev_after_canon shape actually verifies
+      val docs = spark.read.parquet(s"$path/documents")
+      val rawCand = graft.query.TextSim.levCandidates(docs)
+      val candRaw = rawCand.count()
+      val candFloor = rawCand.filter(col("n_shared") >= 3).count()
+      val candCanon = graft.query.TextSim
+        .levCandidates(canonSurvivors(docs))
+        .filter(col("n_shared") >= 3).count()
+      println(s"""{"factor":$f,"lineitem_rows":$rows,"queries":$qs,""" +
+        s""""lev_cand_raw":$candRaw,"lev_cand_floor":$candFloor,""" +
+        s""""lev_cand_after_canon":$candCanon}""")
     }
     spark.stop()
   }

@@ -25,9 +25,11 @@ object TextSim {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
+  private def docsTokOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+
   private def docsTok(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
+    docsTokOf(Tables.load(spark, dir, "documents"))
 
   // ---------------------------------------------------------------- text
 
@@ -216,10 +218,13 @@ object TextSim {
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
 
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    docsTok(spark, dir)
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docsTokOf(docs)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSetsOf(Tables.load(spark, dir, "documents"))
 
   /** All ordered pairs within each row's sorted `arr` column — the
     * shared candidate-expansion core of [[dedupNgram]],
@@ -301,8 +306,13 @@ object TextSim {
     * check. Docs under 3 tokens have no shingles and are excluded on
     * both sides. */
   def textNovelty(spark: SparkSession, dir: String, commonDf: Int = 2)
-      : DataFrame = {
-    val sh = shingleSets(spark, dir)
+      : DataFrame =
+    textNoveltyOf(Tables.load(spark, dir, "documents"), commonDf)
+
+  /** DataFrame-parameterized core of [[textNovelty]] (the Scale harness
+    * runs it over replicated corpora). */
+  def textNoveltyOf(docs: DataFrame, commonDf: Int = 2): DataFrame = {
+    val sh = shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val df = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
     sh.join(df, "sh_h")
@@ -339,17 +349,32 @@ object TextSim {
     * as a collision check). */
   def dedupLevenshtein(spark: SparkSession, dir: String,
       maxRel: Double = 0.2, minShared: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame =
+    dedupLevenshteinOf(Tables.load(spark, dir, "documents"),
+      maxRel, minShared, maxShingleDf)
+
+  /** Shared-shingle candidate pairs with their shared-count — the
+    * bounded generation stage of [[dedupLevenshtein]], exposed so the
+    * Scale harness can measure candidate growth (cap/floor binding)
+    * without paying for the DP verify stage. */
+  private[graft] def levCandidates(docs: DataFrame,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingleSets(spark, dir)
+    val sh = shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val postings = sh.groupBy("sh_h")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxShingleDf))
       .select("docs")
-    val cand = orderedPairs(postings, "docs", "d1", "d2")
+    orderedPairs(postings, "docs", "d1", "d2")
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** DataFrame-parameterized core of [[dedupLevenshtein]]. */
+  def dedupLevenshteinOf(docs: DataFrame,
+      maxRel: Double = 0.2, minShared: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val cand = levCandidates(docs, maxShingleDf)
       .filter(col("n_shared") >= minShared)
-    val docs = Tables.load(spark, dir, "documents")
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
     cand.join(t1, "d1").join(t2, "d2")

@@ -77,6 +77,19 @@ object IntervalJoinDrive {
         case "full" => EventStreams.intervalJoinFullOuter(pStream, vStream,
           keyed = true)
       }
+      // Stateful queries spin up one state-store instance per shuffle
+      // partition per side PER MICRO-BATCH (snapshot + delta files each
+      // trigger). At the bench fixture's size that fixed cost dwarfs
+      // the join itself (~6 micro-batches × 32 partitions × 2 sides),
+      // so the drive pins a small partition count for its own query —
+      // captured and restored; a production deployment sizes this to
+      // the cluster, the knob is per-query by construction.
+      // The conf is consumed when the first micro-batch plans (async,
+      // after start() returns), so it stays pinned until the query is
+      // stopped, then restored in the finally below.
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
       val q = joined.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ws.resolve("ckpt").toString)
         .outputMode("append").start()
@@ -110,7 +123,10 @@ object IntervalJoinDrive {
           .withColumn("ts", col("ts").cast("timestamp_ntz"))
           .withColumn("view_ts", col("view_ts").cast("timestamp_ntz"))
           .orderBy(asc("purchase_id"), asc("view_id"))
-      } finally q.stop()
+      } finally {
+        q.stop()
+        spark.conf.set(spKey, prevSp)
+      }
     } finally {
       Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.deleteIfExists(p))
