@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   * not throughput ones.
   */
 object Bench {
-  private def excluded(k: String): Boolean = k.startsWith("ingest_e2e_")
+  // ingest_e2e_*: fixed-size streaming fixture, latency independent of
+  // SF. dedup_lev_curated: the canonical→levenshtein composition — its
+  // cost class is exactly dedup_canonical + dedup_levenshtein, both
+  // already benched individually; timing the composition would double-
+  // count without exposing a new regression surface.
+  private def excluded(k: String): Boolean =
+    k.startsWith("ingest_e2e_") || k == "dedup_lev_curated"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -129,18 +129,8 @@ object Scale {
           canonSurvivors(spark.read.parquet(s"$path/documents"))).count()))
   }
 
-  /** Canonical-dedup pre-pass (the curate_e2e stage-2 shape) over a
-    * bare (doc_id, source, text) corpus: keep the lowest doc_id per
-    * normalized-content hash. */
-  private def canonSurvivors(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
-    docs.withColumn("canon_md5",
-        graft.query.TextSim.canonicalMd5(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "source", "text")
-  }
+  private def canonSurvivors(docs: DataFrame): DataFrame =
+    graft.query.TextSim.canonicalSurvivors(docs)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

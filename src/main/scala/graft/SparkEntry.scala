@@ -171,6 +171,9 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
     "text_novelty" -> ((s: SparkSession, d: String) => TextSim.textNovelty(s, d)),
     "dedup_levenshtein" -> ((s: SparkSession, d: String) => TextSim.dedupLevenshtein(s, d)),
+    "dedup_lev_curated" -> ((s: SparkSession, d: String) =>
+      TextSim.dedupLevenshteinOf(TextSim.canonicalSurvivors(
+        graft.core.Tables.load(s, d, "documents")))),
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
@@ -1027,6 +1030,30 @@ object SparkEntry {
         |HAVING count(*) >= 2 ORDER BY tr.doc_id, e.eval_doc_id""".stripMargin,
     "dedup_levenshtein" ->
       """WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ld AS (SELECT d1, d2, levenshtein(t1.text, t2.text) AS dist,
+        |    greatest(len(t1.text), len(t2.text)) AS maxlen
+        |  FROM cand JOIN t t1 ON d1 = t1.doc_id JOIN t t2 ON d2 = t2.doc_id)
+        |SELECT d1, d2, CAST(dist AS BIGINT) AS dist,
+        |  round(CAST(dist AS DOUBLE) / maxlen, 6) AS rel_dist
+        |FROM ld WHERE dist <= 0.2 * maxlen
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_lev_curated" ->
+      """WITH k AS (SELECT doc_id, text,
+        |    CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |      THEN md5(text)
+        |      ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS ck
+        |  FROM documents),
+        |s AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY ck ORDER BY doc_id ASC) AS rn FROM k) WHERE rn = 1),
+        |t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM s),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
         |  FROM t WHERE len(toks) >= 3),

@@ -199,6 +199,20 @@ object TextSim {
     when(canon === "", md5(text)).otherwise(md5(canon))
   }
 
+  /** Canonical-dedup pre-pass returning the surviving FULL rows (lowest
+    * doc_id per normalized-content hash, helper columns dropped) — the
+    * stage every pairwise dedup operator should consume at scale: the
+    * Scale audit (SCALE.md r7) measures raw levenshtein candidates
+    * growing ~factor² under crawl duplication while survivors hold the
+    * DP stage constant. */
+  def canonicalSurvivors(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    docs.withColumn("canon_md5", canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("canon_md5", "rn")
+  }
+
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     val canon = canonicalMd5(col("text"))
     val w = Window.partitionBy(col("canon_md5")).orderBy(col("doc_id").asc)

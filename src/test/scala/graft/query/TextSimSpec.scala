@@ -145,6 +145,25 @@ class TextSimSpec extends SparkSuite {
     }
   }
 
+  test("dedup_lev_curated == raw levenshtein restricted to canonical survivors") {
+    // On this fixture the shingle-DF cap never binds (max df far below
+    // 1000), so removing canonical duplicates cannot ADD candidates —
+    // the composed form must equal the raw key filtered to pairs whose
+    // BOTH endpoints survive the canonical pre-pass.
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val survivors = TextSim.canonicalSurvivors(docs)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val composed = TextSim.dedupLevenshteinOf(
+      TextSim.canonicalSurvivors(docs))
+    val rawFiltered = TextSim.dedupLevenshtein(spark, dir)
+      .filter(r => survivors.contains(r.getLong(0)) &&
+        survivors.contains(r.getLong(1)))
+    assert(composed.exceptAll(rawFiltered).count() === 0)
+    assert(rawFiltered.exceptAll(composed).count() === 0)
+    assert(composed.count() > 0, "fixture must exercise the DP stage")
+  }
+
   test("orderedPairs property: exactly the i<j pairs of every array") {
     // the shared candidate-expansion core of three dedup operators —
     // property-tied to its specification (all ordered pairs, nothing
