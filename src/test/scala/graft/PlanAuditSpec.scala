@@ -14,7 +14,11 @@ class PlanAuditSpec extends SparkSuite {
   private val expensive = Set(
     "dedup_cluster", "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control",
-    "ingest_e2e_diff", "scan_zorder")
+    "ingest_e2e_diff", "scan_zorder",
+    // the streaming drives EXECUTE on construction (stage + drain a
+    // streaming query, return a pinned LocalRelation — no plan to
+    // audit); IntervalJoinDriveSpec covers them
+    "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf
