@@ -149,6 +149,7 @@ object SparkEntry {
     "stream_ivj_inner" -> (streaming.IntervalJoinDrive.inner _),
     "stream_ivj_left" -> (streaming.IntervalJoinDrive.left _),
     "stream_ivj_full" -> (streaming.IntervalJoinDrive.full _),
+    "stream_tws_totals" -> (streaming.TwsDrive.totals _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -589,6 +590,10 @@ object SparkEntry {
         |SELECT p.user_id, p.purchase_id, p.ts, p.purchase_value, v.view_id, v.view_ts, v.view_value
         |FROM p LEFT JOIN v ON p.user_id = v.v_user AND v.view_ts > p.ts - INTERVAL 30 MINUTE AND v.view_ts <= p.ts
         |ORDER BY p.purchase_id, v.view_id NULLS FIRST""".stripMargin,
+    "stream_tws_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_ivj_full" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')

@@ -39,6 +39,18 @@ class IntervalJoinDriveSpec extends SparkSuite {
         col("view_value"))
   }
 
+  test("transformWithState drive == batch GROUP BY, row for row") {
+    val streamed = TwsDrive.totals(spark, dir)
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0)).cast("long").as("total_cents"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "RocksDB state totals must equal the batch aggregation exactly")
+  }
+
   for (mode <- Seq("inner", "left", "full"))
     test(s"$mode streaming drive == batch join, row for row") {
       val streamed = IntervalJoinDrive.run(spark, dir, mode)
