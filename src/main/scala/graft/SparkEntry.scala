@@ -150,6 +150,7 @@ object SparkEntry {
     "stream_ivj_left" -> (streaming.IntervalJoinDrive.left _),
     "stream_ivj_full" -> (streaming.IntervalJoinDrive.full _),
     "stream_tws_totals" -> (streaming.TwsDrive.totals _),
+    "stream_session_window" -> (streaming.SessionDrive.sessions _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -189,6 +190,19 @@ object SparkEntry {
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_features" -> (Multimodal.featureLanes _),
     "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)))
+
+  /** Gaps-and-islands session oracle — shared by the batch
+    * (`stream_session`) and native-session_window-drive
+    * (`stream_session_window`) keys, which must agree row-for-row. */
+  private val sessionOracleSql =
+    """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events),
+      |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM o),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
@@ -721,15 +735,11 @@ object SparkEntry {
         |      UNION ALL SELECT tb - INTERVAL '30 minutes', event_type FROM b)
         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "stream_session" ->
-      """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events),
-        |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM o),
-        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_session" -> sessionOracleSql,
+    // the native session_window streaming drive must reproduce the
+    // gaps-and-islands sessions exactly (no 30-min boundary ties exist
+    // in the fixture at any SF — see SessionDrive scaladoc)
+    "stream_session_window" -> sessionOracleSql,
     "events_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -39,6 +39,15 @@ class IntervalJoinDriveSpec extends SparkSuite {
         col("view_value"))
   }
 
+  test("session_window drive == batch gaps-and-islands sessions, row for row") {
+    val streamed = SessionDrive.sessions(spark, dir)
+    val batch = graft.query.Events.sessionize(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "native session_window sessions must equal the batch islands")
+  }
+
   test("transformWithState drive == batch GROUP BY, row for row") {
     val streamed = TwsDrive.totals(spark, dir)
     val batch = Tables.load(spark, dir, "events")
