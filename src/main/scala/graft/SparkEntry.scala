@@ -151,6 +151,7 @@ object SparkEntry {
     "stream_ivj_full" -> (streaming.IntervalJoinDrive.full _),
     "stream_tws_totals" -> (streaming.TwsDrive.totals _),
     "stream_session_window" -> (streaming.SessionDrive.sessions _),
+    "stream_dedup_drive" -> (streaming.DedupDrive.dedup _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -608,6 +609,11 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exactly-once restoration: a full byte-identical re-delivery in a
+    // second micro-batch must be absorbed, so the output IS the table
+    "stream_dedup_drive" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_ivj_full" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')

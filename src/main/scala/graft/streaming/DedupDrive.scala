@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Oracle-checked, SF-scaled drive of `dropDuplicatesWithinWatermark`
+  * (EventStreams.dedup) — completes the streaming-state-machine set in
+  * the driver gates (interval joins, transformWithState,
+  * session_window, dedup).
+  *
+  * The at-least-once regime is simulated with the real table: the
+  * ENTIRE events table is delivered twice — once in trigger #1 and
+  * again (byte-identical re-delivery) in trigger #2, while every
+  * event's timestamp is still inside the watermark horizon — so the
+  * dedup state must absorb a full duplicate pass ACROSS micro-batches,
+  * not within one. Exactly-once restoration means the output is the
+  * original table, which is the oracle: a plain projection of events.
+  * Output rows don't need a sentinel flush (dedup emits survivors
+  * eagerly in append mode).
+  *
+  * State at scale: one state row per event_id younger than the
+  * watermark horizon — the bounded-state contract that plain
+  * dropDuplicates on a stream lacks; hash-partitioned by key
+  * (4-partition pin, the IntervalJoinDrive rationale). */
+object DedupDrive {
+
+  def dedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Files.createDirectories(Paths.get(
+      "/root/repo/target/graft-dedup/" + java.util.UUID.randomUUID()))
+    val name = "t_dedup_drive_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val eDir = ws.resolve("events").toString
+      events.coalesce(1).write.parquet(eDir)
+
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevSp = spark.conf.get(spKey)
+      spark.conf.set(spKey, "4")
+      val stream = spark.readStream.schema(events.schema).parquet(eDir)
+      val q = EventStreams.dedup(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ws.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // trigger #2: the full re-delivery — every row a duplicate the
+        // cross-batch state must drop
+        events.coalesce(1).write.mode("append").parquet(eDir)
+        q.processAllAvailable()
+        val raw = spark.table(name)
+        val pinned = spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(
+            raw.collect(): _*)), raw.schema)
+        pinned
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .orderBy("event_id")
+      } finally {
+        q.stop()
+        spark.conf.set(spKey, prevSp)
+      }
+    } finally {
+      Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}

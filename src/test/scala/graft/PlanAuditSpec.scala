@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSuite {
     // streaming query, return a pinned LocalRelation — no plan to
     // audit); IntervalJoinDriveSpec covers them
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
-    "stream_tws_totals", "stream_session_window")
+    "stream_tws_totals", "stream_session_window", "stream_dedup_drive")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf

@@ -48,6 +48,17 @@ class IntervalJoinDriveSpec extends SparkSuite {
       "native session_window sessions must equal the batch islands")
   }
 
+  test("dedup drive absorbs a full cross-batch re-delivery exactly") {
+    val streamed = DedupDrive.dedup(spark, dir)
+    val original = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    assert(streamed.count() === original.count(),
+      "every re-delivered row must be dropped, every original kept")
+    assert(streamed.exceptAll(original).count() === 0 &&
+      original.exceptAll(streamed).count() === 0)
+  }
+
   test("transformWithState drive == batch GROUP BY, row for row") {
     val streamed = TwsDrive.totals(spark, dir)
     val batch = Tables.load(spark, dir, "events")
