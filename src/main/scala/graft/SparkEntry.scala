@@ -152,6 +152,7 @@ object SparkEntry {
     "stream_tws_totals" -> (streaming.TwsDrive.totals _),
     "stream_session_window" -> (streaming.SessionDrive.sessions _),
     "stream_dedup_drive" -> (streaming.DedupDrive.dedup _),
+    "stream_topk_window" -> (streaming.TopKDrive.topk _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -614,6 +615,14 @@ object SparkEntry {
     "stream_dedup_drive" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // hour windows align to epoch in both engines; tiebreak mirrors the
+    // bounded-heap aggregate's contract (score desc, id asc)
+    "stream_topk_window" ->
+      """WITH w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_id, value FROM events),
+        |r AS (SELECT window_start, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY window_start ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn FROM w)
+        |SELECT window_start, rn, event_id, value FROM r WHERE rn <= 3
+        |ORDER BY window_start, rn""".stripMargin,
     "stream_ivj_full" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value FROM events WHERE event_type = 'view')

@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,46 +26,31 @@ import graft.core.Tables
   * (4-partition pin, the IntervalJoinDrive rationale). */
 object DedupDrive {
 
-  def dedup(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Files.createDirectories(Paths.get(
-      "/root/repo/target/graft-dedup/" + java.util.UUID.randomUUID()))
-    val name = "t_dedup_drive_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
+  def dedup(spark: SparkSession, dir: String): DataFrame =
+    DriveSupport.withWorkspace("graft-dedup") { ws =>
+      val name = DriveSupport.sinkName("dedup_drive")
       val events = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"), col("value"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
 
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevSp = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val stream = spark.readStream.schema(events.schema).parquet(eDir)
-      val q = EventStreams.dedup(stream)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ws.resolve("ckpt").toString)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        // trigger #2: the full re-delivery — every row a duplicate the
-        // cross-batch state must drop
-        events.coalesce(1).write.mode("append").parquet(eDir)
-        q.processAllAvailable()
-        val raw = spark.table(name)
-        val pinned = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(
-            raw.collect(): _*)), raw.schema)
-        pinned
-          .withColumn("ts", col("ts").cast("timestamp_ntz"))
-          .orderBy("event_id")
-      } finally {
-        q.stop()
-        spark.conf.set(spKey, prevSp)
+      DriveSupport.withStreamConfs(spark) {
+        val stream = spark.readStream.schema(events.schema).parquet(eDir)
+        val q = EventStreams.dedup(stream)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("append").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          // trigger #2: the full re-delivery — every row a duplicate the
+          // cross-batch state must drop
+          events.coalesce(1).write.mode("append").parquet(eDir)
+          q.processAllAvailable()
+          DriveSupport.pin(spark, spark.table(name))
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+            .orderBy("event_id")
+        }
       }
-    } finally {
-      Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
     }
-  }
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Shared scaffolding for the SF-scaled streaming drives (the keys
+  * that put each streaming state machine into both driver gates):
+  * throwaway workspace lifecycle, the 4-partition state pin
+  * (captured/restored around the query — the fixture cost is state
+  * store instances per partition per micro-batch, see PERF.md r7),
+  * unique memory-sink names, and result pinning off the sink before
+  * the workspace the plan reads from is deleted. */
+private[streaming] object DriveSupport {
+
+  /** Run `body` with a fresh workspace under target/, deleting it
+    * (recursively) afterwards. */
+  def withWorkspace[T](prefix: String)(body: Path => T): T = {
+    val ws = Files.createDirectories(Paths.get(
+      s"/root/repo/target/$prefix/" + java.util.UUID.randomUUID()))
+    try body(ws)
+    finally Files.walk(ws)
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** Unique memory-sink query name. */
+  def sinkName(tag: String): String =
+    s"t_${tag}_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Pin `spark.sql.shuffle.partitions` (and optionally the state
+    * store provider) for a streaming query's lifetime: both confs are
+    * consumed when the first micro-batch plans — async, after start()
+    * returns — so they stay set until the query stops, then restore. */
+  def withStreamConfs[T](spark: SparkSession, partitions: String = "4",
+      provider: Option[String] = None)(body: => T): T = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevSp = spark.conf.get(spKey)
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(spKey, partitions)
+    provider.foreach(spark.conf.set(provKey, _))
+    try body
+    finally {
+      spark.conf.set(spKey, prevSp)
+      if (provider.isDefined) prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  /** Stop `q` after `body`, even on failure. */
+  def draining[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  /** Materialize the sink's rows into a session-owned LocalRelation so
+    * the caller can keep using the result after the workspace
+    * (checkpoint + staged files the plan reads) is deleted. The
+    * collect is the memory-sink read-back of a bounded drive result —
+    * the same driver-side materialization the sink already performed,
+    * not a data-path collect. */
+  def pin(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        df.collect(): _*)), df.schema)
+}

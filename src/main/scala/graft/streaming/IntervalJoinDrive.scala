@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,12 +41,9 @@ object IntervalJoinDrive {
   /** Drive one join form ("inner" | "left" | "full") over `dir`'s
     * events table; returns the sentinel-free joined result with a
     * total order. */
-  def run(spark: SparkSession, dir: String, mode: String): DataFrame = {
-    val ws = Files.createDirectories(Paths.get(
-      "/root/repo/target/graft-ivj/" + java.util.UUID.randomUUID()))
-    val name = "t_ivj_drive_" + mode + "_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
+  def run(spark: SparkSession, dir: String, mode: String): DataFrame =
+    DriveSupport.withWorkspace("graft-ivj") { ws =>
+      val name = DriveSupport.sinkName(s"ivj_drive_$mode")
       val events = Tables.load(spark, dir, "events")
       // watermarks require ltz TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP
       // _TYPE on ntz); stage as ltz and cast back on the way out — the
@@ -77,61 +71,41 @@ object IntervalJoinDrive {
         case "full" => EventStreams.intervalJoinFullOuter(pStream, vStream,
           keyed = true)
       }
-      // Stateful queries spin up one state-store instance per shuffle
-      // partition per side PER MICRO-BATCH (snapshot + delta files each
-      // trigger). At the bench fixture's size that fixed cost dwarfs
-      // the join itself (~6 micro-batches × 32 partitions × 2 sides),
-      // so the drive pins a small partition count for its own query —
-      // captured and restored; a production deployment sizes this to
-      // the cluster, the knob is per-query by construction.
-      // The conf is consumed when the first micro-batch plans (async,
-      // after start() returns), so it stays pinned until the query is
-      // stopped, then restored in the finally below.
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevSp = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val q = joined.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ws.resolve("ckpt").toString)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        if (mode != "inner") {
-          // sentinel nudges: advance both watermarks past every real
-          // row's join range so the held null-extensions flush
-          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days", "367 days").foreach { shift =>
-            val sentinel = spark.range(1)
-              .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-                (lit(maxTs).cast("timestamp") +
-                  expr(s"INTERVAL $shift")).as("ts"),
-                lit(0.0).as("value"))
-            sentinel.write.mode("append").parquet(pDir)
-            sentinel.toDF("v_user", "event_id", "view_ts", "value")
-              .write.mode("append").parquet(vDir)
-            q.processAllAvailable()
+      // 4-partition state pin: one state-store instance per partition
+      // per side PER MICRO-BATCH dwarfs the join at fixture size
+      // (PERF.md r7); production sizes the knob to the cluster.
+      DriveSupport.withStreamConfs(spark) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("append").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          if (mode != "inner") {
+            // sentinel nudges: advance both watermarks past every real
+            // row's join range so the held null-extensions flush
+            val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+            Seq("366 days", "367 days").foreach { shift =>
+              val sentinel = spark.range(1)
+                .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+                  (lit(maxTs).cast("timestamp") +
+                    expr(s"INTERVAL $shift")).as("ts"),
+                  lit(0.0).as("value"))
+              sentinel.write.mode("append").parquet(pDir)
+              sentinel.toDF("v_user", "event_id", "view_ts", "value")
+                .write.mode("append").parquet(vDir)
+              q.processAllAvailable()
+            }
           }
+          val raw = spark.table(name)
+            .filter((col("purchase_id").isNull || col("purchase_id") =!= -1L)
+              && (col("view_id").isNull || col("view_id") =!= -1L))
+          DriveSupport.pin(spark, raw)
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+            .withColumn("view_ts", col("view_ts").cast("timestamp_ntz"))
+            .orderBy(asc("purchase_id"), asc("view_id"))
         }
-        val raw = spark.table(name)
-          .filter((col("purchase_id").isNull || col("purchase_id") =!= -1L)
-            && (col("view_id").isNull || col("view_id") =!= -1L))
-        // pin off the sink before the workspace (checkpoint + staged
-        // files the plan reads) is deleted
-        val pinned = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(
-            raw.collect(): _*)), raw.schema)
-        pinned
-          .withColumn("ts", col("ts").cast("timestamp_ntz"))
-          .withColumn("view_ts", col("view_ts").cast("timestamp_ntz"))
-          .orderBy(asc("purchase_id"), asc("view_id"))
-      } finally {
-        q.stop()
-        spark.conf.set(spKey, prevSp)
       }
-    } finally {
-      Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
     }
-  }
 
   def inner(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, "inner")

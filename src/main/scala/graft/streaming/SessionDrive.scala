@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,65 +37,53 @@ import graft.core.Tables.moneySum
   */
 object SessionDrive {
 
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Files.createDirectories(Paths.get(
-      "/root/repo/target/graft-session/" + java.util.UUID.randomUUID()))
-    val name = "t_session_drive_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    DriveSupport.withWorkspace("graft-session") { ws =>
+      val name = DriveSupport.sinkName("session_drive")
       val events = Tables.load(spark, dir, "events")
         .select(col("user_id"),
           col("ts").cast("timestamp").as("ts"), col("value"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
 
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevSp = spark.conf.get(spKey)
-      spark.conf.set(spKey, "4")
-      val stream = spark.readStream.schema(events.schema).parquet(eDir)
-      val q = stream.withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"),
-          moneySum(col("value")).as("session_value"))
-        .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), col("session_value"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ws.resolve("ckpt").toString)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-        Seq("366 days", "367 days").foreach { shift =>
-          spark.range(1)
-            .select(lit(-1L).as("user_id"),
-              (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
-                .as("ts"),
-              lit(0.0).as("value"))
-            .write.mode("append").parquet(eDir)
-          q.processAllAvailable()
-        }
-        val raw = spark.table(name).filter(col("user_id") =!= -1L)
-        val pinned = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(
-            raw.collect(): _*)), raw.schema)
-        val byUser = Window.partitionBy("user_id")
-          .orderBy(col("session_start").asc)
-        pinned
-          .withColumn("session_id", row_number().over(byUser).cast("long"))
-          .select(col("user_id"), col("session_id"),
-            col("session_start").cast("timestamp_ntz").as("session_start"),
-            col("session_end").cast("timestamp_ntz").as("session_end"),
+      DriveSupport.withStreamConfs(spark) {
+        val stream = spark.readStream.schema(events.schema).parquet(eDir)
+        val q = stream.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("session_value"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"), col("session_value"))
-          .orderBy("user_id", "session_id")
-      } finally {
-        q.stop()
-        spark.conf.set(spKey, prevSp)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("append").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+          Seq("366 days", "367 days").foreach { shift =>
+            spark.range(1)
+              .select(lit(-1L).as("user_id"),
+                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
+                  .as("ts"),
+                lit(0.0).as("value"))
+              .write.mode("append").parquet(eDir)
+            q.processAllAvailable()
+          }
+          val byUser = Window.partitionBy("user_id")
+            .orderBy(col("session_start").asc)
+          DriveSupport.pin(spark,
+              spark.table(name).filter(col("user_id") =!= -1L))
+            .withColumn("session_id",
+              row_number().over(byUser).cast("long"))
+            .select(col("user_id"), col("session_id"),
+              col("session_start").cast("timestamp_ntz")
+                .as("session_start"),
+              col("session_end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"), col("session_value"))
+            .orderBy("user_id", "session_id")
+        }
       }
-    } finally {
-      Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
     }
-  }
 }

@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,12 +31,9 @@ import graft.core.Tables
   */
 object TwsDrive {
 
-  def totals(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Files.createDirectories(Paths.get(
-      "/root/repo/target/graft-tws/" + java.util.UUID.randomUUID()))
-    val name = "t_tws_drive_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    try {
+  def totals(spark: SparkSession, dir: String): DataFrame =
+    DriveSupport.withWorkspace("graft-tws") { ws =>
+      val name = DriveSupport.sinkName("tws_drive")
       val events = Tables.load(spark, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"),
@@ -47,40 +41,23 @@ object TwsDrive {
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
 
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val spKey = "spark.sql.shuffle.partitions"
-      val prevProv = spark.conf.getOption(provKey)
-      val prevSp = spark.conf.get(spKey)
-      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      spark.conf.set(spKey, "4")
-      import spark.implicits._
-      val stream = spark.readStream.schema(events.schema).parquet(eDir)
-        .as[EventStreams.UserEvent]
-      val q = EventStreams.runningTotals(stream).writeStream
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ws.resolve("ckpt").toString)
-        .outputMode("update").start()
-      try {
-        q.processAllAvailable()
-        val raw = spark.table(name)
-          .select(col("user_id"), col("n_events"),
-            col("total").cast("long").as("total_cents"))
-        val pinned = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(
-            raw.collect(): _*)), raw.schema)
-        pinned.orderBy("user_id")
-      } finally {
-        q.stop()
-        spark.conf.set(spKey, prevSp)
-        prevProv match {
-          case Some(v) => spark.conf.set(provKey, v)
-          case None => spark.conf.unset(provKey)
+      DriveSupport.withStreamConfs(spark, provider = Some(
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")) {
+        import spark.implicits._
+        val stream = spark.readStream.schema(events.schema).parquet(eDir)
+          .as[EventStreams.UserEvent]
+        val q = EventStreams.runningTotals(stream).writeStream
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("update").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          DriveSupport.pin(spark, spark.table(name)
+              .select(col("user_id"), col("n_events"),
+                col("total").cast("long").as("total_cents")))
+            .orderBy("user_id")
         }
       }
-    } finally {
-      Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
     }
-  }
 }

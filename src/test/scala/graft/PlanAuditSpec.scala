@@ -17,9 +17,10 @@ class PlanAuditSpec extends SparkSuite {
     "ingest_e2e_diff", "scan_zorder",
     // the streaming drives EXECUTE on construction (stage + drain a
     // streaming query, return a pinned LocalRelation — no plan to
-    // audit); IntervalJoinDriveSpec covers them
+    // audit); StreamDriveSpec covers them
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
-    "stream_tws_totals", "stream_session_window", "stream_dedup_drive")
+    "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
+    "stream_topk_window")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf

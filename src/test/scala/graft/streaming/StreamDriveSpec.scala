@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 import graft.core.Tables
 
-/** The SF-scaled interval-join drive must produce EXACTLY the batch
-  * join of the same inputs — the streaming watermark/state machinery
+/** Every SF-scaled streaming drive must produce EXACTLY its batch
+  * twin's rows — the streaming watermark/state machinery
   * (single-trigger arrival, sentinel flush, exactly-once
-  * null-extension) may not add, drop, or duplicate a single row. */
-class IntervalJoinDriveSpec extends SparkSuite {
+  * null-extension, cross-batch dedup state) may not add, drop, or
+  * duplicate a single row. */
+class StreamDriveSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -46,6 +47,24 @@ class IntervalJoinDriveSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() === 0 &&
       batch.exceptAll(streamed).count() === 0,
       "native session_window sessions must equal the batch islands")
+  }
+
+  test("windowed top-k drive == batch window row_number, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = TopKDrive.topk(spark, dir)
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val batch = Tables.load(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("window_start"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("window_start", "rn", "event_id", "value")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "state-store top-k must equal the batch window ranking")
   }
 
   test("dedup drive absorbs a full cross-batch re-delivery exactly") {
