@@ -153,6 +153,7 @@ object SparkEntry {
     "stream_session_window" -> (streaming.SessionDrive.sessions _),
     "stream_dedup_drive" -> (streaming.DedupDrive.dedup _),
     "stream_topk_window" -> (streaming.TopKDrive.topk _),
+    "stream_session_tracker" -> (streaming.TrackerDrive.sessions _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
     "window_rank_stats" -> (Relational.windowRankStats _),
@@ -751,10 +752,12 @@ object SparkEntry {
         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_session" -> sessionOracleSql,
-    // the native session_window streaming drive must reproduce the
-    // gaps-and-islands sessions exactly (no 30-min boundary ties exist
-    // in the fixture at any SF — see SessionDrive scaladoc)
+    // the native session_window drive AND the custom fMGWS tracker
+    // drive must both reproduce the gaps-and-islands sessions exactly
+    // (no 30-min boundary ties exist in the fixture at any SF — see
+    // SessionDrive scaladoc); three implementations, one oracle
     "stream_session_window" -> sessionOracleSql,
+    "stream_session_tracker" -> sessionOracleSql,
     "events_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

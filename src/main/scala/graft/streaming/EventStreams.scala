@@ -181,19 +181,34 @@ object EventStreams {
     * semantics the built-in `session_window` cannot express: a session
     * closes on a 30-minute gap OR an explicit `logout` event, whichever
     * comes first (`closed_by` says which). State per user is one
-    * fixed-size record; the event-time timeout (driven by the
-    * watermark) evicts idle users, so state is bounded on an unbounded
-    * stream exactly like the built-in operators. Emits a summary only
-    * when a session closes (append semantics). */
+    * fixed-size record (timestamps as epoch micros — full event-time
+    * precision); the event-time timeout (driven by the watermark)
+    * evicts idle users, so state is bounded on an unbounded stream
+    * exactly like the built-in operators. Emits a summary only when a
+    * session closes (append semantics). */
   def sessionTracker(events: Dataset[UserEvent],
       gapMinutes: Int = 30, watermark: String = "1 hour")
       : Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // Epoch MICROS as the state clock — `getTime` alone (millis) would
+    // truncate: the synthetic events carry sub-millisecond timestamps
+    // on ~every row, so session bounds kept in millis disagree with any
+    // µs-accurate consumer (caught by the TrackerDrive oracle). Local
+    // defs: the update closure must not capture the EventStreams object
+    // (NotSerializableException on the executor otherwise).
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def summary(u: Long, s: SessionState, closedBy: String) =
-      SessionSummary(u, new Timestamp(s.start), new Timestamp(s.last),
+      SessionSummary(u, tsOf(s.start), tsOf(s.last),
         s.n, s.total, closedBy)
 
     def update(user: Long, it: Iterator[UserEvent],
@@ -204,10 +219,10 @@ object EventStreams {
         return out.iterator
       }
       val closed = scala.collection.mutable.ListBuffer[SessionSummary]()
-      it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      it.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
+        val t = usOf(e.ts)
         val cur = state.getOption match {
-          case Some(s) if t - s.last > gapMs =>
+          case Some(s) if t - s.last > gapUs =>
             closed += summary(user, s, "gap")
             SessionState(t, t, 1, e.value)
           case Some(s) =>
@@ -223,8 +238,11 @@ object EventStreams {
         } else {
           state.update(cur)
           // evict via event time: fire once the watermark passes
-          // last-seen + gap
-          state.setTimeoutTimestamp(cur.last + gapMs)
+          // last-seen + gap (ceil µs → ms: firing must never precede
+          // the true horizon; any event inside the rounded-up ms would
+          // be below the watermark and dropped anyway)
+          state.setTimeoutTimestamp(
+            Math.floorDiv(cur.last + gapUs + 999L, 1000L))
         }
       }
       closed.iterator

@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSuite {
     // audit); StreamDriveSpec covers them
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
-    "stream_topk_window")
+    "stream_topk_window", "stream_session_tracker")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf

@@ -49,6 +49,18 @@ class StreamDriveSpec extends SparkSuite {
       "native session_window sessions must equal the batch islands")
   }
 
+  test("fMGWS tracker drive == native session_window drive == batch islands") {
+    // three session implementations, one truth: the custom state
+    // machine must agree with both the native operator's drive and the
+    // batch form (value scaled: tracker outputs exact cents / 100)
+    val tracker = TrackerDrive.sessions(spark, dir)
+    val batch = graft.query.Events.sessionize(spark, dir)
+    assert(tracker.count() === batch.count())
+    assert(tracker.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(tracker).count() === 0,
+      "hand-written session state machine must equal the batch islands")
+  }
+
   test("windowed top-k drive == batch window row_number, row for row") {
     import org.apache.spark.sql.expressions.Window
     val streamed = TopKDrive.topk(spark, dir)
