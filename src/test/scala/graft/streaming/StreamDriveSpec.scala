@@ -49,6 +49,34 @@ class StreamDriveSpec extends SparkSuite {
       "native session_window sessions must equal the batch islands")
   }
 
+  test("DriveSupport: confs restored and workspace deleted when the body throws") {
+    val spKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spBefore = spark.conf.get(spKey)
+    val provBefore = spark.conf.getOption(provKey)
+    intercept[RuntimeException] {
+      DriveSupport.withStreamConfs(spark, "7",
+        provider = Some("does.not.Matter")) {
+        assert(spark.conf.get(spKey) === "7")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(spKey) === spBefore,
+      "partition pin must be restored on failure")
+    assert(spark.conf.getOption(provKey) === provBefore,
+      "provider conf must be restored on failure")
+    var leaked: java.nio.file.Path = null
+    intercept[RuntimeException] {
+      DriveSupport.withWorkspace("graft-test-ws") { ws =>
+        leaked = ws
+        java.nio.file.Files.writeString(ws.resolve("junk"), "x")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!java.nio.file.Files.exists(leaked),
+      "workspace must be deleted even when the drive fails")
+  }
+
   test("fMGWS tracker drive == native session_window drive == batch islands") {
     // three session implementations, one truth: the custom state
     // machine must agree with both the native operator's drive and the
