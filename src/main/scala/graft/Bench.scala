@@ -66,7 +66,17 @@ object Bench {
     val errors = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the artifact to a file: the driver captures stdout,
+    // which has been observed truncated to a 2,000-char tail (BENCH_r07
+    // arrived with parsed:null and ~57 keys missing) — the file is the
+    // complete, machine-readable record regardless of console limits
+    val out = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

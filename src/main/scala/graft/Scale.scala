@@ -163,9 +163,13 @@ object Scale {
       // floor, and pairs after the canonical pre-pass — the number the
       // timed lev_after_canon shape actually verifies
       val docs = spark.read.parquet(s"$path/documents")
-      val rawCand = graft.query.TextSim.levCandidates(docs)
-      val candRaw = rawCand.count()
-      val candFloor = rawCand.filter(col("n_shared") >= 3).count()
+      // one pass over the (expensive) candidate self-join: counting the
+      // raw and ≥3-floor populations separately would recompute it
+      val candCounts = graft.query.TextSim.levCandidates(docs)
+        .agg(count(lit(1)).as("raw"),
+          count_if(col("n_shared") >= 3).as("floor")).head()
+      val candRaw = candCounts.getLong(0)
+      val candFloor = candCounts.getLong(1)
       val candCanon = graft.query.TextSim
         .levCandidates(canonSurvivors(docs))
         .filter(col("n_shared") >= 3).count()

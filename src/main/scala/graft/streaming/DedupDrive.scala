@@ -12,13 +12,17 @@ import graft.core.Tables
   *
   * The at-least-once regime is simulated with the real table: the
   * ENTIRE events table is delivered twice — once in trigger #1 and
-  * again (byte-identical re-delivery) in trigger #2, while every
-  * event's timestamp is still inside the watermark horizon — so the
-  * dedup state must absorb a full duplicate pass ACROSS micro-batches,
-  * not within one. Exactly-once restoration means the output is the
-  * original table, which is the oracle: a plain projection of events.
-  * Output rows don't need a sentinel flush (dedup emits survivors
-  * eagerly in append mode).
+  * again (byte-identical re-delivery) in trigger #2. After trigger #1
+  * the watermark sits at max(ts) − 1 h, so a re-delivered row is
+  * absorbed by ONE of two mechanisms, both of which must work: rows
+  * older than the watermark are dropped by the late-row filter, and
+  * rows inside the final hour are dropped by the cross-batch dedup
+  * state. Exactly-once restoration means the output is the original
+  * table, which is the oracle: a plain projection of events. Output
+  * rows don't need a sentinel flush (dedup emits survivors eagerly in
+  * append mode). The restart drive (RestartRecoverySpec) isolates the
+  * state path: a state-store loss across its checkpoint restart would
+  * re-emit the inside-horizon duplicates.
   *
   * State at scale: one state row per event_id younger than the
   * watermark horizon — the bounded-state contract that plain

@@ -15,11 +15,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the workspace the plan reads from is deleted. */
 private[streaming] object DriveSupport {
 
-  /** Run `body` with a fresh workspace under target/, deleting it
-    * (recursively) afterwards. */
+  /** Run `body` with a fresh workspace under target/ (relative to the
+    * process working directory, same convention as Scale.ensureScaled —
+    * the drives must not break when the repo is cloned elsewhere),
+    * deleting it (recursively) afterwards. */
   def withWorkspace[T](prefix: String)(body: Path => T): T = {
     val ws = Files.createDirectories(Paths.get(
-      s"/root/repo/target/$prefix/" + java.util.UUID.randomUUID()))
+      s"target/$prefix/" + java.util.UUID.randomUUID()).toAbsolutePath)
     try body(ws)
     finally Files.walk(ws)
       .sorted(Comparator.reverseOrder[java.nio.file.Path]())
@@ -56,14 +58,28 @@ private[streaming] object DriveSupport {
   def draining[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  /** Largest result `pin` will materialize. The biggest legitimate
+    * drive result is the full events table at the benched SF (100k rows
+    * at sf0.1); 1M is 10× headroom. A drive whose result exceeds this is
+    * mis-scoped (it would quietly OOM the driver at a larger SF), and
+    * should fail loudly here instead. */
+  val MaxPinRows = 1000000L
+
   /** Materialize the sink's rows into a session-owned LocalRelation so
     * the caller can keep using the result after the workspace
     * (checkpoint + staged files the plan reads) is deleted. The
     * collect is the memory-sink read-back of a bounded drive result —
     * the same driver-side materialization the sink already performed,
-    * not a data-path collect. */
-  def pin(spark: SparkSession, df: DataFrame): DataFrame =
+    * not a data-path collect. Guarded by [[MaxPinRows]]: the count runs
+    * against the sink's already-materialized rows (cheap) BEFORE the
+    * collect, so an oversized result fails before it can OOM. */
+  def pin(spark: SparkSession, df: DataFrame): DataFrame = {
+    val n = df.count()
+    require(n <= MaxPinRows,
+      s"drive result has $n rows > MaxPinRows=$MaxPinRows — " +
+        "mis-scoped drive; driver-side pinning only fits bounded results")
     spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(
         df.collect(): _*)), df.schema)
+  }
 }

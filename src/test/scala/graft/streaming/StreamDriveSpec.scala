@@ -40,6 +40,32 @@ class StreamDriveSpec extends SparkSuite {
         col("view_value"))
   }
 
+  test("fixture precondition: no same-user gap is EXACTLY the 30-minute boundary") {
+    // The three-way session parity (batch gaps-and-islands vs native
+    // session_window vs fMGWS tracker) relies on no same-user
+    // consecutive gap landing exactly on 30 minutes: gaps-and-islands
+    // opens a new session on gap > 30min (strict), session_window
+    // merges while next < last + gap (half-open) — a tie would make
+    // them disagree and surface as a confusing hash mismatch. Check
+    // every SF the drives run at, so a regenerated fixture fails HERE
+    // with a pointed message instead.
+    import org.apache.spark.sql.expressions.Window
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val ties = Tables.load(spark, s"/root/testdata/$sf", "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+        .filter(col("gap_us") === 30L * 60 * 1000000)
+        .count()
+      assert(ties === 0,
+        s"$sf has $ties exact-30-minute same-user gaps — regenerated " +
+          "fixture hits the strict-vs-half-open session boundary; the " +
+          "three-way session parity no longer holds by construction")
+    }
+  }
+
   test("session_window drive == batch gaps-and-islands sessions, row for row") {
     val streamed = SessionDrive.sessions(spark, dir)
     val batch = graft.query.Events.sessionize(spark, dir)
@@ -75,6 +101,16 @@ class StreamDriveSpec extends SparkSuite {
     }
     assert(!java.nio.file.Files.exists(leaked),
       "workspace must be deleted even when the drive fails")
+  }
+
+  test("DriveSupport.pin refuses an oversized result before collecting it") {
+    // the guard counts BEFORE collecting, so this must fail fast
+    // without materializing MaxPinRows+1 rows on the driver
+    val oversized = spark.range(DriveSupport.MaxPinRows + 1).toDF()
+    val e = intercept[IllegalArgumentException] {
+      DriveSupport.pin(spark, oversized)
+    }
+    assert(e.getMessage.contains("MaxPinRows"))
   }
 
   test("fMGWS tracker drive == native session_window drive == batch islands") {

@@ -87,8 +87,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         # Schema check at the Arrow/parquet logical-type level — the
         # driver compares there, so pandas-kind equality is not enough
         # (ltz and ntz timestamps are both kind 'M' but fail the driver).
-        got_types = {f.name: norm_type(f.type)
-                     for f in pq.read_schema(files[0])}
+        # every part file must carry the same logical types — reading
+        # only files[0] would let a corrupted/divergent later part pass
+        part_types = [{f.name: norm_type(f.type) for f in pq.read_schema(p)}
+                      for p in files]
+        got_types = part_types[0]
+        divergent = [(files[i], part_types[i]) for i in range(1, len(files))
+                     if part_types[i] != got_types]
+        if divergent:
+            print(f"[FAIL] {name}: part schema divergence: "
+                  f"{divergent[0][0].split('/')[-1]} has {divergent[0][1]} "
+                  f"vs {got_types}")
+            failures += 1
+            continue
         exp_types = {f.name: norm_type(f.type)
                      for f in con.sql(oracle[name]).arrow().schema}
         mismatch = [(c, got_types[c], exp_types[c]) for c in sorted(got_types)
