@@ -22,10 +22,12 @@ import graft.core.Tables.moneySum
   * session_end. (2) `session_id` (the per-user 1..k running index) is
   * assigned after the drain by ordering each user's closed sessions by
   * start time — a window over the pinned, already-tiny session rows.
-  * (3) The fixture has NO exact-30-minute same-user gaps at any SF
-  * (checked), so the strict-vs-inclusive boundary difference between
-  * gaps-and-islands (`gap > 30min` opens) and session_window (merge
-  * while `next < end`) cannot bite. (4) Append mode only emits
+  * (3) The fixture has NO exact-30-minute same-user gaps at any SF —
+  * CI-gated by StreamDriveSpec's fixture-precondition test, so a
+  * regenerated fixture fails with a pointed message — hence the
+  * strict-vs-inclusive boundary difference between gaps-and-islands
+  * (`gap > 30min` opens) and session_window (merge while `next < end`)
+  * cannot bite. (4) Append mode only emits
   * watermark-closed sessions, so a far-future sentinel row is nudged
   * through twice (watermark lags one micro-batch) and filtered out.
   *
