@@ -33,11 +33,26 @@ import graft.core.Tables.moneySum
   * duplicated rows, never a silently-green run. The memory sink refuses
   * checkpoint recovery, so emissions drain through foreachBatch into a
   * driver-side buffer (the EventStreamsSpec recovery pattern); results
-  * are bounded drive-sized frames, same as DriveSupport.pin.
+  * are bounded drive-sized frames, same as DriveSupport.pin. The
+  * aggregate-codec machines (session merge, TopKPairs buffer) and dedup
+  * additionally prove recovery on BOTH state store providers — default
+  * HDFS and RocksDB (the production store, whose snapshot/changelog
+  * reload is a separate code path).
   */
 class RestartRecoverySpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
+
+  /** Providers to prove recovery on: the default HDFS-backed store and
+    * RocksDB — the store a production deployment runs, whose
+    * snapshot/changelog reload is a different code path entirely. The
+    * aggregate-codec machines (session merge, TopKPairs buffer) and
+    * dedup run under both; the machines whose state layout is
+    * engine-managed rows (the joins, fMGWS) stay on the default. */
+  private val providers: Seq[(String, Option[String])] = Seq(
+    "hdfs store" -> None,
+    "rocksdb store" -> Some("org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider"))
 
   /** Run one incarnation of the streaming frame against `ckpt`,
     * collecting every output batch into `buf`; stopped afterwards. */
@@ -222,13 +237,14 @@ class RestartRecoverySpec extends SparkSuite {
         col("n_events"), value.as("session_value"))
   }
 
-  test("native session_window recovers open sessions across a restart") {
+  for ((label, prov) <- providers)
+  test(s"native session_window recovers open sessions across a restart ($label)") {
     val staged = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
         col("value"))
     val cut = sessionCut(staged)
     DriveSupport.withWorkspace("graft-restart-sess") { ws =>
-      DriveSupport.withStreamConfs(spark) {
+      DriveSupport.withStreamConfs(spark, provider = prov) {
         val eDir = ws.resolve("events").toString
         staged.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(eDir)
         val stream = spark.readStream.schema(staged.schema).parquet(eDir)
@@ -295,7 +311,8 @@ class RestartRecoverySpec extends SparkSuite {
 
   // -------------------------------------------------------------- top-k
 
-  test("windowed top-k recovers the heap state across a restart") {
+  for ((label, prov) <- providers)
+  test(s"windowed top-k recovers the heap state across a restart ($label)") {
     val staged = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("value"))
@@ -316,7 +333,7 @@ class RestartRecoverySpec extends SparkSuite {
     assert(inWin.exists(_.getTimestamp(1).after(cut)),
       "fixture precondition: an event after the cut inside the window")
     DriveSupport.withWorkspace("graft-restart-topk") { ws =>
-      DriveSupport.withStreamConfs(spark) {
+      DriveSupport.withStreamConfs(spark, provider = prov) {
         val eDir = ws.resolve("events").toString
         staged.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(eDir)
         val out = EventStreams.windowedTopK(
@@ -357,7 +374,8 @@ class RestartRecoverySpec extends SparkSuite {
 
   // -------------------------------------------------------------- dedup
 
-  test("cross-batch dedup state survives a restart (full re-delivery)") {
+  for ((label, prov) <- providers)
+  test(s"cross-batch dedup state survives a restart, full re-delivery ($label)") {
     // 720h watermark: nothing is ever late on this 30-day fixture, so
     // EVERY re-delivered row must be absorbed by RESTORED dedup state —
     // the late-row filter can't mask a state loss here (a lost store
@@ -366,7 +384,7 @@ class RestartRecoverySpec extends SparkSuite {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("timestamp").as("ts"), col("value"))
     DriveSupport.withWorkspace("graft-restart-dedup") { ws =>
-      DriveSupport.withStreamConfs(spark) {
+      DriveSupport.withStreamConfs(spark, provider = prov) {
         val eDir = ws.resolve("events").toString
         staged.coalesce(1).write.parquet(eDir)
         val out = EventStreams.dedup(
