@@ -372,6 +372,64 @@ class RestartRecoverySpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------- transformWithState
+
+  test("transformWithState recovers running totals across a restart " +
+      "(real table)") {
+    // EventStreamsSpec proves tws restart on a 4-row synthetic stream;
+    // this completes the set — all EIGHT machines restart-proven over
+    // the real events table. Update-mode emissions re-state a user's
+    // running record each batch, so the recovered truth is the LAST
+    // emission per user (batch id attached in foreachBatch); a lost
+    // ValueState would restart every post-cut user's count from zero.
+    import spark.implicits._
+    val staged = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100, 0).as("value"))
+    val cut = sessionCut(staged.select(col("user_id"), col("ts")))
+    DriveSupport.withWorkspace("graft-restart-tws") { ws =>
+      DriveSupport.withStreamConfs(spark, provider = Some(
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")) {
+        val eDir = ws.resolve("events").toString
+        staged.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(eDir)
+        val out = EventStreams.runningTotals(
+          spark.readStream.schema(staged.schema).parquet(eDir)
+            .as[EventStreams.UserEvent]).toDF()
+        val ckpt = ws.resolve("ckpt").toString
+        val buf = new ConcurrentLinkedQueue[(Long, Row)]
+        def run(deliver: StreamingQuery => Unit): Unit = {
+          val q = out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: Dataset[Row], id: Long) =>
+              b.collect().foreach(r => buf.add((id, r)))
+            }.start()
+          try deliver(q) finally q.stop()
+        }
+        run(_.processAllAvailable())
+        run { q =>
+          staged.filter(col("ts") > lit(cut)).coalesce(1)
+            .write.mode("append").parquet(eDir)
+          q.processAllAvailable()
+        }
+        import scala.jdk.CollectionConverters._
+        val finals = buf.asScala.toSeq.groupBy(_._2.getLong(0))
+          .values.map(_.maxBy(_._1)._2).toSeq
+        val got = spark.createDataFrame(
+            new java.util.ArrayList[Row](finals.asJava), out.schema)
+          .select(col("user_id"), col("n_events"),
+            col("total").cast("long").as("total_cents"))
+        val want = Tables.load(spark, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0)).cast("long")
+              .as("total_cents"))
+        assertSame(got, want, "transformWithState restart")
+      }
+    }
+  }
+
   // -------------------------------------------------------------- dedup
 
   for ((label, prov) <- providers)
