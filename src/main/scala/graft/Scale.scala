@@ -143,7 +143,10 @@ object Scale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val factors = Seq(1, 4, 16, 64)
+    // override for quick iteration on one factor, e.g. SPARK_GRAFT_FACTORS=1
+    val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 4, 16, 64))
     factors.foreach { f =>
       val path = ensureScaled(spark, sfDir, f)
       val results = ops(spark, path).map { case (name, run) =>
