@@ -72,9 +72,11 @@ object Bench {
     // ALSO write the artifact to a file: the driver captures stdout,
     // which has been observed truncated to a 2,000-char tail (BENCH_r07
     // arrived with parsed:null and ~57 keys missing) — the file is the
-    // complete, machine-readable record regardless of console limits
+    // complete, machine-readable record regardless of console limits.
+    // Default is the TRACKED repo-root bench.json, so any end-of-round
+    // bench run refreshes the committed artifact in place.
     val out = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      "SPARK_GRAFT_BENCH_OUT", "bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
