@@ -18,8 +18,12 @@ object Bench {
   // cost class is exactly dedup_canonical + dedup_levenshtein, both
   // already benched individually; timing the composition would double-
   // count without exposing a new regression surface.
+  // stream_session_window_restart: the same session machine as the
+  // benched stream_session_window plus query-restart bookkeeping — a
+  // correctness gate (recovery), not a throughput surface.
   private def excluded(k: String): Boolean =
-    k.startsWith("ingest_e2e_") || k == "dedup_lev_curated"
+    k.startsWith("ingest_e2e_") || k == "dedup_lev_curated" ||
+      k == "stream_session_window_restart"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,11 +67,19 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.fold("-1")(_.toString)
     }.mkString("{", ",", "}")
+    // per-key spread: ALL THREE passes in chronological order, so a
+    // cross-round delta is decidable against the previous round's
+    // recorded band (min..max) instead of a bare median — drift inside
+    // the band is box noise; outside it is a regression (PERF.md rule)
+    val spread = passes.head.keys.toSeq.sorted.map { k =>
+      val ts = passes.flatMap(_(k))
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$spread,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: the driver captures stdout,
     // which has been observed truncated to a 2,000-char tail (BENCH_r07

@@ -145,7 +145,12 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     // override for quick iteration on one factor, e.g. SPARK_GRAFT_FACTORS=1
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
-      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .map(_.split(",").toSeq.map { tok =>
+        try tok.trim.toInt catch {
+          case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_FACTORS: expected comma-separated ints, got '$tok'")
+        }
+      })
       .getOrElse(Seq(1, 4, 16, 64))
     factors.foreach { f =>
       val path = ensureScaled(spark, sfDir, f)

@@ -151,6 +151,7 @@ object SparkEntry {
     "stream_ivj_full" -> (streaming.IntervalJoinDrive.full _),
     "stream_tws_totals" -> (streaming.TwsDrive.totals _),
     "stream_session_window" -> (streaming.SessionDrive.sessions _),
+    "stream_session_window_restart" -> (streaming.SessionDrive.sessionsRestart _),
     "stream_dedup_drive" -> (streaming.DedupDrive.dedup _),
     "stream_topk_window" -> (streaming.TopKDrive.topk _),
     "stream_session_tracker" -> (streaming.TrackerDrive.sessions _),
@@ -757,6 +758,10 @@ object SparkEntry {
     // (no 30-min boundary ties exist in the fixture at any SF — see
     // SessionDrive scaladoc); three implementations, one oracle
     "stream_session_window" -> sessionOracleSql,
+    // the checkpoint-stop/restart drive must reproduce the SAME
+    // sessions — recovery as a driver-gated property, not a spec-only
+    // one (RestartRecoverySpec proves the mechanism; this key gates it)
+    "stream_session_window_restart" -> sessionOracleSql,
     "stream_session_tracker" -> sessionOracleSql,
     "events_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

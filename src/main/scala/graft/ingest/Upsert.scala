@@ -321,6 +321,13 @@ class SnapshotStore(val path: String,
       readVersion(spark, s, v)
     }
 
+  /** Test seam: runs after the version dir and tmp manifest are fully
+    * written, immediately before the atomic manifest rename — lets the
+    * concurrent-commit race test hold two committers at the exact
+    * commit point so both target the same sequence number. No-op in
+    * production. */
+  protected def beforePublish(seq: Long): Unit = ()
+
   /** Atomically publish `df` as the new live snapshot. */
   def overwrite(df: DataFrame): Unit = {
     val spark = df.sparkSession
@@ -344,6 +351,7 @@ class SnapshotStore(val path: String,
     val tmp = new Path(s"$path/.manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
+    beforePublish(seq)
     // FileContext rename with default Options.Rename.NONE refuses an
     // existing destination — FileSystem.rename on RawLocalFileSystem
     // delegates to POSIX rename(2), which silently REPLACES it, so two

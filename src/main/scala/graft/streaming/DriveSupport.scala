@@ -70,16 +70,19 @@ private[streaming] object DriveSupport {
     * (checkpoint + staged files the plan reads) is deleted. The
     * collect is the memory-sink read-back of a bounded drive result —
     * the same driver-side materialization the sink already performed,
-    * not a data-path collect. Guarded by [[MaxPinRows]]: the count runs
-    * against the sink's already-materialized rows (cheap) BEFORE the
-    * collect, so an oversized result fails before it can OOM. */
+    * not a data-path collect. Guarded by [[MaxPinRows]] in a SINGLE
+    * evaluation: collect through a limit of MaxPinRows+1, so an
+    * oversized result fails loudly after materializing at most one row
+    * past the cap — without re-running the plan for a separate count
+    * (pin callers hand in derived frames whose plan re-execution is
+    * avoidable cost inside benched drives). */
   def pin(spark: SparkSession, df: DataFrame): DataFrame = {
-    val n = df.count()
-    require(n <= MaxPinRows,
-      s"drive result has $n rows > MaxPinRows=$MaxPinRows — " +
+    val rows = df.limit(MaxPinRows.toInt + 1).collect()
+    require(rows.length <= MaxPinRows,
+      s"drive result exceeds MaxPinRows=$MaxPinRows — " +
         "mis-scoped drive; driver-side pinning only fits bounded results")
     spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(
-        df.collect(): _*)), df.schema)
+        rows: _*)), df.schema)
   }
 }

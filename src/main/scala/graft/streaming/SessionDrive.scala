@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Tables
 import graft.core.Tables.moneySum
@@ -86,6 +89,94 @@ object SessionDrive {
               col("n_events"), col("session_value"))
             .orderBy("user_id", "session_id")
         }
+      }
+    }
+
+  /** The same session_window drive, but STOPPED and RESTARTED from its
+    * checkpoint mid-stream — the RestartRecoverySpec recovery property
+    * promoted to a driver-checkable oracle key: the union of both
+    * incarnations' append emissions must still hash-match the identical
+    * gaps-and-islands oracle the uninterrupted drive uses.
+    *
+    * The restart cut is data-derived for anti-vacuity (the spec's
+    * sessionCut): the predecessor timestamp of some event that
+    * CONTINUES a session — the session's head lands in incarnation #1,
+    * its tail in incarnation #2, so a lost state store emits that
+    * session split (two rows) or not at all, never the oracle's one
+    * row. The memory sink refuses checkpoint recovery, so emissions
+    * drain through foreachBatch into a driver-side buffer (bounded
+    * drive-sized results, the DriveSupport.pin contract). */
+  def sessionsRestart(spark: SparkSession, dir: String): DataFrame =
+    DriveSupport.withWorkspace("graft-session-restart") { ws =>
+      val events = Tables.load(spark, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+
+      // cut = latest prev-ts of a session-continuing event (strictly
+      // later, gap <= 30 min): state provably straddles the stop
+      val byTs = Window.partitionBy("user_id").orderBy("ts")
+      val cutRows = events
+        .withColumn("prev", lag(col("ts"), 1).over(byTs))
+        .filter(col("prev").isNotNull && col("ts") > col("prev") &&
+          col("ts") <= col("prev") + expr("INTERVAL 30 MINUTES"))
+        .orderBy(desc("prev")).select(col("prev")).limit(1).collect()
+      require(cutRows.nonEmpty, "fixture precondition: need a " +
+        "multi-event session to straddle the restart — regenerated " +
+        "events table?")
+      val cut = cutRows(0).getTimestamp(0)
+
+      DriveSupport.withStreamConfs(spark) {
+        val eDir = ws.resolve("events").toString
+        events.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(eDir)
+        val out = spark.readStream.schema(events.schema).parquet(eDir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("session_value"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("session_value"))
+        val buf = new ConcurrentLinkedQueue[Row]
+        val ckpt = ws.resolve("ckpt").toString
+        def incarnation(deliver: StreamingQuery => Unit): Unit = {
+          val q = out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: Dataset[Row], _: Long) =>
+              b.collect().foreach(buf.add)
+            }.start()
+          try deliver(q) finally q.stop()
+        }
+        incarnation(_.processAllAvailable())
+        incarnation { q =>
+          events.filter(col("ts") > lit(cut)).coalesce(1)
+            .write.mode("append").parquet(eDir)
+          q.processAllAvailable()
+          // sentinel nudges: append mode only emits watermark-closed
+          // sessions; watermark lags one micro-batch, hence two
+          val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+          Seq("366 days", "367 days").foreach { shift =>
+            spark.range(1).select(lit(-1L).as("user_id"),
+                (lit(maxTs) + expr(s"INTERVAL $shift")).as("ts"),
+                lit(0.0).as("value"))
+              .write.mode("append").parquet(eDir)
+            q.processAllAvailable()
+          }
+        }
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("session_start").asc)
+        // buf is already driver-side: createDataFrame yields a
+        // session-owned LocalRelation, no pin needed
+        spark.createDataFrame(new java.util.ArrayList[Row](buf), out.schema)
+          .filter(col("user_id") =!= -1L)
+          .withColumn("session_id",
+            row_number().over(byUser).cast("long"))
+          .select(col("user_id"), col("session_id"),
+            col("session_start").cast("timestamp_ntz")
+              .as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_id")
       }
     }
 }

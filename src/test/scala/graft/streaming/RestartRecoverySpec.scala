@@ -441,6 +441,15 @@ class RestartRecoverySpec extends SparkSuite {
     val staged = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("timestamp").as("ts"), col("value"))
+    // precondition: the fixture's span must fit inside the watermark,
+    // or boundary rows would be dropped as late instead of absorbed by
+    // restored state — silently weakening the state-loss detection
+    val maxTs = staged.agg(max(col("ts"))).head().getTimestamp(0)
+    val lateRows = staged.filter(
+      col("ts") < lit(maxTs) - expr("INTERVAL 720 HOURS")).count()
+    assert(lateRows == 0L,
+      s"fixture span exceeds the 720h watermark ($lateRows rows would " +
+        "be late) — regenerated events table? widen the watermark")
     DriveSupport.withWorkspace("graft-restart-dedup") { ws =>
       DriveSupport.withStreamConfs(spark, provider = prov) {
         val eDir = ws.resolve("events").toString

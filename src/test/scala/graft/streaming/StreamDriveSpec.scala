@@ -75,6 +75,18 @@ class StreamDriveSpec extends SparkSuite {
       "native session_window sessions must equal the batch islands")
   }
 
+  test("restart drive == batch gaps-and-islands sessions, row for row") {
+    // the oracle-key form of RestartRecoverySpec's session test: stop
+    // mid-stream at a data-derived cut, restart from the checkpoint,
+    // and the union of emissions must still be the batch sessions
+    val streamed = SessionDrive.sessionsRestart(spark, dir)
+    val batch = graft.query.Events.sessionize(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "restarted session_window drive must equal the batch islands")
+  }
+
   test("DriveSupport: confs restored and workspace deleted when the body throws") {
     val spKey = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -103,9 +115,10 @@ class StreamDriveSpec extends SparkSuite {
       "workspace must be deleted even when the drive fails")
   }
 
-  test("DriveSupport.pin refuses an oversized result before collecting it") {
-    // the guard counts BEFORE collecting, so this must fail fast
-    // without materializing MaxPinRows+1 rows on the driver
+  test("DriveSupport.pin refuses an oversized result") {
+    // the guard collects through limit(MaxPinRows+1), so it fails
+    // after materializing at most one row past the cap — never the
+    // unbounded tail of the oversized frame
     val oversized = spark.range(DriveSupport.MaxPinRows + 1).toDF()
     val e = intercept[IllegalArgumentException] {
       DriveSupport.pin(spark, oversized)
