@@ -37,6 +37,15 @@ import graft.functions.cosine_sim
   */
 object Ivf {
 
+  /** Probe budget for recall-critical queries: measured on the
+    * uniform-random worst-case fixture (IvfRecallSpec's curve — no
+    * cluster structure, recall ≈ probed fraction plus the
+    * nearest-cells edge), this nprobe holds recall ≥ 0.9 at nlist=16,
+    * where the fast default (nprobe=8) trades to ≥ 0.6 for half the
+    * scan. On real, clustered corpora both settings recall far more —
+    * the premise of IVF. */
+  val HighRecallNprobe = 12
+
   /** Train centroids and return them as a small DataFrame (cid, cvec). */
   private def trainCentroids(e: DataFrame, nlist: Int, iters: Int,
       seed: Long): DataFrame = {

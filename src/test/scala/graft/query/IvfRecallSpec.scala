@@ -22,6 +22,40 @@ class IvfRecallSpec extends SparkSuite {
     assert(recall >= 0.6)
   }
 
+  test("ivf probes-vs-recall curve is monotone and reaches 1.0 at full probe") {
+    // the documented curve on the uniform-random WORST case (recall ≈
+    // probed fraction, slightly better because probes are the cells
+    // NEAREST the query): each point reuses the memoized index, so the
+    // sweep costs one probe join per nprobe
+    val truth = TextSim.similarityTopk(spark, dir, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = Seq(4, 8, 12, 14, 16).map { np =>
+      val approx = Ivf.similarityIvf(spark, dir, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> (truth & approx).size.toDouble / truth.size
+    }
+    curve.foreach { case (np, r) => info(f"nprobe=$np%2d/16  recall=$r%.3f") }
+    assert(curve.map(_._2) === curve.map(_._2).sorted,
+      "recall must be monotone non-decreasing in nprobe")
+    assert(curve.last._2 === 1.0,
+      "nprobe == nlist probes every cell — must equal brute force")
+  }
+
+  test("ivf high-recall config holds recall >= 0.9 on the worst case") {
+    val truth = TextSim.similarityTopk(spark, dir, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.similarityIvf(spark, dir, k = 5,
+        nprobe = Ivf.HighRecallNprobe)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(f"recall=$recall%.3f @ nprobe=${Ivf.HighRecallNprobe}/16")
+    assert(recall >= 0.9)
+  }
+
   test("ivf scores only the probed cells, not the whole corpus") {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
     val corpusN = e.count()
