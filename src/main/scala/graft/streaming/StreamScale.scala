@@ -36,9 +36,11 @@ import graft.core.Tables.moneySum
   * the cost class — PERF.md r7): windowed aggregate (tumbling; sliding
   * is the same operator with overlap), symmetric-hash stream-stream
   * join (ivj_inner; left/full add only the null-extension path),
-  * native session merge/evict (session_window; the fMGWS tracker holds
-  * the same per-user state in user code), watermark-bounded dedup, the
-  * custom TopKPairs aggregate codec inside window state, and
+  * native session merge/evict (session_window), the fMGWS session
+  * tracker (session_tracker — the same per-user session state but held
+  * in USER code via flatMapGroupsWithState + event-time timeout, a
+  * different state code path worth its own curve), watermark-bounded
+  * dedup, the custom TopKPairs aggregate codec inside window state, and
   * transformWithState per-user totals on RocksDB (keyed state WITHOUT
   * watermark eviction — its plateau is key cardinality, not horizon).
   *
@@ -137,6 +139,12 @@ object StreamScale {
             EventStreams.intervalJoin(stream(pDir, "p"),
               stream(vDir, "v")),
             "append", Seq("p" -> pDir, "v" -> vDir))
+          case "session_tracker" => (
+            EventStreams.sessionTracker(stream(eDir, "events")
+              .select(col("user_id"), col("event_type"), col("ts"),
+                col("value"))
+              .as[EventStreams.UserEvent]).toDF(),
+            "append", Seq("events" -> eDir))
           case "session_window" => (
             stream(eDir, "events").withWatermark("ts", "1 hour")
               .groupBy(session_window(col("ts"), "30 minutes"),
@@ -203,7 +211,7 @@ object StreamScale {
     val machines = sys.env.get("SPARK_GRAFT_MACHINES")
       .map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq("tumbling", "ivj_inner", "session_window",
-        "dedup", "topk", "tws"))
+        "session_tracker", "dedup", "topk", "tws"))
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     factors.foreach { f =>
