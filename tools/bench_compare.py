@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
 """Apply the PERF.md round-9 regression rule to two bench.json artifacts.
 
-A key is a REGRESSION CANDIDATE when its new median exceeds the old
-artifact's recorded [min, max] band's max (directional — dropping below
-min is an improvement, not a regression) AND the run-level shift does
-not explain it: run-level box state moves every key together, so the
-per-key ratio is first normalized by the ratio of the two run totals
-over the common key set.
+A key is a REGRESSION CANDIDATE when its new median (normalized by the
+run-level total shift — box state moves every key together) exceeds
+BOTH the old artifact's recorded band max AND 1.5x the old median.
+Calibration (PERF.md round-9 bench notes): on two identical-code runs
+40 minutes apart, 35/122 keys exceed the bare band (max normalized
+ratio 1.28) — the three-pass band measures WITHIN-run noise, while
+per-key cross-run noise on a shared box reaches ~1.3-1.5x; the
+combined rule yields zero candidates on the identical-code pair while
+still catching any genuine multi-x regression. The band still tightens
+the gate for keys whose old band max sits above 1.5x the median (wide
+in-run spread), and dropping below the band min is an improvement, not
+a regression.
 
 Old artifacts from before round 9 have no "passes" field; for those the
-band degrades to the bare median and the rule falls back to the
-documented cross-round noise threshold (1.5x normalized).
+band term drops out and the 1.5x term alone applies.
 
 Usage: python3 tools/bench_compare.py OLD.json NEW.json
 Exit 1 when any regression candidate is found (CI-friendly).
@@ -18,7 +23,7 @@ Exit 1 when any regression candidate is found (CI-friendly).
 import json
 import sys
 
-NOISE_FALLBACK = 1.5  # normalized ratio threshold when OLD has no band
+CROSS_RUN_NOISE = 1.5  # measured per-key cross-run noise ceiling
 
 
 def main() -> None:
@@ -38,21 +43,18 @@ def main() -> None:
 
     candidates = []
     for k in common:
-        med = new["queries"][k]
-        norm = med / shift  # what this run "would" measure at the old run's box state
+        norm = new["queries"][k] / shift  # at the old run's box state
+        old_med = old["queries"][k]
         band = old.get("passes", {}).get(k)
-        if band:
-            lo, hi = min(band), max(band)
-            if norm > hi:
-                candidates.append((norm / hi, k,
-                                   f"norm median {norm:.3f}s above old band "
-                                   f"[{lo:.3f}, {hi:.3f}]"))
-        else:
-            ratio = norm / old["queries"][k]
-            if ratio > NOISE_FALLBACK:
-                candidates.append((ratio, k,
-                                   f"norm ratio x{ratio:.2f} vs old median "
-                                   f"{old['queries'][k]:.3f}s (no band in old)"))
+        hi = max(band) if band else 0.0
+        gate = max(hi, CROSS_RUN_NOISE * old_med)
+        if norm > gate:
+            band_s = (f"band max {hi:.3f}" if band else "no band")
+            candidates.append((norm / gate, k,
+                               f"norm median {norm:.3f}s above gate "
+                               f"{gate:.3f}s ({band_s}, "
+                               f"{CROSS_RUN_NOISE}x median "
+                               f"{CROSS_RUN_NOISE * old_med:.3f})"))
 
     if not candidates:
         print("no regression candidates")
