@@ -35,7 +35,10 @@ import graft.core.Tables.moneySum
   * Machines: one per state-layout family (the same-family drives share
   * the cost class — PERF.md r7): windowed aggregate (tumbling; sliding
   * is the same operator with overlap), symmetric-hash stream-stream
-  * join (ivj_inner; left/full add only the null-extension path),
+  * join (ivj_inner, plus the left/full outer variants — same join
+  * state, but the outer forms additionally HOLD unmatched rows until
+  * the other side's watermark clears their range, so their plateau is
+  * worth its own curve rather than an argument),
   * native session merge/evict (session_window), the fMGWS session
   * tracker (session_tracker — the same per-user session state but held
   * in USER code via flatMapGroupsWithState + event-time timeout, a
@@ -139,6 +142,14 @@ object StreamScale {
             EventStreams.intervalJoin(stream(pDir, "p"),
               stream(vDir, "v")),
             "append", Seq("p" -> pDir, "v" -> vDir))
+          case "ivj_left" => (
+            EventStreams.intervalJoinLeftOuter(stream(pDir, "p"),
+              stream(vDir, "v")),
+            "append", Seq("p" -> pDir, "v" -> vDir))
+          case "ivj_full" => (
+            EventStreams.intervalJoinFullOuter(stream(pDir, "p"),
+              stream(vDir, "v")),
+            "append", Seq("p" -> pDir, "v" -> vDir))
           case "session_tracker" => (
             EventStreams.sessionTracker(stream(eDir, "events")
               .select(col("user_id"), col("event_type"), col("ts"),
@@ -210,8 +221,8 @@ object StreamScale {
       .getOrElse(Seq(1, 4, 16, 64))
     val machines = sys.env.get("SPARK_GRAFT_MACHINES")
       .map(_.split(",").toSeq.map(_.trim))
-      .getOrElse(Seq("tumbling", "ivj_inner", "session_window",
-        "session_tracker", "dedup", "topk", "tws"))
+      .getOrElse(Seq("tumbling", "ivj_inner", "ivj_left", "ivj_full",
+        "session_window", "session_tracker", "dedup", "topk", "tws"))
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     factors.foreach { f =>

@@ -26,11 +26,24 @@ import sys
 CROSS_RUN_NOISE = 1.5  # measured per-key cross-run noise ceiling
 
 
+def load(path: str) -> dict:
+    """Accept either a graft.Bench artifact or the driver's BENCH_r{N}.json
+    wrapper ({"tail": ..., "parsed": {...}}); the wrapper's "parsed" is the
+    Bench JSON line when the driver could parse it."""
+    d = json.load(open(path))
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        sys.exit(f"{path}: no per-key data (neither a graft.Bench artifact "
+                 "nor a driver wrapper with a parseable 'parsed' field)")
+    return d
+
+
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
     common = sorted(set(old["queries"]) & set(new["queries"]))
     if not common:
         sys.exit("no common keys between the two artifacts")
