@@ -23,9 +23,33 @@ private[streaming] object DriveSupport {
     val ws = Files.createDirectories(Paths.get(
       s"target/$prefix/" + java.util.UUID.randomUUID()).toAbsolutePath)
     try body(ws)
-    finally Files.walk(ws)
-      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    finally deleteTree(ws)
+  }
+
+  /** Recursively delete `ws`, retrying briefly: the state-store
+    * maintenance thread runs async to `query.stop()` and can drop a
+    * snapshot file into ckpt/state between a single pass's directory
+    * listing and its delete (observed as a flaky
+    * DirectoryNotEmptyException). Still loud if the tree won't go
+    * after the retries — that would be a real leak, not the race. */
+  private def deleteTree(ws: Path): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        Files.walk(ws)
+          .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        done = true
+      } catch {
+        case e @ (_: java.nio.file.DirectoryNotEmptyException |
+                  _: java.nio.file.NoSuchFileException |
+                  _: java.io.UncheckedIOException) =>
+          if (attempt >= 5) throw e
+          Thread.sleep(100L * attempt)
+      }
+    }
   }
 
   /** Unique memory-sink query name. */

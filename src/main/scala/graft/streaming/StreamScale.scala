@@ -58,6 +58,20 @@ object StreamScale {
   private val RocksProvider = "org.apache.spark.sql.execution." +
     "streaming.state.RocksDBStateStoreProvider"
 
+  /** SPARK_GRAFT_STATE_PROVIDER=rocksdb runs EVERY machine on the
+    * RocksDB store (the production provider) instead of the default
+    * HDFS-backed one, so the curves can be recorded on both; tws
+    * always uses RocksDB (transformWithState requires it). */
+  private val providerEnv: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim).map {
+      case p @ ("rocksdb" | "hdfs") => p
+      case other => sys.error("SPARK_GRAFT_STATE_PROVIDER: expected " +
+        s"'rocksdb' or 'hdfs', got '$other'")
+    }
+
+  private def providerFor(machine: String): String =
+    if (machine == "tws") "rocksdb" else providerEnv.getOrElse("hdfs")
+
   /** Replicate events ×factor (user/event ids salted per replica, ts
     * kept) and persist it partitioned into `Chunks` equal time slices,
     * keyed by the base fixture's fingerprint. Also writes the
@@ -117,7 +131,9 @@ object StreamScale {
   private def runMachine(spark: SparkSession, pre: String,
       machine: String): Seq[Trigger] =
     DriveSupport.withWorkspace(s"graft-sscale-$machine") { ws =>
-      val provider = if (machine == "tws") Some(RocksProvider) else None
+      val provider =
+        if (providerFor(machine) == "rocksdb") Some(RocksProvider)
+        else None
       DriveSupport.withStreamConfs(spark, "4", provider) {
         // the file source checks path existence when the stream frame
         // is built, so the (initially empty) feed dirs go first
@@ -233,7 +249,8 @@ object StreamScale {
           s"""{"in":${t.in},"ms":${t.ms},"stateRows":${t.stateRows},""" +
             s""""stateBytes":${t.stateBytes}}""").mkString("[", ",", "]")
         val line = s"""{"machine":"$m","factor":$f,""" +
-          s""""triggers":$tJson,"sf":"$sfDir","partitions":4}"""
+          s""""triggers":$tJson,"sf":"$sfDir","partitions":4,""" +
+          s""""provider":"${providerFor(m)}"}"""
         println(line)
         lines += line
       }

@@ -17,10 +17,15 @@ def main() -> None:
     rows = [json.loads(l) for l in open(path) if l.strip()]
     by_machine = {}
     for r in rows:
-        by_machine.setdefault(r["machine"], []).append(r)
+        # records predating the "provider" field: tws has always run on
+        # RocksDB (transformWithState requires it), everything else on
+        # the default HDFS-backed store
+        prov = r.get("provider",
+                     "rocksdb" if r["machine"] == "tws" else "hdfs")
+        by_machine.setdefault((r["machine"], prov), []).append(r)
 
-    for machine, runs in by_machine.items():
-        print(f"\n== {machine} ==")
+    for (machine, prov), runs in by_machine.items():
+        print(f"\n== {machine} ({prov}) ==")
         print(f"{'factor':>6} {'rows':>8} {'med ms/trig':>11} "
               f"{'us/row':>7} {'state@batches':>34} {'final':>6}")
         for r in sorted(runs, key=lambda r: r["factor"]):
