@@ -35,8 +35,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=k1,k2 narrows the run to named keys — for
+    // re-measuring a flagged key or iterating locally; the full set
+    // (and the tracked artifact) remains the default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val benched = SparkEntry.queries.view
-      .filterKeys(k => !excluded(k)).toMap
+      .filterKeys(k => !excluded(k) && only.forall(_(k))).toMap
+    require(benched.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no keys")
     // untimed warmup pass: compiles every plan's codegen + fills caches
     benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
