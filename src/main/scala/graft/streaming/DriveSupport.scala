@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Shared scaffolding for the SF-scaled streaming drives (the keys
@@ -108,5 +108,23 @@ private[streaming] object DriveSupport {
     spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(
         rows: _*)), df.schema)
+  }
+
+  /** foreachBatch counterpart of [[pin]] for restart drives, where the
+    * memory sink refuses checkpoint recovery and emissions must drain
+    * into a driver-side buffer instead: add one micro-batch's rows to
+    * `buf` under the SAME [[MaxPinRows]] cap, counted CUMULATIVELY
+    * across batches (foreachBatch invocations are serial per query, so
+    * `buf.size()` is stable for the call). Same single-evaluation
+    * guard shape as pin: collect through a limit of remaining+1 so an
+    * oversized batch fails loudly after materializing at most one row
+    * past the cap, never the unbounded tail. */
+  def bufferBatch(buf: java.util.Queue[Row], batch: Dataset[Row]): Unit = {
+    val remaining = MaxPinRows - buf.size()
+    val rows = batch.limit((remaining + 1).toInt).collect()
+    require(rows.length <= remaining,
+      s"drive buffer exceeds MaxPinRows=$MaxPinRows — mis-scoped " +
+        "drive; driver-side buffering only fits bounded results")
+    rows.foreach(buf.add)
   }
 }

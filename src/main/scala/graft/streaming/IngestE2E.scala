@@ -82,11 +82,10 @@ object IngestE2E {
           key = "code", compare = Seq("product_name", "file_id"))
         .orderBy("code")
 
-      // materialize before deleting the workspace the plans read from
-      def pin(df: DataFrame): DataFrame =
-        spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(
-            df.collect(): _*)), df.schema)
+      // materialize (capped) before deleting the workspace the plans
+      // read from — DriveSupport.pin's MaxPinRows guard, like every
+      // other drive result
+      def pin(df: DataFrame): DataFrame = DriveSupport.pin(spark, df)
       (pin(products), pin(control), pin(diffed))
     } finally {
       Files.walk(ws).sorted(Comparator.reverseOrder[java.nio.file.Path]())

@@ -104,8 +104,9 @@ object SessionDrive {
     * its tail in incarnation #2, so a lost state store emits that
     * session split (two rows) or not at all, never the oracle's one
     * row. The memory sink refuses checkpoint recovery, so emissions
-    * drain through foreachBatch into a driver-side buffer (bounded
-    * drive-sized results, the DriveSupport.pin contract). */
+    * drain through foreachBatch into a driver-side buffer via
+    * DriveSupport.bufferBatch — the cumulative MaxPinRows guard, same
+    * cap discipline as DriveSupport.pin. */
   def sessionsRestart(spark: SparkSession, dir: String): DataFrame =
     DriveSupport.withWorkspace("graft-session-restart") { ws =>
       val events = Tables.load(spark, dir, "events")
@@ -143,7 +144,7 @@ object SessionDrive {
           val q = out.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .foreachBatch { (b: Dataset[Row], _: Long) =>
-              b.collect().foreach(buf.add)
+              DriveSupport.bufferBatch(buf, b)
             }.start()
           try deliver(q) finally q.stop()
         }

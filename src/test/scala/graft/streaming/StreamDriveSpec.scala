@@ -126,6 +126,37 @@ class StreamDriveSpec extends SparkSuite {
     assert(e.getMessage.contains("MaxPinRows"))
   }
 
+  test("DriveSupport.bufferBatch refuses an oversized micro-batch") {
+    // same single-evaluation guard shape as pin: collects through
+    // limit(remaining+1), fails after at most one row past the cap
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]
+    val oversized = spark.range(DriveSupport.MaxPinRows + 1).toDF()
+    val e = intercept[IllegalArgumentException] {
+      DriveSupport.bufferBatch(buf, oversized)
+    }
+    assert(e.getMessage.contains("MaxPinRows"))
+    assert(buf.isEmpty, "a refused batch must not leak rows into the buffer")
+  }
+
+  test("DriveSupport.bufferBatch counts the cap cumulatively across batches") {
+    // a buffer already at the cap refuses even a 1-row batch, but
+    // still accepts an empty one — the guard is on total buffered
+    // rows, not per-batch size
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]
+    var i = 0L
+    while (i < DriveSupport.MaxPinRows) {
+      buf.add(org.apache.spark.sql.Row(i)); i += 1
+    }
+    DriveSupport.bufferBatch(buf, spark.range(0).toDF()) // empty: fine
+    val e = intercept[IllegalArgumentException] {
+      DriveSupport.bufferBatch(buf, spark.range(1).toDF())
+    }
+    assert(e.getMessage.contains("MaxPinRows"))
+    assert(buf.size() === DriveSupport.MaxPinRows.toInt)
+  }
+
   test("fMGWS tracker drive == native session_window drive == batch islands") {
     // three session implementations, one truth: the custom state
     // machine must agree with both the native operator's drive and the
