@@ -1,0 +1,135 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.TimeUnit
+
+import graft.SparkSuite
+
+/** Cross-PROCESS concurrent-commit race for [[SnapshotStore]] — the
+  * production multi-job hazard: two separate JVMs (each its own
+  * SparkSession, as two independent Spark jobs would be) racing the
+  * manifest rename against ONE store path. The same-JVM
+  * `SnapshotRaceSpec` proves the protocol through an in-process
+  * barrier; here nothing in-process can coordinate the racers — the
+  * only thing standing between the committers and a silent lost update
+  * is the `FileContext.rename(Options.Rename.NONE)`
+  * refuse-existing-destination contract, which is exactly what this
+  * spec exercises across a process boundary.
+  *
+  * Mechanics: each forked child ([[SnapshotRaceChild]]) parks at the
+  * commit point and reports its target sequence number through a
+  * `ready-<id>` file; the parent asserts both children reached the SAME
+  * seq (a true collision), releases them with a `go` file, and then
+  * asserts the same invariants as the in-process spec: exactly one
+  * winner (exit 0), one LOUD loser (exit 10), the store resolves to
+  * exactly the winner's rows, the base version is intact, no tmp
+  * manifest leaks, and the loser's payload retries cleanly onto the
+  * next seq. Run on both the plain and the bucketed store.
+  */
+class SnapshotCrossProcessRaceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // mirror of build.sbt's jdk17AddOpens: the children create
+  // SparkSessions outside spark-submit, which normally injects these
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def forkChild(store: String, bucketed: Boolean, barrier: Path,
+      id: Int): Process = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    // Test / fork := true, so java.class.path IS the full test classpath
+    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.ingest.SnapshotRaceChild",
+      store, bucketed.toString, barrier.toString, id.toString)
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(barrier.resolve(s"out-$id").toFile)
+      .redirectErrorStream(true)
+      .start()
+  }
+
+  private def awaitFile(p: Path, what: String, timeoutSec: Long = 180,
+      alive: Seq[Process] = Nil): Unit = {
+    val deadline = System.nanoTime() + timeoutSec * 1000L * 1000L * 1000L
+    while (!Files.exists(p)) {
+      alive.zipWithIndex.foreach { case (proc, i) =>
+        if (!proc.isAlive && !Files.exists(p))
+          fail(s"child $i died before $what (exit ${proc.exitValue()}); " +
+            s"log:\n" + Files.readString(p.getParent.resolve(s"out-$i")))
+      }
+      assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+      Thread.sleep(50)
+    }
+  }
+
+  for ((label, bucketed) <- Seq("plain parquet" -> false,
+      "bucketed" -> true))
+  test("two JVMs racing one commit: one winner, loud loser, " +
+      s"intact store ($label)") {
+    withTmpDir { dir =>
+      val path = dir.resolve("s").toString
+      val barrier = Files.createDirectories(dir.resolve("barrier"))
+      val bucket = if (bucketed) Some(("k", 4)) else None
+      // pre-existing live version: the race is over an UPDATE commit
+      // and must leave this base version resolvable throughout
+      new SnapshotStore(path, bucket)
+        .overwrite(Seq(("base", 0)).toDF("k", "v"))
+
+      val procs = (0 to 1).map(i => forkChild(path, bucketed, barrier, i))
+      try {
+        val readies = (0 to 1).map(i => barrier.resolve(s"ready-$i"))
+        readies.zipWithIndex.foreach { case (r, i) =>
+          awaitFile(r, s"child $i commit point", alive = procs)
+        }
+        // both children computed their seq BEFORE either published:
+        // a genuine same-sequence collision, not a serialized pair
+        val seqs = readies.map(r => Files.readString(r).trim)
+        assert(seqs.toSet === Set("1"),
+          s"both children must target seq 1, got $seqs")
+        Files.writeString(barrier.resolve("go"), "")
+
+        procs.foreach(p => assert(p.waitFor(120, TimeUnit.SECONDS),
+          "child did not finish after release"))
+        val codes = procs.map(_.exitValue())
+        assert(codes.sorted == Seq(0, 10),
+          s"expected one winner (0) + one loud loser (10), got $codes — " +
+            s"child logs under $barrier")
+
+        // the store resolves to exactly the winner's rows, from a
+        // THIRD process's perspective (this test JVM — which for the
+        // bucketed store also proves the catalog-free fallback read)
+        val winner = codes.indexOf(0)
+        val live = new SnapshotStore(path, bucket).read(spark).get
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+        assert(live === Seq((s"w$winner", winner + 1)))
+
+        // manifest integrity + base version intact through the race
+        val names = new java.io.File(path).listFiles().map(_.getName)
+        assert(names.filter(_.startsWith("MANIFEST-")).sorted.toSeq ===
+          Seq("MANIFEST-0", "MANIFEST-1"))
+        assert(!names.exists(_.startsWith(".manifest-tmp")),
+          "loser must clean up its tmp manifest")
+        val base = new SnapshotStore(path, bucket).readAt(spark, 0)
+        assert(base.isDefined && base.get.collect()
+          .map(_.getString(0)).toSeq === Seq("base"))
+
+        // the loser's payload retries cleanly onto the next seq
+        val loser = codes.indexOf(10)
+        new SnapshotStore(path, bucket)
+          .overwrite(Seq((s"w$loser", loser + 1)).toDF("k", "v"))
+        assert(new SnapshotStore(path, bucket).read(spark).get
+          .collect().map(_.getString(0)).toSeq === Seq(s"w$loser"))
+      } finally procs.foreach(_.destroyForcibly())
+    }
+  }
+}
