@@ -30,9 +30,11 @@ import graft.functions.cosine_sim
   * Default probe budget: the fixture embeddings are uniform-random, the
   * WORST case for IVF — with no cluster structure, recall ≈ the probed
   * corpus fraction, so nprobe/nlist = 1/2 buys recall ≈ 0.7 (measured:
-  * 0.52 @ 4/16, 0.72 @ 8/16, 1.0 @ 8/8). On real embedding corpora —
-  * which cluster, that being the premise of IVF — the same recall costs
-  * nprobe/nlist ≈ 1/16 or less; tune against a recall budget like
+  * 0.52 @ 4/16, 0.72 @ 8/16, 1.0 @ 8/8). On clustered corpora — the
+  * premise of IVF — the same recall costs nprobe/nlist ≈ 1/16: measured
+  * on the mixture-of-Gaussians twin fixture (IvfClusteredRecallSpec),
+  * recall is 0.94 @ 1/16 and saturates at 1.0 from 2/16, spec-gated at
+  * ≥ 0.9 by 4/16. Tune against a recall budget like
   * [[TextSim.similarityLsh]].
   */
 object Ivf {
@@ -42,8 +44,9 @@ object Ivf {
     * cluster structure, recall ≈ probed fraction plus the
     * nearest-cells edge), this nprobe holds recall ≥ 0.9 at nlist=16,
     * where the fast default (nprobe=8) trades to ≥ 0.6 for half the
-    * scan. On real, clustered corpora both settings recall far more —
-    * the premise of IVF. */
+    * scan. On the clustered twin fixture both settings are saturated
+    * (recall 1.0 from nprobe=2; IvfClusteredRecallSpec) — the measured
+    * premise of IVF. */
   val HighRecallNprobe = 12
 
   /** Train centroids and return them as a small DataFrame (cid, cvec). */
