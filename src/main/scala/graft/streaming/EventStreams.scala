@@ -265,7 +265,14 @@ object EventStreams {
     * timers decoupled from the input iterator. State here is one
     * fixed-size `(n, total)` ValueState per user — bounded by the user
     * cardinality, hash-partitioned across executors; an optional TTL
-    * evicts idle users without a hand-rolled timeout state machine.
+    * evicts idle users without a hand-rolled timeout state machine —
+    * the 100 TB answer for churning keys (state tracks LIVE users, not
+    * users ever seen; eviction curve measured in StreamScale's tws_ttl
+    * machine, SCALE.md). State TTL is processing-time-based, so a
+    * non-NONE ttl switches the operator to `TimeMode.ProcessingTime`
+    * (Spark refuses TTL under `TimeMode.None`); expired entries are
+    * cleaned proactively per micro-batch via the store's TTL index
+    * (OneToOneTTLState), not lazily on access.
     * Emits the updated running record once per user per micro-batch
     * (update semantics). REQUIRES the RocksDB state store provider —
     * the V2 operator does not run on the default HDFS-backed store;
@@ -275,9 +282,11 @@ object EventStreams {
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeMode, OutputMode.Update())
   }
 
   /** The [[runningTotals]] state machine: one ValueState per user. */

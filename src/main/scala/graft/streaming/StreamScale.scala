@@ -45,7 +45,10 @@ import graft.core.Tables.moneySum
   * different state code path worth its own curve), watermark-bounded
   * dedup, the custom TopKPairs aggregate codec inside window state, and
   * transformWithState per-user totals on RocksDB (keyed state WITHOUT
-  * watermark eviction — its plateau is key cardinality, not horizon).
+  * watermark eviction — its plateau is key cardinality, not horizon),
+  * plus tws_ttl: the same keyed state under a processing-time TTL with
+  * slice-unique (churning) keys, where the plateau must be LIVE keys
+  * in the TTL window — rise then fall — not keys ever seen.
   *
   * Output: one JSON line per (machine, factor) with per-trigger
   * `{in, ms, stateRows, stateBytes}`, plus the aggregate file
@@ -70,7 +73,23 @@ object StreamScale {
     }
 
   private def providerFor(machine: String): String =
-    if (machine == "tws") "rocksdb" else providerEnv.getOrElse("hdfs")
+    if (machine.startsWith("tws")) "rocksdb"
+    else providerEnv.getOrElse("hdfs")
+
+  /** Wall-clock pacing for the TTL eviction curve: state TTL is
+    * processing-time-based, so the tws_ttl machine sleeps this long
+    * after each chunk lands — with TtlSeconds = 2×pause, the live
+    * window spans ~2 slices' keys and eviction is observable
+    * trigger-over-trigger instead of a wall-clock race. The machine
+    * runs on a throttled processing-time trigger (not the default
+    * back-to-back one): under TimeMode.ProcessingTime the operator
+    * always requests another micro-batch for timer/TTL work, so
+    * `processAllAvailable` never settles and the drive polls the
+    * progress stream instead, letting the EMPTY triggers run the
+    * per-batch TTL cleanup that evicts retired keys. */
+  private val TtlPauseMs = 2000L
+  private val TtlSeconds = 4L
+  private val TtlTriggerMs = 500L
 
   /** Replicate events ×factor (user/event ids salted per replica, ts
     * kept) and persist it partitioned into `Chunks` equal time slices,
@@ -135,6 +154,14 @@ object StreamScale {
         if (providerFor(machine) == "rocksdb") Some(RocksProvider)
         else None
       DriveSupport.withStreamConfs(spark, "4", provider) {
+        // tws_ttl's throttled trigger emits ~2 progress entries/second
+        // for the run's full wall; the default 100-entry retention
+        // would silently drop the earliest triggers from both the
+        // polling sum and the recorded curve
+        val retKey = "spark.sql.streaming.numRecentProgressUpdates"
+        val prevRet = spark.conf.get(retKey)
+        if (machine == "tws_ttl") spark.conf.set(retKey, "1000")
+        try {
         // the file source checks path existence when the stream frame
         // is built, so the (initially empty) feed dirs go first
         val eDir = java.nio.file.Files
@@ -193,18 +220,75 @@ object StreamScale {
                 round(col("value") * 100, 0).as("value"))
               .as[EventStreams.UserEvent]).toDF(),
             "update", Seq("events" -> eDir))
+          case "tws_ttl" =>
+            // the churning-keys twin of tws: remap each user to a
+            // FRESH id per time slice (a key's whole life is one
+            // micro-batch's input), set a processing-time TTL, and
+            // pace the triggers — state rows must then track LIVE
+            // keys (rise to the TTL window, fall on the drain
+            // triggers), not keys ever seen. The property a 100 TB
+            // per-user-state job with churning users depends on.
+            val staged = spark.read.parquet(s"$pre/events")
+            val Array(uStride, tMin, tMax) = staged.agg(
+                max(col("user_id")) + 1, unix_micros(min(col("ts"))),
+                unix_micros(max(col("ts"))))
+              .head().toSeq.map(_.asInstanceOf[Long]).toArray
+            val slice = least(lit(Chunks - 1),
+              floor((unix_micros(col("ts")) - tMin) * Chunks /
+                (tMax - tMin + 1)))
+            (EventStreams.runningTotals(
+              stream(eDir, "events")
+                .withColumn("user_id",
+                  col("user_id") + slice * lit(uStride))
+                .select(col("user_id"), col("event_type"), col("ts"),
+                  round(col("value") * 100, 0).as("value"))
+                .as[EventStreams.UserEvent],
+              org.apache.spark.sql.streaming.TTLConfig(
+                java.time.Duration.ofSeconds(TtlSeconds))).toDF(),
+            "update", Seq("events" -> eDir))
           case other => sys.error(s"unknown machine '$other'")
         }
-        val q = out.writeStream.outputMode(mode).format("noop")
+        val writer = out.writeStream.outputMode(mode).format("noop")
           .option("checkpointLocation", ws.resolve("ckpt").toString)
-          .start()
+        val q =
+          if (machine == "tws_ttl")
+            writer.trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(s"$TtlTriggerMs milliseconds")).start()
+          else writer.start()
         DriveSupport.draining(q) {
-          for (c <- 0 until Chunks) {
-            feeds.foreach { case (sub, dir) =>
-              spark.read.parquet(s"$pre/$sub/chunk=$c")
-                .coalesce(1).write.mode("append").parquet(dir)
+          if (machine == "tws_ttl") {
+            // processAllAvailable never settles here (see TtlPauseMs
+            // note), so wait for each chunk's rows to be CONSUMED via
+            // the progress stream, then sleep while the throttled
+            // empty triggers run TTL cleanup; after the last chunk, a
+            // final drain sleep must show state falling to zero
+            val perChunk = spark.read.parquet(s"$pre/events")
+              .groupBy(col("chunk")).count().collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            var expected = 0L
+            for (c <- 0 until Chunks) {
+              feeds.foreach { case (sub, dir) =>
+                spark.read.parquet(s"$pre/$sub/chunk=$c")
+                  .coalesce(1).write.mode("append").parquet(dir)
+              }
+              expected += perChunk(c)
+              val deadline = System.nanoTime() + 120L * 1000000000L
+              while (q.recentProgress.map(_.numInputRows).sum < expected) {
+                require(System.nanoTime() < deadline,
+                  s"tws_ttl drive stalled waiting for chunk $c")
+                Thread.sleep(100)
+              }
+              Thread.sleep(TtlPauseMs)
             }
-            q.processAllAvailable()
+            Thread.sleep(TtlSeconds * 1000 + 2 * TtlPauseMs)
+          } else {
+            for (c <- 0 until Chunks) {
+              feeds.foreach { case (sub, dir) =>
+                spark.read.parquet(s"$pre/$sub/chunk=$c")
+                  .coalesce(1).write.mode("append").parquet(dir)
+              }
+              q.processAllAvailable()
+            }
           }
           q.recentProgress.toSeq.map { p =>
             Trigger(p.numInputRows,
@@ -213,6 +297,7 @@ object StreamScale {
               p.stateOperators.map(_.memoryUsedBytes).sum)
           }
         }
+        } finally spark.conf.set(retKey, prevRet)
       }
     }
 
@@ -238,7 +323,8 @@ object StreamScale {
     val machines = sys.env.get("SPARK_GRAFT_MACHINES")
       .map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq("tumbling", "ivj_inner", "ivj_left", "ivj_full",
-        "session_window", "session_tracker", "dedup", "topk", "tws"))
+        "session_window", "session_tracker", "dedup", "topk", "tws",
+        "tws_ttl"))
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     factors.foreach { f =>
