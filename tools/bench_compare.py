@@ -55,6 +55,17 @@ def main() -> None:
     common = sorted(set(old["queries"]) & set(new["queries"]))
     if not common:
         sys.exit("no common keys between the two artifacts")
+    # a key that DISAPPEARS is as much a regression as one that slows
+    # down (an operator silently dropped from the bench set would
+    # otherwise sail through the gate); new keys are growth, just noted
+    dropped = sorted(set(old["queries"]) - set(new["queries"]))
+    added = sorted(set(new["queries"]) - set(old["queries"]))
+    if added:
+        print(f"{len(added)} new key(s): {', '.join(added)}")
+    if dropped:
+        print(f"{len(dropped)} key(s) VANISHED from the new artifact: "
+              f"{', '.join(dropped)}")
+        sys.exit(1)
     old_total = sum(old["queries"][k] for k in common)
     new_total = sum(new["queries"][k] for k in common)
     shift = new_total / old_total
