@@ -62,7 +62,7 @@ class RestartRecoverySpec extends SparkSuite {
     val q = out.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.collect().foreach(buf.add)
+        DriveSupport.bufferBatch(buf, b)
       }.start()
     try deliver(q) finally q.stop()
   }
