@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// single source of truth for forked-child JVMs in tests (the
+// cross-process snapshot specs re-launch java by hand and must pass the
+// same --add-opens list; a hand-copied mirror would drift silently)
+Test / javaOptions += s"-Dgraft.test.jdk17AddOpens=${jdk17AddOpens.mkString(" ")}"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

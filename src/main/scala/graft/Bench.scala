@@ -21,9 +21,13 @@ object Bench {
   // stream_session_window_restart: the same session machine as the
   // benched stream_session_window plus query-restart bookkeeping — a
   // correctness gate (recovery), not a throughput surface.
+  // contract keys: verification-scale ground-truth sides (all-pairs
+  // sweeps, brute-force top-k) gating the approximate families —
+  // correctness gates, not throughput surfaces (SparkEntry.contractKeys).
   private def excluded(k: String): Boolean =
     k.startsWith("ingest_e2e_") || k == "dedup_lev_curated" ||
-      k == "stream_session_window_restart"
+      k == "stream_session_window_restart" ||
+      SparkEntry.contractKeys(k)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Bucketed, Cluster, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
+import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -189,6 +189,15 @@ object SparkEntry {
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
+    // --- contract keys: the approximate families' bound/recall/
+    // completeness contracts as hash-gated booleans (see Contracts) ---
+    "agg_approx_distinct_bound" -> (Contracts.approxDistinctBound _),
+    "agg_percentile_approx_bound" -> (Contracts.approxPercentileBound _),
+    "dedup_minhash_recall" -> ((s: SparkSession, d: String) => Contracts.minhashRecall(s, d)),
+    "dedup_simhash_complete" -> ((s: SparkSession, d: String) => Contracts.simhashComplete(s, d)),
+    "similarity_lsh_recall" -> ((s: SparkSession, d: String) => Contracts.lshRecall(s, d)),
+    "similarity_ivf_recall" -> ((s: SparkSession, d: String) => Contracts.ivfRecall(s, d)),
+    "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -208,12 +217,64 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** The verification-only contract keys ([[graft.query.Contracts]]):
+    * in the driver's correctness gate like every other key, but
+    * excluded from the bench artifact — their ground-truth sides are
+    * deliberately verification-scale (all-pairs sweeps, brute-force
+    * top-k), correctness gates rather than throughput surfaces, the
+    * same reasoning that excludes the restart key. */
+  val contractKeys: Set[String] = Set(
+    "agg_approx_distinct_bound", "agg_percentile_approx_bound",
+    "dedup_minhash_recall", "dedup_simhash_complete",
+    "similarity_lsh_recall", "similarity_ivf_recall",
+    "dedup_embedding_ann_recall")
+
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * agg_approx_distinct, agg_percentile_approx (engine-specific
-    * hash/signature/centroid/sketch internals — each covered instead by
-    * a recall/error-bound suite). */
+    * hash/signature/centroid/sketch internals). Each of those families
+    * IS hash-gated through its companion contract key
+    * ([[graft.query.Contracts]]): a boolean bound/recall/completeness
+    * assertion whose oracle is literal TRUE on an oracle-reproducible
+    * row grain, so the approximation contract sits under the same hard
+    * driver gate as the exact keys. */
   def oracleSql: Map[String, String] = Map(
+    "agg_approx_distinct_bound" ->
+      """SELECT o_orderpriority, TRUE AS within_5pct FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentile_approx_bound" ->
+      """SELECT event_type, TRUE AS p50_in_band, TRUE AS p90_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
+    // so the oracle ALSO value-checks the emitted jaccard column; the
+    // banding contract itself is the literal-TRUE caught column
+    "dedup_minhash_recall" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard,
+        |  TRUE AS caught
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash_complete" ->
+      "SELECT doc_id, TRUE AS lsh_complete FROM documents ORDER BY doc_id",
+    "similarity_lsh_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "similarity_ivf_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "dedup_embedding_ann_recall" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
+        |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "lookup_code" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part WHERE p_partkey = 42 ORDER BY p_partkey",
     "search_partial" ->

@@ -504,8 +504,16 @@ object TextSim {
     * (engine-specific signatures). */
   def dedupEmbeddingAnn(spark: SparkSession, dir: String,
       threshold: Double = 0.35, nPlanes: Int = 8, nTables: Int = 8,
+      maxBucket: Int = 10000, seed: Long = 7L): DataFrame =
+    dedupEmbeddingAnnOf(Tables.load(spark, dir, "embeddings"),
+      threshold, nPlanes, nTables, maxBucket, seed)
+
+  /** DataFrame-parameterized core of [[dedupEmbeddingAnn]] (the
+    * contract key [[Contracts.dedupEmbeddingAnnRecall]] runs it over a
+    * twin-augmented corpus). */
+  def dedupEmbeddingAnnOf(e: DataFrame,
+      threshold: Double = 0.35, nPlanes: Int = 8, nTables: Int = 8,
       maxBucket: Int = 10000, seed: Long = 7L): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
     val tableSig = (0 until nTables).map(t =>
       struct(lit(t).as("t"),
         hyperplane_signature(col("embedding"), nPlanes, seed + t)

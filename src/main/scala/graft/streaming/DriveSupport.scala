@@ -121,6 +121,11 @@ private[streaming] object DriveSupport {
     * past the cap, never the unbounded tail. */
   def bufferBatch(buf: java.util.Queue[Row], batch: Dataset[Row]): Unit = {
     val remaining = MaxPinRows - buf.size()
+    // a pre-filled queue would make remaining negative and limit() throw
+    // an opaque negative-limit error — fail with the real message instead
+    require(remaining >= 0,
+      s"drive buffer exceeds MaxPinRows=$MaxPinRows before this batch — " +
+        "mis-scoped drive; driver-side buffering only fits bounded results")
     val rows = batch.limit((remaining + 1).toInt).collect()
     require(rows.length <= remaining,
       s"drive buffer exceeds MaxPinRows=$MaxPinRows — mis-scoped " +

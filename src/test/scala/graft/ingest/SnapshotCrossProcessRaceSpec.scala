@@ -30,47 +30,7 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
 
   import spark.implicits._
 
-  // mirror of build.sbt's jdk17AddOpens: the children create
-  // SparkSessions outside spark-submit, which normally injects these
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
-  private def forkChild(store: String, bucketed: Boolean, barrier: Path,
-      id: Int): Process = {
-    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    // Test / fork := true, so java.class.path IS the full test classpath
-    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      "-cp", sys.props("java.class.path"),
-      "graft.ingest.SnapshotRaceChild",
-      store, bucketed.toString, barrier.toString, id.toString)
-    new ProcessBuilder(cmd: _*)
-      .redirectOutput(barrier.resolve(s"out-$id").toFile)
-      .redirectErrorStream(true)
-      .start()
-  }
-
-  private def awaitFile(p: Path, what: String, timeoutSec: Long = 180,
-      alive: Seq[Process] = Nil): Unit = {
-    val deadline = System.nanoTime() + timeoutSec * 1000L * 1000L * 1000L
-    while (!Files.exists(p)) {
-      alive.zipWithIndex.foreach { case (proc, i) =>
-        if (!proc.isAlive && !Files.exists(p))
-          fail(s"child $i died before $what (exit ${proc.exitValue()}); " +
-            s"log:\n" + Files.readString(p.getParent.resolve(s"out-$i")))
-      }
-      assert(System.nanoTime() < deadline, s"timed out waiting for $what")
-      Thread.sleep(50)
-    }
-  }
+  import ForkedJvm.{awaitFile, forkChild}
 
   for ((label, bucketed) <- Seq("plain parquet" -> false,
       "bucketed" -> true))
@@ -85,7 +45,10 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
       new SnapshotStore(path, bucket)
         .overwrite(Seq(("base", 0)).toDF("k", "v"))
 
-      val procs = (0 to 1).map(i => forkChild(path, bucketed, barrier, i))
+      val procs = (0 to 1).map(i => forkChild(
+        "graft.ingest.SnapshotRaceChild",
+        Seq(path, bucketed.toString, barrier.toString, i.toString),
+        barrier, i))
       try {
         val readies = (0 to 1).map(i => barrier.resolve(s"ready-$i"))
         readies.zipWithIndex.foreach { case (r, i) =>
