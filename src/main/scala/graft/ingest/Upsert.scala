@@ -256,8 +256,18 @@ object SnapshotDiff {
   * in-memory catalog dies with the session) the same files read as
   * plain parquet: correctness never depends on the catalog, only the
   * exchange-free plan does. */
+/** @param staleTmpMs age after which an orphaned `.manifest-tmp-*`
+  *   (a committer killed between tmp write and rename) is GC'd by the
+  *   next successful commit. Age-gated because a CONCURRENT committer's
+  *   in-flight tmp — written moments ago — must survive another
+  *   commit's sweep; deleting it would turn that committer's rename
+  *   into a spurious lost-race failure. Orphans are inert meanwhile:
+  *   readers only resolve `MANIFEST-<seq>` names, never tmp files, so
+  *   a torn or complete leftover tmp can never be taken for a
+  *   manifest (SnapshotCrashSpec pins all of this with staleTmpMs=0). */
 class SnapshotStore(val path: String,
-    val bucket: Option[(String, Int)] = None) {
+    val bucket: Option[(String, Int)] = None,
+    val staleTmpMs: Long = 3600000L) {
 
   private val manifestRe = "MANIFEST-(\\d+)".r
 
@@ -324,9 +334,17 @@ class SnapshotStore(val path: String,
   /** Test seam: runs after the version dir and tmp manifest are fully
     * written, immediately before the atomic manifest rename — lets the
     * concurrent-commit race test hold two committers at the exact
-    * commit point so both target the same sequence number. No-op in
-    * production. */
+    * commit point so both target the same sequence number, and the
+    * crash test SIGKILL one there. No-op in production. */
   protected def beforePublish(seq: Long): Unit = ()
+
+  /** Test seam: the tmp-manifest body write — the crash test overrides
+    * it to park a committer MID-write (bytes flushed, stream open) for
+    * a SIGKILL, proving a torn tmp file is inert. Production behavior
+    * is the plain one-line write. */
+  protected def writeManifestBody(out: java.io.OutputStream,
+      version: String): Unit =
+    out.write(version.getBytes("UTF-8"))
 
   /** Atomically publish `df` as the new live snapshot. */
   def overwrite(df: DataFrame): Unit = {
@@ -350,7 +368,7 @@ class SnapshotStore(val path: String,
     }
     val tmp = new Path(s"$path/.manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
+    try writeManifestBody(out, version) finally out.close()
     beforePublish(seq)
     // FileContext rename with default Options.Rename.NONE refuses an
     // existing destination — FileSystem.rename on RawLocalFileSystem
@@ -379,6 +397,13 @@ class SnapshotStore(val path: String,
         if (bucket.isDefined)
           spark.sql(s"DROP TABLE IF EXISTS ${tableName(n)}")
         f.delete(st.getPath, true)
+      } else if (n.startsWith(".manifest-tmp") &&
+          st.getModificationTime < System.currentTimeMillis() - staleTmpMs) {
+        // a committer killed between tmp write and rename leaves its tmp
+        // behind — inert (readers never resolve tmp names) but it would
+        // accumulate forever; sweep it once it is unambiguously stale
+        // (see the staleTmpMs scaladoc for why age-gated)
+        f.delete(st.getPath, false)
       }
     }
   }

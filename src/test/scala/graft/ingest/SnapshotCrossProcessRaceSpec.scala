@@ -49,11 +49,18 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
         "graft.ingest.SnapshotRaceChild",
         Seq(path, bucketed.toString, barrier.toString, i.toString),
         barrier, i))
+      // third JVM: an independent reader hammering read() across the
+      // whole commit window — every observation must be a full
+      // committed version, never a torn or partial state
+      val reader = forkChild("graft.ingest.SnapshotReaderChild",
+        Seq(path, bucketed.toString, barrier.toString, "2"), barrier, 2)
       try {
         val readies = (0 to 1).map(i => barrier.resolve(s"ready-$i"))
         readies.zipWithIndex.foreach { case (r, i) =>
           awaitFile(r, s"child $i commit point", alive = procs)
         }
+        awaitFile(barrier.resolve("reader-ready-2"),
+          "reader's first observation", alive = Seq(reader))
         // both children computed their seq BEFORE either published:
         // a genuine same-sequence collision, not a serialized pair
         val seqs = readies.map(r => Files.readString(r).trim)
@@ -92,7 +99,32 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
           .overwrite(Seq((s"w$loser", loser + 1)).toDF("k", "v"))
         assert(new SnapshotStore(path, bucket).read(spark).get
           .collect().map(_.getString(0)).toSeq === Seq(s"w$loser"))
-      } finally procs.foreach(_.destroyForcibly())
+
+        // reader invariant: wait until it has observed the retry
+        // commit's state (so the record spans the entire window), then
+        // stop it and audit every distinct observation — full committed
+        // versions ONLY, in commit order, never partial/empty/loser
+        val retryObs = s"w$loser:${loser + 1}"
+        val obsFile = barrier.resolve("obs-2")
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+        while (!(Files.exists(obsFile) &&
+            Files.readString(obsFile).linesIterator.contains(retryObs))) {
+          assert(reader.isAlive, "reader died mid-window; log:\n" +
+            Files.readString(barrier.resolve("out-2")))
+          assert(System.nanoTime() < deadline,
+            "reader never observed the retry commit")
+          Thread.sleep(50)
+        }
+        Files.writeString(barrier.resolve("reader-stop"), "")
+        assert(reader.waitFor(60, TimeUnit.SECONDS), "reader hung on stop")
+        assert(reader.exitValue() === 0, "reader exited non-zero; log:\n" +
+          Files.readString(barrier.resolve("out-2")))
+        val observations = Files.readString(obsFile).linesIterator.toSeq
+        assert(observations ===
+          Seq("base:0", s"w$winner:${winner + 1}", retryObs),
+          s"reader must see exactly the committed versions in order, " +
+            s"got $observations")
+      } finally (procs :+ reader).foreach(_.destroyForcibly())
     }
   }
 }
