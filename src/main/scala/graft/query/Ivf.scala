@@ -36,6 +36,19 @@ import graft.functions.cosine_sim
   * recall is 0.94 @ 1/16 and saturates at 1.0 from 2/16, spec-gated at
   * ≥ 0.9 by 4/16. Tune against a recall budget like
   * [[TextSim.similarityLsh]].
+  *
+  * Miscalibration (measured, r11 — real corpora don't announce k):
+  * against the same 16-cluster fixture, nlist wrong by 2× in either
+  * direction still reaches recall ≥ 0.9 inside a ≤ 1/4 probe budget
+  * (nlist 8: 0.94 @ 1 probe, 1.0 from 2; nlist 32: 0.86 @ 1, 1.0 from
+  * 4). MASS skew is the parameter that actually moves the budget: with
+  * half the corpus in one cluster, k-means shards the heavy cluster
+  * across ~its mass share of the cells (7/16 measured) and recall ≈
+  * the probed fraction of the QUERY CLUSTER's cells (0.20/0.42/0.78/
+  * 1.00 at nprobe 1/2/4/7) — so under skew, size nprobe against the
+  * largest cluster's cell count (equivalently its mass share), the
+  * standard IVF operating rule; cell counts come free from the
+  * persisted inverted file ([[ensureIndex]]).
   */
 object Ivf {
 
