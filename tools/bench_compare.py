@@ -24,8 +24,16 @@ min is an improvement, not a regression.
 Old artifacts from before round 9 have no "passes" field; for those the
 band term drops out and the 1.5x term alone applies.
 
-Usage: python3 tools/bench_compare.py OLD.json NEW.json
-Exit 1 when any regression candidate is found (CI-friendly).
+A key that DISAPPEARS is as much a regression as one that slows down
+(an operator silently dropped from the bench set would otherwise sail
+through the gate) — but the timing comparison over the common keys is
+always printed first, so a deliberate retirement still yields a full
+report, and `--allow-dropped KEY[,KEY]` is the explicit override path
+for it.
+
+Usage: python3 tools/bench_compare.py [--allow-dropped KEY[,KEY]] OLD.json NEW.json
+Exit 1 when any regression candidate or non-allowlisted vanished key
+is found (CI-friendly).
 """
 import json
 import sys
@@ -48,24 +56,39 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) != 3:
+    args = sys.argv[1:]
+    allow: set = set()
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--allow-dropped":
+            i += 1
+            if i >= len(args):
+                sys.exit("--allow-dropped needs KEY[,KEY]")
+            allow.update(k.strip() for k in args[i].split(",") if k.strip())
+        else:
+            rest.append(args[i])
+        i += 1
+    if len(rest) != 2:
         sys.exit(__doc__)
-    old = load(sys.argv[1])
-    new = load(sys.argv[2])
+    old = load(rest[0])
+    new = load(rest[1])
     common = sorted(set(old["queries"]) & set(new["queries"]))
     if not common:
         sys.exit("no common keys between the two artifacts")
-    # a key that DISAPPEARS is as much a regression as one that slows
-    # down (an operator silently dropped from the bench set would
-    # otherwise sail through the gate); new keys are growth, just noted
     dropped = sorted(set(old["queries"]) - set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
+    vanished = [k for k in dropped if k not in allow]
     if added:
         print(f"{len(added)} new key(s): {', '.join(added)}")
     if dropped:
-        print(f"{len(dropped)} key(s) VANISHED from the new artifact: "
-              f"{', '.join(dropped)}")
-        sys.exit(1)
+        retired = [k for k in dropped if k in allow]
+        if retired:
+            print(f"{len(retired)} key(s) retired via --allow-dropped: "
+                  f"{', '.join(retired)}")
+        if vanished:
+            print(f"{len(vanished)} key(s) VANISHED from the new artifact "
+                  f"(gate fails after the report): {', '.join(vanished)}")
     old_total = sum(old["queries"][k] for k in common)
     new_total = sum(new["queries"][k] for k in common)
     shift = new_total / old_total
@@ -90,13 +113,14 @@ def main() -> None:
                                f"median+{ABS_SLACK} "
                                f"{old_med + ABS_SLACK:.3f})"))
 
-    if not candidates:
+    if candidates:
+        print(f"{len(candidates)} regression candidate(s):")
+        for sev, k, why in sorted(candidates, reverse=True):
+            print(f"  {k}: {why}")
+    else:
         print("no regression candidates")
-        return
-    print(f"{len(candidates)} regression candidate(s):")
-    for sev, k, why in sorted(candidates, reverse=True):
-        print(f"  {k}: {why}")
-    sys.exit(1)
+    if candidates or vanished:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
