@@ -27,10 +27,19 @@ import graft.SparkSuite
   * Drive mechanics: TimeMode.ProcessingTime (which a non-NONE TTL
   * selects) makes `processAllAvailable` never settle — the operator
   * always requests another micro-batch for timer/TTL work — so each
-  * incarnation runs a throttled processing-time trigger and polls the
-  * progress stream for its delivery's consumption (the StreamScale
-  * tws_ttl pattern), draining emissions through the capped
-  * DriveSupport.bufferBatch. */
+  * incarnation runs a throttled processing-time trigger and waits for
+  * a PROGRESS entry whose file-source offset covers its delivery
+  * (progress is emitted after the batch commits, so the delivery's
+  * emissions are in the buffer when the wait returns), draining
+  * through the capped DriveSupport.bufferBatch.
+  *
+  * foreachBatch is AT-LEAST-ONCE: a stop landing between sink output
+  * and commit-log write makes the next incarnation re-execute that
+  * batch, duplicating its emissions. Every assertion here is therefore
+  * replay-tolerant: per-incarnation buffers, per-user MAX counts (a
+  * replayed emission repeats an already-seen count, never a larger
+  * one), and delivery processing established via the committed offset
+  * — not emission cardinality. */
 class TtlRestartSpec extends SparkSuite {
 
   private val rocks = Some("org.apache.spark.sql.execution.streaming." +
@@ -43,10 +52,10 @@ class TtlRestartSpec extends SparkSuite {
       .toDF("user_id", "event_type", "ts", "value")
   }
 
-  /** Run one incarnation against `ckpt` until `expect` input rows are
-    * consumed, then stop. */
+  /** Run one incarnation against `ckpt` until a progress entry shows
+    * the file source committed through `untilLogOffset`, then stop. */
   private def incarnation(out: DataFrame, ckpt: String,
-      buf: ConcurrentLinkedQueue[Row], expect: Long): Unit = {
+      buf: ConcurrentLinkedQueue[Row], untilLogOffset: Long): Unit = {
     val q = out.writeStream.outputMode("update")
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
       .option("checkpointLocation", ckpt)
@@ -55,12 +64,24 @@ class TtlRestartSpec extends SparkSuite {
       }.start()
     try {
       val deadline = System.nanoTime() + 90L * 1000000000L
-      while (q.recentProgress.map(_.numInputRows).sum < expect) {
+      def committed: Boolean = q.recentProgress.exists(p =>
+        p.sources.nonEmpty && "\\d+".r
+          .findFirstIn(String.valueOf(p.sources(0).endOffset))
+          .exists(_.toLong >= untilLogOffset))
+      while (!committed) {
         require(System.nanoTime() < deadline,
-          s"ttl restart drive stalled waiting for $expect rows")
+          s"ttl restart drive stalled before logOffset $untilLogOffset")
         Thread.sleep(100)
       }
     } finally q.stop()
+  }
+
+  /** Max emitted n_events per user in a buffer — the replay-stable
+    * view (a replayed batch repeats counts, never invents larger). */
+  private def maxN(buf: ConcurrentLinkedQueue[Row]): Map[Long, Long] = {
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq.groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.map(_.getLong(1)).max }
   }
 
   for ((label, ttlSec, downMs, wantN) <- Seq(
@@ -78,27 +99,36 @@ class TtlRestartSpec extends SparkSuite {
             .as[EventStreams.UserEvent],
           TTLConfig(java.time.Duration.ofSeconds(ttlSec))).toDF()
         val ckpt = ws.resolve("ckpt").toString
-        val buf = new ConcurrentLinkedQueue[Row]
+        val buf1 = new ConcurrentLinkedQueue[Row]
+        val buf2 = new ConcurrentLinkedQueue[Row]
 
-        incarnation(out, ckpt, buf, expect = 4)
+        // incarnation 1 commits the first delivery (logOffset 0)
+        incarnation(out, ckpt, buf1, untilLogOffset = 0)
         if (downMs > 0) Thread.sleep(downMs) // the outage the TTL spans
         mkEvents(Seq(1L)).coalesce(1).write.mode("append").parquet(eDir)
-        incarnation(out, ckpt, buf, expect = 1)
+        // incarnation 2 commits the second delivery (logOffset 1) —
+        // established via the offset, not emission counts, so a
+        // replayed first batch cannot satisfy the wait spuriously
+        incarnation(out, ckpt, buf2, untilLogOffset = 1)
 
-        import scala.jdk.CollectionConverters._
-        val user1 = buf.asScala.toSeq.filter(_.getLong(0) == 1L)
-          .map(_.getLong(1)) // n_events per emission
-        // anti-vacuity: user 1 must have been emitted by BOTH
-        // incarnations — an unprocessed second delivery would fake the
-        // expired case's n=1
-        assert(user1.size === 2,
-          s"expected an emission from each incarnation, got $user1")
-        assert(user1.max === wantN,
-          s"user 1's recovered running count must be $wantN, " +
-            s"got ${user1.max} (emissions: $user1)")
-        // untouched users are emitted exactly once, by incarnation 1
-        val others = buf.asScala.toSeq.filter(_.getLong(0) != 1L)
-        assert(others.size === 3 && others.forall(_.getLong(1) == 1L))
+        // incarnation 1 saw every user exactly once (replay-stable max)
+        assert(maxN(buf1) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+          s"incarnation 1 emissions: ${maxN(buf1)}")
+        // anti-vacuity + the TTL contract: incarnation 2 EMITTED user 1
+        // (its delivery committed per the offset wait), and the
+        // recovered running count is wantN — 2 when unexpired state
+        // survived, 1 when the outage expired it. A replayed
+        // incarnation-1 batch only repeats n=1 rows and cannot raise
+        // (survived case) or fake (expired case) the max.
+        val m2 = maxN(buf2)
+        assert(m2.contains(1L),
+          s"incarnation 2 must emit user 1, got $m2")
+        assert(m2(1L) === wantN,
+          s"user 1's recovered running count must be $wantN, got $m2")
+        // untouched users never advance past 1 in either incarnation
+        (maxN(buf1) ++ (m2 - 1L)).filterNot(_._1 == 1L).foreach {
+          case (u, n) => assert(n === 1L, s"user $u advanced to $n")
+        }
       }
     }
   }
