@@ -56,12 +56,30 @@ private[streaming] object DriveSupport {
   def sinkName(tag: String): String =
     s"t_${tag}_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** SPARK_GRAFT_STATE_PROVIDER=rocksdb|hdfs overrides the state store
+    * provider for every drive that doesn't pin one itself (mirrors
+    * StreamScale's switch) — this is how the bench records the drive
+    * keys on the RocksDB production store (PERF.md r11) without code
+    * changes. Drives that REQUIRE RocksDB (transformWithState) pass it
+    * explicitly and are unaffected. */
+  private val envProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim).map {
+      case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"
+      case "hdfs" => "org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider"
+      case other => sys.error("SPARK_GRAFT_STATE_PROVIDER: expected " +
+        s"'rocksdb' or 'hdfs', got '$other'")
+    }
+
   /** Pin `spark.sql.shuffle.partitions` (and optionally the state
     * store provider) for a streaming query's lifetime: both confs are
     * consumed when the first micro-batch plans — async, after start()
-    * returns — so they stay set until the query stops, then restore. */
+    * returns — so they stay set until the query stops, then restore.
+    * With no explicit `provider`, [[envProvider]] applies. */
   def withStreamConfs[T](spark: SparkSession, partitions: String = "4",
-      provider: Option[String] = None)(body: => T): T = {
+      provider: Option[String] = DriveSupport.envProvider)(body: => T)
+      : T = {
     val spKey = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevSp = spark.conf.get(spKey)
