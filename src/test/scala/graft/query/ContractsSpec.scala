@@ -46,7 +46,8 @@ class ContractsSpec extends SparkSuite {
       val grain = key match {
         case "dedup_simhash_complete" => Some(500L)     // documents
         case "dedup_embedding_ann_recall" => Some(50L)  // planted twins
-        case k if k.startsWith("similarity_") => Some(10L) // queries
+        case "similarity_lsh_recall" => Some(10L)       // queries
+        case "similarity_ivf_recall" => Some(1L)        // overall bar
         case "agg_approx_distinct_bound" => Some(5L)    // priorities
         case "agg_percentile_approx_bound" => Some(5L)  // event types
         case _ => None
@@ -55,19 +56,25 @@ class ContractsSpec extends SparkSuite {
     }
   }
 
-  test("the probabilistic floors hold at sf0.001 too (ivf at its " +
-      "measured small-fixture floor)") {
+  test("the probabilistic floors hold at sf0.001 too (ivf per-query " +
+      "at its measured small-fixture floor, overall bar unchanged)") {
     assertAllTrue(Contracts.minhashRecall(spark, sf001),
       "dedup_minhash_recall@sf0.001")
     assertAllTrue(Contracts.lshRecall(spark, sf001),
       "similarity_lsh_recall@sf0.001", Some(10L))
-    assertAllTrue(Contracts.ivfRecall(spark, sf001, floor = 3),
-      "similarity_ivf_recall@sf0.001", Some(10L))
+    assertAllTrue(Contracts.ivfRecall(spark, sf001),
+      "similarity_ivf_recall@sf0.001", Some(1L))
+    // per-query floor at the small fixture: min 3/5 measured (the
+    // corpus is 500 uniform-random rows — the worst case's worst SF)
+    assertAllTrue(Contracts.recallVsTopk(
+      TextSim.similarityTopk(spark, sf001, 5),
+      Ivf.similarityIvf(spark, sf001, 5, nprobe = Ivf.HighRecallNprobe),
+      floor = 3), "ivf per-query floor@sf0.001", Some(10L))
   }
 
   test("a broken approximation actually flips the boolean (the gate " +
-      "is falsifiable): an IVF floor above the measured recall fails") {
-    val df = Contracts.ivfRecall(spark, sf001, floor = 6) // > k=5
-    assert(df.filter(!col("recall_ok")).count() === 10L)
+      "is falsifiable): an IVF bar above the measured recall fails") {
+    val df = Contracts.ivfRecall(spark, sf001, bar = 1.01) // unreachable
+    assert(df.filter(!col("recall_ok")).count() === 1L)
   }
 }
