@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Files
 import java.util.concurrent.TimeUnit
 
 import graft.SparkSuite
