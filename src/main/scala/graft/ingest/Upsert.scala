@@ -255,8 +255,9 @@ object SnapshotDiff {
   * forever after. If the catalog entry is gone (fresh JVM — the
   * in-memory catalog dies with the session) the same files read as
   * plain parquet: correctness never depends on the catalog, only the
-  * exchange-free plan does. */
-/** @param staleTmpMs age after which an orphaned `.manifest-tmp-*`
+  * exchange-free plan does.
+  *
+  * @param staleTmpMs age after which an orphaned `.manifest-tmp-*`
   *   (a committer killed between tmp write and rename) is GC'd by the
   *   next successful commit. Age-gated because a CONCURRENT committer's
   *   in-flight tmp — written moments ago — must survive another
