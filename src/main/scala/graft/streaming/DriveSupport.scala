@@ -61,8 +61,12 @@ private[streaming] object DriveSupport {
     * StreamScale's switch) — this is how the bench records the drive
     * keys on the RocksDB production store (PERF.md r11) without code
     * changes. Drives that REQUIRE RocksDB (transformWithState) pass it
-    * explicitly and are unaffected. */
-  private val envProvider: Option[String] =
+    * explicitly and are unaffected. Lazy: a strict val would surface an
+    * invalid env value as ExceptionInInitializerError at first object
+    * touch (real message buried in the cause) and NoClassDefFoundError
+    * after; lazy defers to first use, so the sys.error IS the primary
+    * exception (r11 advice). */
+  private lazy val envProvider: Option[String] =
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.trim).map {
       case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider"

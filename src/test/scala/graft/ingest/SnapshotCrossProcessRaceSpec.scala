@@ -110,7 +110,7 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
         while (!(Files.exists(obsFile) &&
             Files.readString(obsFile).linesIterator.contains(retryObs))) {
           assert(reader.isAlive, "reader died mid-window; log:\n" +
-            Files.readString(barrier.resolve("out-2")))
+            Files.readString(reader.log))
           assert(System.nanoTime() < deadline,
             "reader never observed the retry commit")
           Thread.sleep(50)
@@ -118,7 +118,7 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
         Files.writeString(barrier.resolve("reader-stop"), "")
         assert(reader.waitFor(60, TimeUnit.SECONDS), "reader hung on stop")
         assert(reader.exitValue() === 0, "reader exited non-zero; log:\n" +
-          Files.readString(barrier.resolve("out-2")))
+          Files.readString(reader.log))
         val observations = Files.readString(obsFile).linesIterator.toSeq
         assert(observations ===
           Seq("base:0", s"w$winner:${winner + 1}", retryObs),

@@ -125,8 +125,14 @@ class IvfClusteredRecallSpec extends SparkSuite {
       val heavyCells = cells.filter(col("vec_id") < 250)
         .select("cid").distinct().count().toInt
       info(s"heavy cluster (250/500 rows) landed in $heavyCells/16 cells")
+      // heavyCells/2 is probed EXPLICITLY: with only {1,2,4,heavyCells}
+      // probed, an odd heavyCells made find(heavyCells/2) return None and
+      // the skew-visibility guard below vacuously skip (r11 advice)
+      assert(heavyCells >= 2, "fixture precondition: the heavy cluster " +
+        "must shard across >= 2 cells for the skew law to be measurable")
       val curve = recallCurve(dir, nlist = 16,
-        nprobes = (Seq(1, 2, 4) :+ heavyCells).distinct.sorted)
+        nprobes = (Seq(1, 2, 4, heavyCells / 2) :+ heavyCells)
+          .distinct.sorted)
       curve.foreach { case (np, r) =>
         info(f"unbalanced: nprobe=$np%2d/16  recall=$r%.3f")
       }
@@ -138,6 +144,8 @@ class IvfClusteredRecallSpec extends SparkSuite {
       // and the skew is visible: half the budget must NOT already be
       // saturated (otherwise this fixture isn't measuring anything)
       val atHalf = curve.find(_._1 == heavyCells / 2).map(_._2)
+      assert(atHalf.isDefined,
+        s"nprobe=${heavyCells / 2} must be on the probed curve")
       atHalf.foreach(r => assert(r < 0.9,
         f"expected skew to depress recall at half the budget, got $r%.3f"))
     }

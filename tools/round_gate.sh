@@ -28,7 +28,14 @@ COMPARE_ARGS=()
 while [ $# -gt 0 ]; do
   case "$1" in
     --compare-only) COMPARE_ONLY=1 ;;
-    --allow-dropped) COMPARE_ARGS+=("--allow-dropped" "$2"); shift ;;
+    --allow-dropped)
+      # an empty/missing value would silently no-op the retirement
+      # allowlist and mis-shift the remaining args (r11 advice)
+      if [ $# -lt 2 ] || [ -z "$2" ] || [ "${2#--}" != "$2" ]; then
+        echo "round_gate: --allow-dropped needs KEY[,KEY], got '${2:-}'" >&2
+        exit 2
+      fi
+      COMPARE_ARGS+=("--allow-dropped" "$2"); shift ;;
     *) SF_DIR="$1" ;;
   esac
   shift
