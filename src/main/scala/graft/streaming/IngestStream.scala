@@ -66,13 +66,26 @@ object IngestStream {
     * @param archiveDir   when set, consumed files are moved here (A16)
     * @param maxFilesPerTrigger bound files per micro-batch (the batching
     *                     knob replacing the reference's BATCH_SIZE=100,
-    *                     SURVEY §2 A3) */
+    *                     SURVEY §2 A3)
+    * @param productsBuckets bucket count for the products snapshot
+    *                     (None = plain parquet layout — lets the crash
+    *                     suite prove the replay seam on BOTH layouts)
+    * @param afterBatchCommit TEST SEAM (the beforePublish analogue):
+    *                     runs inside foreachBatch AFTER the batch's
+    *                     snapshot-store commits, BEFORE the function
+    *                     returns — i.e. before the engine's checkpoint
+    *                     offset commit. The crash suite parks a child
+    *                     JVM here for a SIGKILL, the exact at-least-once
+    *                     replay window (reference mq.py:162-181). No-op
+    *                     in production. */
   case class Config(
       landingDir: String,
       warehouseDir: String,
       checkpointDir: String,
       archiveDir: Option[String] = None,
-      maxFilesPerTrigger: Int = 16)
+      maxFilesPerTrigger: Int = 16,
+      productsBuckets: Option[Int] = Some(8),
+      afterBatchCommit: Long => Unit = _ => ())
 
   /** Products snapshot is BUCKETED on the merge key: each weekly merge
     * then joins the snapshot in place — no snapshot-side shuffle
@@ -80,7 +93,7 @@ object IngestStream {
     * 8 buckets locally; production sizes toward size/target-partition. */
   def productsStore(cfg: Config) =
     new SnapshotStore(cfg.warehouseDir + "/products",
-      bucket = Some(("code", 8)))
+      bucket = cfg.productsBuckets.map(("code", _)))
 
   def controlStore(cfg: Config) =
     new SnapshotStore(cfg.warehouseDir + "/uploaded_files")
@@ -324,6 +337,7 @@ object IngestStream {
           .collect()  // file METADATA, O(#files in batch) — not data rows
           .map(r => (r.getString(0), r.getTimestamp(1))).toSeq
         processBatch(spark, cfg, files, batchId)
+        cfg.afterBatchCommit(batchId)
       }
       .start()
 

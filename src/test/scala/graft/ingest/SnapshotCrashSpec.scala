@@ -83,6 +83,35 @@ class SnapshotCrashSpec extends SparkSuite {
     }
   }
 
+  for ((label, bucketed) <- Seq("plain parquet" -> false,
+      "bucketed" -> true))
+  test("the age gate PROTECTS a fresh tmp: a just-written tmp manifest " +
+      s"survives another commit's GC sweep at the default gate ($label)") {
+    // The crash tests prove stale tmps ARE swept (staleTmpMs=0); this is
+    // the protective direction — a CONCURRENT committer's in-flight tmp,
+    // written moments ago, must NOT be deleted by another commit's GC,
+    // or its rename turns into a spurious lost-race failure. Previously
+    // only implied by the cross-process race's clean loser retry.
+    withTmpDir { dir =>
+      val path = dir.resolve("s").toString
+      val bucket = if (bucketed) Some(("k", 4)) else None
+      val store = new SnapshotStore(path, bucket) // default staleTmpMs
+      store.overwrite(Seq(("base", 0)).toDF("k", "v"))
+      // a live committer's in-flight tmp: fully written, rename pending
+      val tmp = java.nio.file.Paths.get(path,
+        s".manifest-tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, "v-99-in-flight")
+      store.overwrite(Seq(("next", 1)).toDF("k", "v"))
+      assert(Files.exists(tmp),
+        "a fresh tmp manifest must survive the GC sweep at the default " +
+          "age gate — deleting it would break a concurrent commit")
+      // and it stayed inert: the sweep's survivor never resolves as a
+      // manifest, the store reads the committed version
+      assert(new SnapshotStore(path, bucket).read(spark).get
+        .collect().map(_.getString(0)).toSeq === Seq("next"))
+    }
+  }
+
   test("a crash during the very FIRST commit leaves a readable empty " +
       "store, and the first retry starts cleanly at seq 0") {
     withTmpDir { dir =>
