@@ -88,8 +88,15 @@ object Bench {
     val errors = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // provider metadata: the streaming drive keys' timings depend on the
+    // state-store provider (PERF.md r11: RocksDB ×1.13 total vs HDFS).
+    // Recording it makes a provider switch VISIBLE to the bench gate
+    // (bench_compare.py warns on mismatch) instead of silently moving
+    // the bar. Mirrors DriveSupport's env switch; default = hdfs.
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .map(_.trim).filter(_.nonEmpty).getOrElse("hdfs")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$spread,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","provider":"$provider","queries":$qs,"passes":$spread,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: the driver captures stdout,
     // which has been observed truncated to a 2,000-char tail (BENCH_r07

@@ -197,12 +197,16 @@ object SparkEntry {
     "dedup_simhash_complete" -> ((s: SparkSession, d: String) => Contracts.simhashComplete(s, d)),
     "similarity_lsh_recall" -> ((s: SparkSession, d: String) => Contracts.lshRecall(s, d)),
     "similarity_ivf_recall" -> ((s: SparkSession, d: String) => Contracts.ivfRecall(s, d)),
+    "similarity_ivf_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfRecallPerQuery(s, d)),
     "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_features" -> (Multimodal.featureLanes _),
-    "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)))
+    "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)),
+    // REAL PNG decode (javax.imageio) under the hash gate — see
+    // Multimodal.decodeRoundtrip
+    "multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeRoundtrip(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -227,7 +231,7 @@ object SparkEntry {
     "agg_approx_distinct_bound", "agg_percentile_approx_bound",
     "dedup_minhash_recall", "dedup_simhash_complete",
     "similarity_lsh_recall", "similarity_ivf_recall",
-    "dedup_embedding_ann_recall")
+    "similarity_ivf_recall_q", "dedup_embedding_ann_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
@@ -270,6 +274,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "similarity_ivf_recall" -> "SELECT TRUE AS recall_ok",
+    // per-query grain (the lsh key's strength): floor 4/5 measured at
+    // the driver's verify SF — see Contracts.ivfRecallPerQuery
+    "similarity_ivf_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "dedup_embedding_ann_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
@@ -1237,5 +1246,18 @@ object SparkEntry {
         |  round(CAST(psums[3] AS DOUBLE) / 510.0, 6) AS pooled_2,
         |  round(CAST(psums[4] AS DOUBLE) / 510.0, 6) AS pooled_3,
         |  md5(array_to_string(psums, ' ')) AS resize_digest
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes the roundtrip fixture's pixels from the
+    // SHARED formula alone — the Spark side must recover exactly these
+    // values out of a real PNG container for the hash to match
+    "multimodal_decode" ->
+      """WITH g AS (SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h FROM documents),
+        |d AS (SELECT doc_id, w, h,
+        |    list_transform(range(0, 8), j -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(0, w * h), i -> i % 8 = j),
+        |      i -> (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256)), 0) AS BIGINT)) AS lanes
+        |  FROM g)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  md5(array_to_string(lanes, ' ')) AS decoded_lane_digest
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

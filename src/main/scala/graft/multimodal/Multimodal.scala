@@ -8,13 +8,23 @@ import graft.core.Tables
   * opaque BINARY columns with typed metadata; decode / feature-extract are
   * per-partition batch operations.
   *
-  * The container has no image/audio codecs, so [[FakeCodec.decode]] is a
-  * clearly-marked DETERMINISTIC STUB — it derives plausible metadata and a
-  * fixed-shape feature vector from the bytes. Everything around it — the
-  * BinaryType column, the typed result schema, partition-wise batching via
-  * mapPartitions (the Scala analogue of mapInPandas' batch shape), and the
-  * oracle-checkable metadata query — is real Spark plumbing that a real
-  * codec would drop into unchanged.
+  * Two codecs behind one dispatch ([[decodeAny]]), selected by CONTENT
+  * SNIFFING on the payload's magic bytes:
+  *  - [[RealCodec]] — actual PNG/BMP container decode via the JDK's own
+  *    `javax.imageio` (public, in-JDK — no external codec libs needed):
+  *    payload → BufferedImage → row-major raster samples. Proven under
+  *    the driver's hash gate by [[decodeRoundtrip]]: a synthetic
+  *    grayscale image with an oracle-shared pixel formula goes through a
+  *    real PNG encode → sniff → decode cycle, and the decoded raster's
+  *    lane sums must equal what DuckDB computes from the formula alone
+  *    (PNG is lossless, so any container mis-parse diverges the hash).
+  *  - [[FakeCodec]] — the DETERMINISTIC STUB for formats the JDK cannot
+  *    decode (JPEG-less containers, audio, video): plausible metadata
+  *    and a fixed-shape feature vector derived from the raw bytes. The
+  *    batch-shape plumbing (BinaryType column, typed result schema,
+  *    partition-wise batching via mapPartitions — the Scala analogue of
+  *    mapInPandas) is identical either way, so swapping in further real
+  *    codecs is a dispatch-table entry, not a pipeline change.
   */
 object Multimodal {
 
@@ -40,6 +50,135 @@ object Multimodal {
       }
       MediaFeatures(docId, payload.length, feats)
     }
+  }
+
+  /** REAL image codec: PNG/BMP via the JDK's `javax.imageio`. Grayscale
+    * rasters only (band 0) — exactly what the roundtrip fixture writes;
+    * a multi-band image would still decode (band 0 = red), the fixture
+    * just has no use for it. Memory-only (no ImageIO disk cache). */
+  object RealCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private val pngMagic =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 8 && pngMagic.indices.forall(i =>
+        payload(i) == pngMagic(i))
+
+    def isBmp(payload: Array[Byte]): Boolean =
+      payload.length >= 2 && payload(0) == 'B'.toByte &&
+        payload(1) == 'M'.toByte
+
+    /** Content sniff: does this payload carry a container the JDK can
+      * actually decode here? */
+    def canDecode(payload: Array[Byte]): Boolean =
+      isPng(payload) || isBmp(payload)
+
+    /** Decode container bytes → (width, height, row-major band-0
+      * samples). None when the container is unreadable (truncated or
+      * corrupt despite a valid magic) — the dispatch then falls back to
+      * the byte-level stub, keeping the pipeline total. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some((w, h, px))
+        }
+      } catch { case _: java.io.IOException => None }
+
+    /** Encode row-major grayscale pixels into a real container
+      * (`format`: "png" or "bmp") — the test/fixture side of the
+      * roundtrip; production payloads arrive already encoded. */
+    def encode(format: String, w: Int, h: Int, px: Array[Int])
+        : Array[Byte] = {
+      require(px.length == w * h, s"need $w x $h pixels, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"JDK has no writer for format '$format'")
+      out.toByteArray
+    }
+  }
+
+  /** Codec dispatch by content sniffing: real container formats decode
+    * for real ([[RealCodec]] — metadata and features come from DECODED
+    * PIXELS), everything else (and any corrupt-but-magic'd container)
+    * flows through the deterministic byte-level stub. Same result shape
+    * either way — the distributed plumbing cannot tell codecs apart. */
+  def decodeAny(docId: Long, payload: Array[Byte]): MediaFeatures =
+    if (RealCodec.canDecode(payload))
+      RealCodec.decode(payload) match {
+        case Some((_, _, px)) =>
+          val feats = new Array[Float](FakeCodec.FeatureDim)
+          var i = 0
+          while (i < px.length) {
+            feats(i % FakeCodec.FeatureDim) += px(i) / 255.0f
+            i += 1
+          }
+          MediaFeatures(docId, payload.length, feats)
+        case None => FakeCodec.decode(docId, payload)
+      }
+    else FakeCodec.decode(docId, payload)
+
+  /** The pixel formula the roundtrip fixture and the DuckDB oracle
+    * SHARE — Spark writes these pixels into a real PNG and decodes them
+    * back; the oracle recomputes them in pure SQL. */
+  def synthPixel(docId: Long, i: Long, w: Long): Long =
+    (docId * 31 + (i % w) * 7 + (i / w) * 13) % 256
+
+  /** REAL decode under the driver's hash gate: per document, a synthetic
+    * grayscale image (dims and pixels from oracle-shared formulas) is
+    * encoded into a genuine PNG container, content-sniffed, decoded by
+    * [[RealCodec]], and reduced to exact-integer lane sums over the
+    * DECODED raster. PNG is lossless, so the sums must equal the
+    * oracle's formula-only computation — a container mis-parse, band
+    * mixup, row-order bug, or sniff failure diverges the hash. One
+    * imageio encode+decode per row, partition-batched; image size is
+    * bounded (≤ 23×15), so the per-row cost is fixed and small. */
+  def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nLanes = FakeCodec.FeatureDim
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 8 + 8).toInt
+        val px = Array.tabulate(w * h)(i => synthPixel(id, i, w).toInt)
+        val png = RealCodec.encode("png", w, h, px)
+        require(RealCodec.isPng(png), s"doc $id: encoder produced non-PNG")
+        val (dw, dh, dec) = RealCodec.decode(png).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own PNG"))
+        val lanes = new Array[Long](nLanes)
+        var i = 0
+        while (i < dec.length) { lanes(i % nLanes) += dec(i); i += 1 }
+        (id, dw.toLong, dh.toLong, lanes.toSeq)
+      })
+      .toDF("doc_id", "width", "height", "lanes")
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(concat_ws(" ",
+          expr("transform(lanes, x -> cast(x as string))")))
+          .as("decoded_lane_digest"))
+      .orderBy("doc_id")
   }
 
   /** documents.text reinterpreted as an opaque binary payload column —
@@ -87,15 +226,17 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
 
   /** Partition-batched decode: the distributed feature-extraction path.
-    * One codec invocation per record, batched per partition (no
-    * per-row JVM↔driver traffic, no collect). */
+    * One codec invocation per record — [[decodeAny]] sniffs each
+    * payload, so real PNG/BMP blobs decode for real and everything else
+    * hits the stub — batched per partition (no per-row JVM↔driver
+    * traffic, no collect). */
   def decodeFeatures(spark: SparkSession, dir: String)
       : Dataset[MediaFeatures] = {
     import spark.implicits._
     withPayload(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeAny(id, bytes) })
   }
 
   /** Resize (downsample) the decoded feature vector by average-pooling —

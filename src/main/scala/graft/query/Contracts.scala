@@ -147,6 +147,25 @@ object Contracts {
       .agg(((count(col("__hit")).cast("double") / count(lit(1))) >= bar)
         .as("recall_ok"))
 
+  /** IVF recall contract at the PER-QUERY grain — the same strength as
+    * the LSH key: every query individually retrieves at least the
+    * measured floor of the brute-force top-5 at the documented
+    * high-recall probe budget. The floors are the MEASURED fixture
+    * minima per scale regime (MeasureContracts r11): 4/5 at the
+    * driver's verify SF and above (sf0.01, sf0.1), 3/5 on the tiny
+    * sf0.001 fixture (500 uniform-random rows — the worst case's worst
+    * SF, where top-5 distinctions are noise-scale). Corpus-size
+    * derived so the key is green at every SF while keeping the
+    * driver-SF strength; ContractsSpec pins both regimes explicitly.
+    * Complements [[ivfRecall]]'s 1-row overall bar. */
+  def ivfRecallPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Ivf.similarityIvf(spark, dir, 5, nprobe = Ivf.HighRecallNprobe),
+      floor)
+  }
+
   /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
     * per-SF floor gates; also the lsh key's shape). */
   private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
     "stream_topk_window", "stream_session_tracker",
     // builds/loads the persisted IVF index on construction
-    "similarity_ivf_recall")
+    "similarity_ivf_recall", "similarity_ivf_recall_q")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf

@@ -81,4 +81,71 @@ class MultimodalSpec extends SparkSuite {
     assert(out.forall(_.features.length === Multimodal.FakeCodec.FeatureDim))
     assert(out.forall(m => m.n_bytes > 0))
   }
+
+  // ------------------------------------------------------- real codec
+
+  private val testPx = Array.tabulate(12 * 9)(i => (i * 37 + 5) % 256)
+
+  for (fmt <- Seq("png", "bmp"))
+  test(s"RealCodec roundtrips a $fmt container losslessly " +
+      "(encode -> sniff -> imageio decode -> identical raster)") {
+    val bytes = Multimodal.RealCodec.encode(fmt, 12, 9, testPx)
+    assert(Multimodal.RealCodec.canDecode(bytes), s"$fmt magic not sniffed")
+    assert(fmt != "png" || Multimodal.RealCodec.isPng(bytes))
+    assert(fmt != "bmp" || Multimodal.RealCodec.isBmp(bytes))
+    val (w, h, px) = Multimodal.RealCodec.decode(bytes).get
+    assert((w, h) === ((12, 9)))
+    assert(px.toSeq === testPx.toSeq,
+      s"$fmt decode must recover the exact grayscale raster")
+  }
+
+  test("decodeAny dispatches by content: real containers get pixel " +
+      "features, text payloads the byte-level stub, corrupt containers " +
+      "fall back deterministically") {
+    // real PNG -> features are DECODED-PIXEL lane sums / 255
+    val png = Multimodal.RealCodec.encode("png", 12, 9, testPx)
+    val real = Multimodal.decodeAny(7L, png)
+    val expected = new Array[Float](Multimodal.FakeCodec.FeatureDim)
+    testPx.zipWithIndex.foreach { case (v, i) =>
+      expected(i % expected.length) += v / 255.0f
+    }
+    real.features.zip(expected).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-4f, "pixel-derived feature off")
+    }
+    assert(real.n_bytes === png.length)
+    // a PNG's features come from pixels, NOT container bytes: the stub
+    // on the same payload must disagree (else the dispatch is vacuous)
+    val stubOnPng = Multimodal.FakeCodec.decode(7L, png)
+    assert(!real.features.sameElements(stubOnPng.features))
+    // text payload -> byte-identical to the stub
+    val text = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decodeAny(7L, text).features.toSeq ===
+      Multimodal.FakeCodec.decode(7L, text).features.toSeq)
+    // PNG magic but torn body -> sniffed real, decode fails, falls back
+    // to the stub on the SAME bytes (total, deterministic)
+    val torn = png.take(20)
+    assert(Multimodal.RealCodec.canDecode(torn))
+    assert(Multimodal.RealCodec.decode(torn).isEmpty)
+    assert(Multimodal.decodeAny(7L, torn).features.toSeq ===
+      Multimodal.FakeCodec.decode(7L, torn).features.toSeq)
+  }
+
+  test("decodeRoundtrip's distributed PNG decode equals the formula " +
+      "directly (the oracle's half, computed in-JVM)") {
+    val out = Multimodal.decodeRoundtrip(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (w, h, digest)) =>
+      assert(w === id % 16 + 8)
+      assert(h === id % 8 + 8)
+      val lanes = new Array[Long](Multimodal.FakeCodec.FeatureDim)
+      (0L until w * h).foreach(i =>
+        lanes((i % lanes.length).toInt) += Multimodal.synthPixel(id, i, w))
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(lanes.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(digest === want, s"doc $id decoded lane digest diverges")
+    }
+  }
 }

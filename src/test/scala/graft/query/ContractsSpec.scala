@@ -48,6 +48,7 @@ class ContractsSpec extends SparkSuite {
         case "dedup_embedding_ann_recall" => Some(50L)  // planted twins
         case "similarity_lsh_recall" => Some(10L)       // queries
         case "similarity_ivf_recall" => Some(1L)        // overall bar
+        case "similarity_ivf_recall_q" => Some(10L)     // per-query grain
         case "agg_approx_distinct_bound" => Some(5L)    // priorities
         case "agg_percentile_approx_bound" => Some(5L)  // event types
         case _ => None
@@ -70,6 +71,10 @@ class ContractsSpec extends SparkSuite {
       TextSim.similarityTopk(spark, sf001, 5),
       Ivf.similarityIvf(spark, sf001, 5, nprobe = Ivf.HighRecallNprobe),
       floor = 3), "ivf per-query floor@sf0.001", Some(10L))
+    // and the driver key's corpus-size-derived floor lands on exactly
+    // that regime here (3 below 1000 vectors, 4 at the driver SF)
+    assertAllTrue(Contracts.ivfRecallPerQuery(spark, sf001),
+      "similarity_ivf_recall_q@sf0.001", Some(10L))
   }
 
   test("a broken approximation actually flips the boolean (the gate " +

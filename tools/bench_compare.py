@@ -89,6 +89,18 @@ def main() -> None:
         if vanished:
             print(f"{len(vanished)} key(s) VANISHED from the new artifact "
                   f"(gate fails after the report): {', '.join(vanished)}")
+    # provider metadata (round 12): the streaming drive keys time
+    # differently per state-store provider (PERF.md r11 table), so a
+    # silent provider switch would move the bar. Warn loudly on any
+    # mismatch; artifacts from before round 12 carry no field and read
+    # as "unrecorded" (warned once, then the field exists everywhere).
+    old_prov = old.get("provider", "unrecorded")
+    new_prov = new.get("provider", "unrecorded")
+    print(f"state-store provider: {old_prov} -> {new_prov}")
+    if old_prov != new_prov:
+        print(f"WARNING: provider changed ({old_prov} -> {new_prov}) — "
+              "streaming drive timings are NOT comparable across "
+              "providers; re-baseline or rerun with the old provider")
     old_total = sum(old["queries"][k] for k in common)
     new_total = sum(new["queries"][k] for k in common)
     shift = new_total / old_total
