@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Decade-up fixture generator: a ×10 **sf0.1-SHAPED** documents/events
+  * pair for extrapolating the SCALE.md candidate-audit curves one more
+  * decade of wall-clock ([[Scale]] covers the other regime — byte-
+  * identical crawl duplication, where dedup must collapse factor-many
+  * replicas).
+  *
+  * Here every generated document is a FRESH draw from the base
+  * corpus's own distributions — vocabulary, word-count range, language
+  * mix, source count and exact-duplicate rate are all *measured from
+  * the base fixture at generation time*, not hardcoded — so the
+  * natural shingle-collision structure that drives the dedup keys'
+  * candidate counts grows the way a 10× delivery of the same corpus
+  * would, and a driver-regenerated fixture reshapes the decade-up
+  * automatically. Events are replicated with event/user ids strided
+  * per replica over the SAME time span (the r9 StreamScale rate
+  * regime: per-day density ×10, key cardinality ×10).
+  *
+  * Determinism: every generated value is a pure function of
+  * `xxhash64(tag, id[, pos])` — no RNG state, no Date.now, identical
+  * parquet content on every run; the output is cached under a
+  * fingerprint tag of the base tables (the [[Scale]] pattern) with
+  * _SUCCESS markers so a torn write rebuilds instead of serving debris.
+  *
+  * Generation is one declarative plan per table — `sequence` →
+  * `transform` → `element_at` → `array_join`, all codegen'd native
+  * functions, no UDFs, no driver-side row loops (the only collects are
+  * the ~31-word vocabulary and the 5-row language mix).
+  *
+  * Output: prints the decade dir (feed it to [[BenchOne]] via
+  * SPARK_GRAFT_SF_DIR) and one JSON audit line per corpus with the
+  * SCALE.md candidate-audit columns — raw shared-shingle pairs, pairs
+  * at the ≥3 floor, pairs after the canonical pre-pass — plus the same
+  * counts under a 10× tighter DF cap (maxShingleDf=100), the knob that
+  * bounds candidate growth when a fixed-vocabulary corpus outgrows the
+  * default cap.
+  */
+object ScaleTen {
+  val Factor = 10
+  /** Bump on any generator-semantics change: the output cache keys on
+    * (base fingerprints, factor, GenVersion) — without it a code change
+    * would silently serve the previous corpus. */
+  val GenVersion = 2
+
+  /** Fresh-draw documents: n docs shaped like `base`. Planted exact
+    * duplicates at the base corpus's measured rate via contentId
+    * collapse (a duplicate id derives its text from its predecessor's
+    * id — same bytes, no self-join), and planted NEAR-duplicates at
+    * the base corpus's measured edit-distance pair rate (a near-dup id
+    * derives its words from its predecessor, then substitutes ~10% of
+    * word slots — a within-20% edit that keeps most shingles, the
+    * small-patch duplication regime dedup_levenshtein/dedup_cluster
+    * exist for). */
+  private[graft] def genDocuments(base: DataFrame, n: Long): DataFrame = {
+    val vocab = base.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    val langCounts = base.groupBy("lang").count().orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val langTotal = langCounts.map(_._2).sum.toDouble
+    val nSources = base.select("source").distinct().count().toInt
+    val wc = base.select(size(split(col("text"), " ")).as("nw"))
+      .agg(min("nw").as("lo"), max("nw").as("hi")).head()
+    val (minW, maxW) = (wc.getInt(0), wc.getInt(1))
+    val baseRows = base.count()
+    val dupExtras = baseRows - base.select("text").distinct().count()
+    // near-dup pair rate: edit-distance pairs that are NOT byte-exact
+    // (exact pairs surface in the lev output at dist 0)
+    val levPairs = graft.query.TextSim.dedupLevenshteinOf(base)
+      .filter(col("dist") > 0).count()
+
+    def h(tag: String, cols: Column*): Column =
+      xxhash64((lit(tag) +: cols): _*)
+    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
+
+    // planted duplicates at the base corpus's measured rates (one per
+    // mod ids; exact takes precedence); a dup-free base stays dup-free
+    def plantMod(extras: Long): Option[Int] =
+      if (extras == 0) None
+      else Some(math.max(2, (baseRows / extras).toInt))
+    def planted(tag: String, extras: Long): Column =
+      plantMod(extras).map(m =>
+        col("id") > 0 && pmod(h(tag, col("id")), lit(m)) === 0)
+        .getOrElse(lit(false))
+    val isDup = planted("dup", dupExtras)
+    val isNear = !isDup && planted("near", levPairs)
+    val contentId = when(isDup || isNear, col("id") - 1).otherwise(col("id"))
+    val nWords =
+      (pmod(h("len", col("cid")), lit(maxW - minW + 1)) + lit(minW))
+        .cast("int")
+    // near-dups substitute ~10% of word slots, keyed by the REPLICA id
+    // so each near copy differs from its source; the rest of the doc
+    // keeps the source's shingles
+    val words = transform(sequence(lit(0), col("nw") - 1), p =>
+      when(col("near") && pmod(h("pm", col("id"), p), lit(10)) === 0,
+        element_at(vocabArr,
+          (pmod(h("pw", col("id"), p), lit(vocab.length)) + 1).cast("int")))
+        .otherwise(element_at(vocabArr,
+          (pmod(h("w", col("cid"), p), lit(vocab.length)) + 1).cast("int"))))
+    // language thresholds from the measured mix (cumulative shares)
+    val cum = langCounts.scanLeft(0.0) { case (a, (_, c)) =>
+      a + c / langTotal }.tail
+    val r = pmod(h("lang", col("id")), lit(1000000)).cast("double") / 1e6
+    val langCol = langCounts.zip(cum).init
+      .foldRight(lit(langCounts.last._1): Column) {
+        case (((name, _), cw), acc) =>
+          when(r < lit(cw), lit(name)).otherwise(acc)
+      }
+
+    base.sparkSession.range(n).repartition(32)
+      .withColumn("near", isNear)
+      .withColumn("cid", contentId)
+      .withColumn("nw", nWords)
+      .withColumn("text", array_join(words, " "))
+      .select(
+        col("id").as("doc_id"),
+        col("text"),
+        langCol.as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(nSources))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Events ×factor: ids strided per replica, identical time span —
+    * ×factor daily density and user cardinality, per-user history
+    * shape preserved. */
+  private[graft] def genEvents(base: DataFrame, factor: Int): DataFrame = {
+    val m = base.agg(max("event_id").as("e"), max("user_id").as("u")).head()
+    val (eStride, uStride) = (m.getLong(0) + 1L, m.getLong(1) + 1L)
+    (0 until factor).map(i => base
+        .withColumn("event_id", col("event_id") + lit(i * eStride))
+        .withColumn("user_id", col("user_id") + lit(i * uStride)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Build (or reuse) the decade-up dir; returns its path. Layout
+    * matches the driver fixture (`<dir>/<table>.parquet`) so every
+    * `SparkEntry.queries` entry runs against it unchanged. */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val tag = graft.core.Caches.md5Tag(
+      Seq("documents", "events")
+        .map(t => Tables.fingerprint(spark, sfDir, t))
+        .mkString(s"$sfDir|x$Factor|v$GenVersion|", "|", ""))
+    val path = s"target/graft-scale10/$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = Seq("documents", "events").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t.parquet/_SUCCESS")))
+    if (!complete) {
+      val baseDocs = Tables.load(spark, sfDir, "documents")
+      genDocuments(baseDocs, baseDocs.count() * Factor)
+        .write.mode("overwrite").parquet(s"$path/documents.parquet")
+      genEvents(Tables.load(spark, sfDir, "events"), Factor)
+        .write.mode("overwrite").parquet(s"$path/events.parquet")
+    }
+    path
+  }
+
+  private def audit(spark: SparkSession, label: String, dir: String): Unit = {
+    import graft.query.TextSim
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = docs.count()
+    def counts(cap: Int): (Long, Long, Long) = {
+      val c = TextSim.levCandidates(docs, cap)
+        .agg(count(lit(1)).as("raw"),
+          count_if(col("n_shared") >= 3).as("floor")).head()
+      val canon = TextSim.levCandidates(
+          TextSim.canonicalSurvivors(docs), cap)
+        .filter(col("n_shared") >= 3).count()
+      (c.getLong(0), c.getLong(1), canon)
+    }
+    val (raw, floor, canon) = counts(1000)
+    val (rawT, floorT, canonT) = counts(100)
+    println(s"""{"corpus":"$label","doc_rows":$rows,""" +
+      s""""cap1000":{"lev_cand_raw":$raw,"lev_cand_floor":$floor,""" +
+      s""""lev_cand_after_canon":$canon},""" +
+      s""""cap100":{"lev_cand_raw":$rawT,"lev_cand_floor":$floorT,""" +
+      s""""lev_cand_after_canon":$canonT}}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = ensure(spark, sfDir)
+    println(s"""{"decade_dir":"$path"}""")
+    audit(spark, "base", sfDir)
+    audit(spark, "x10", path)
+    spark.stop()
+  }
+}
