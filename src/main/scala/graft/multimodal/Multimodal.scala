@@ -96,7 +96,14 @@ object Multimodal {
           }
           Some((w, h, px))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // NonFatal, not just IOException: the JDK's format parsers can
+        // throw RuntimeExceptions (negative array sizes, bad index
+        // math) on malformed-but-magic'd bodies, and the documented
+        // contract is totality — any unreadable container falls back
+        // to the stub rather than failing the task.
+        case scala.util.control.NonFatal(_) => None
+      }
 
     /** Encode row-major grayscale pixels into a real container
       * (`format`: "png" or "bmp") — the test/fixture side of the

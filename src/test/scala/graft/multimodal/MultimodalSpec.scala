@@ -128,6 +128,13 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.RealCodec.decode(torn).isEmpty)
     assert(Multimodal.decodeAny(7L, torn).features.toSeq ===
       Multimodal.FakeCodec.decode(7L, torn).features.toSeq)
+    // PNG magic + garbage body (valid-length chunks of junk): whatever
+    // the JDK parser throws at it, decode stays total and falls back
+    val garbage = png.take(8) ++ Array.tabulate(256)(i => (i * 97 + 13).toByte)
+    assert(Multimodal.RealCodec.canDecode(garbage))
+    assert(Multimodal.RealCodec.decode(garbage).isEmpty)
+    assert(Multimodal.decodeAny(7L, garbage).features.toSeq ===
+      Multimodal.FakeCodec.decode(7L, garbage).features.toSeq)
   }
 
   test("decodeRoundtrip's distributed PNG decode equals the formula " +
