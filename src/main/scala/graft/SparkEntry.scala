@@ -206,7 +206,16 @@ object SparkEntry {
     "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)),
     // REAL PNG decode (javax.imageio) under the hash gate — see
     // Multimodal.decodeRoundtrip
-    "multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeRoundtrip(s, d)))
+    "multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeRoundtrip(s, d)),
+    // REAL WAV/PCM decode (javax.sound.sampled) under the hash gate —
+    // see Multimodal.audioRoundtrip
+    "multimodal_audio" -> ((s: SparkSession, d: String) => Multimodal.audioRoundtrip(s, d)),
+    // REAL pixel-space 2x2 average-pool over the decoded PNG raster —
+    // see Multimodal.resizeRoundtrip
+    "multimodal_resize_real" -> ((s: SparkSession, d: String) => Multimodal.resizeRoundtrip(s, d)),
+    // windowed frame energy/peak over DECODED WAV samples — see
+    // Multimodal.audioFrames
+    "multimodal_audio_frames" -> ((s: SparkSession, d: String) => Multimodal.audioFrames(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -1259,5 +1268,53 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  md5(array_to_string(lanes, ' ')) AS decoded_lane_digest
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the audio twin of multimodal_decode: the oracle recomputes the
+    // WAV fixture's interleaved PCM samples and container metadata from
+    // the SHARED formulas alone — the Spark side must recover exactly
+    // these values out of a real RIFF/WAVE container
+    "multimodal_audio" ->
+      """WITH g AS (SELECT doc_id, doc_id % 2 + 1 AS ch,
+        |    (doc_id % 64 + 32) * (doc_id % 2 + 1) AS n,
+        |    8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+        |d AS (SELECT doc_id, ch, n, rate,
+        |    list_transform(range(0, 8), j -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(0, n), i -> i % 8 = j),
+        |      i -> (doc_id * 37 + i * 11) % 4096 - 2048)), 0) AS BIGINT)) AS lanes
+        |  FROM g)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  md5(array_to_string(lanes, ' ')) AS decoded_sample_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // real pixel-space resize: the oracle recomputes the 2x2 integer
+    // average-pool from the shared pixel formula alone — the Spark side
+    // must reproduce it from a decoded real PNG raster
+    "multimodal_resize_real" ->
+      """WITH g AS (SELECT doc_id, (doc_id % 8 + 4) * 2 AS w, (doc_id % 4 + 4) * 2 AS h FROM documents),
+        |d AS (SELECT doc_id, w // 2 AS w2, h // 2 AS h2,
+        |    list_transform(range(0, 8), j -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(0, (w // 2) * (h // 2)), i -> i % 8 = j),
+        |      i -> ((doc_id * 31 + (2 * (i % (w // 2))) * 7 + (2 * (i // (w // 2))) * 13) % 256
+        |          + (doc_id * 31 + (2 * (i % (w // 2)) + 1) * 7 + (2 * (i // (w // 2))) * 13) % 256
+        |          + (doc_id * 31 + (2 * (i % (w // 2))) * 7 + (2 * (i // (w // 2)) + 1) * 13) % 256
+        |          + (doc_id * 31 + (2 * (i % (w // 2)) + 1) * 7 + (2 * (i // (w // 2)) + 1) * 13) % 256) // 4)), 0) AS BIGINT)) AS lanes
+        |  FROM g)
+        |SELECT doc_id, CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+        |  md5(array_to_string(lanes, ' ')) AS pooled_lane_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // windowed audio frames: the oracle recomputes each 16-sample
+    // window's exact integer energy and peak from the shared waveform
+    // formula — the Spark side must reproduce them from decoded WAV
+    "multimodal_audio_frames" ->
+      """WITH g AS (SELECT doc_id, (doc_id % 64 + 32) * (doc_id % 2 + 1) AS n FROM documents),
+        |f AS (SELECT doc_id, n, UNNEST(range(0, (n + 15) // 16)) AS frame_idx FROM g),
+        |e AS (SELECT doc_id, frame_idx,
+        |    list_transform(range(frame_idx * 16, least((frame_idx + 1) * 16, n)),
+        |      i -> (doc_id * 37 + i * 11) % 4096 - 2048) AS s
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(len(s) AS BIGINT) AS frame_len,
+        |  CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS energy,
+        |  CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -18,13 +18,21 @@ import graft.core.Tables
   *    real PNG encode → sniff → decode cycle, and the decoded raster's
   *    lane sums must equal what DuckDB computes from the formula alone
   *    (PNG is lossless, so any container mis-parse diverges the hash).
+  *  - [[AudioCodec]] — actual WAV (RIFF/WAVE) PCM container decode via
+  *    the JDK's own `javax.sound.sampled` (public, in-JDK): payload →
+  *    AudioInputStream → interleaved signed samples plus the container's
+  *    own rate/channel metadata. Proven under the driver's hash gate by
+  *    [[audioRoundtrip]] the same way as the image path: PCM is
+  *    lossless, so the decoded samples' lane sums must equal what DuckDB
+  *    computes from the shared waveform formula alone.
   *  - [[FakeCodec]] — the DETERMINISTIC STUB for formats the JDK cannot
-  *    decode (JPEG-less containers, audio, video): plausible metadata
-  *    and a fixed-shape feature vector derived from the raw bytes. The
-  *    batch-shape plumbing (BinaryType column, typed result schema,
-  *    partition-wise batching via mapPartitions — the Scala analogue of
-  *    mapInPandas) is identical either way, so swapping in further real
-  *    codecs is a dispatch-table entry, not a pipeline change.
+  *    decode (JPEG-less containers, compressed audio, video): plausible
+  *    metadata and a fixed-shape feature vector derived from the raw
+  *    bytes. The batch-shape plumbing (BinaryType column, typed result
+  *    schema, partition-wise batching via mapPartitions — the Scala
+  *    analogue of mapInPandas) is identical either way, so swapping in
+  *    further real codecs is a dispatch-table entry, not a pipeline
+  *    change.
   */
 object Multimodal {
 
@@ -127,11 +135,109 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: WAV (RIFF/WAVE) PCM via the JDK's own
+    * `javax.sound.sampled`. Decodes the uncompressed PCM encodings the
+    * JDK's WAVE reader actually parses (signed 16-bit either endian,
+    * 8-bit signed/unsigned); anything else — compressed audio, torn
+    * container — returns None and the dispatch falls back to the stub,
+    * keeping the pipeline total. */
+  object AudioCodec {
+
+    /** RIFF....WAVE container sniff (bytes 0-3 and 8-11). */
+    def isWav(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload(0) == 'R'.toByte && payload(1) == 'I'.toByte &&
+        payload(2) == 'F'.toByte && payload(3) == 'F'.toByte &&
+        payload(8) == 'W'.toByte && payload(9) == 'A'.toByte &&
+        payload(10) == 'V'.toByte && payload(11) == 'E'.toByte
+
+    def canDecode(payload: Array[Byte]): Boolean = isWav(payload)
+
+    /** Decode WAV bytes → (sampleRate, channels, interleaved signed
+      * samples in frame order). None when the JDK can't parse the
+      * container or the encoding isn't plain PCM. */
+    def decode(payload: Array[Byte])
+        : Option[(Int, Int, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val supported =
+            (enc == PCM_SIGNED && (bits == 16 || bits == 8)) ||
+              (enc == PCM_UNSIGNED && bits == 8)
+          if (!supported) None
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / (bits / 8)
+            val out = new Array[Int](n)
+            var i = 0
+            if (bits == 16) {
+              val be = fmt.isBigEndian
+              while (i < n) {
+                val b0 = bytes(2 * i) & 0xFF
+                val b1 = bytes(2 * i + 1) & 0xFF
+                out(i) =
+                  (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+                i += 1
+              }
+            } else {
+              val signed = enc == PCM_SIGNED
+              while (i < n) {
+                out(i) = if (signed) bytes(i).toInt else bytes(i) & 0xFF
+                i += 1
+              }
+            }
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+          }
+        } finally in.close()
+      } catch {
+        // NonFatal for the same totality contract as RealCodec: a
+        // magic'd-but-malformed container degrades to the stub instead
+        // of failing the Spark task.
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    /** Encode interleaved signed 16-bit samples into a real WAV
+      * container — the test/fixture side of the roundtrip; production
+      * payloads arrive already encoded. */
+    def encode(sampleRate: Int, channels: Int, samples: Array[Int])
+        : Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"${samples.length} samples not a whole number of $channels-channel frames")
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        require(s >= Short.MinValue && s <= Short.MaxValue,
+          s"sample $s outside signed 16-bit range")
+        data(2 * i) = (s & 0xFF).toByte            // little-endian PCM
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        (samples.length / channels).toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
   /** Codec dispatch by content sniffing: real container formats decode
-    * for real ([[RealCodec]] — metadata and features come from DECODED
-    * PIXELS), everything else (and any corrupt-but-magic'd container)
-    * flows through the deterministic byte-level stub. Same result shape
-    * either way — the distributed plumbing cannot tell codecs apart. */
+    * for real ([[RealCodec]] — features from DECODED PIXELS;
+    * [[AudioCodec]] — features from DECODED SAMPLES), everything else
+    * (and any corrupt-but-magic'd container) flows through the
+    * deterministic byte-level stub. Same result shape either way — the
+    * distributed plumbing cannot tell codecs apart. */
   def decodeAny(docId: Long, payload: Array[Byte]): MediaFeatures =
     if (RealCodec.canDecode(payload))
       RealCodec.decode(payload) match {
@@ -140,6 +246,20 @@ object Multimodal {
           var i = 0
           while (i < px.length) {
             feats(i % FakeCodec.FeatureDim) += px(i) / 255.0f
+            i += 1
+          }
+          MediaFeatures(docId, payload.length, feats)
+        case None => FakeCodec.decode(docId, payload)
+      }
+    else if (AudioCodec.canDecode(payload))
+      AudioCodec.decode(payload) match {
+        case Some((_, _, samples)) =>
+          val feats = new Array[Float](FakeCodec.FeatureDim)
+          var i = 0
+          while (i < samples.length) {
+            // signed sample mapped to [0,1], mirroring the pixel path
+            feats(i % FakeCodec.FeatureDim) +=
+              (samples(i) + 32768) / 65535.0f
             i += 1
           }
           MediaFeatures(docId, payload.length, feats)
@@ -186,6 +306,140 @@ object Multimodal {
           expr("transform(lanes, x -> cast(x as string))")))
           .as("decoded_lane_digest"))
       .orderBy("doc_id")
+  }
+
+  /** REAL pixel-space resize under the driver's hash gate — the "resize
+    * to model input shape" step with actual decoded pixels, not stub
+    * byte-features ([[resizeDigest]] keeps the stub twin for non-image
+    * payloads). Per document: synthetic even-dimension grayscale pixels
+    * → real PNG encode → sniff → [[RealCodec]] decode → 2×2 average
+    * pool in EXACT integer space (sum of the 4 source pixels DIV 4) →
+    * lane sums over the pooled raster. The oracle recomputes the pool
+    * from the pixel formula alone, so a decode, row-order, or pooling
+    * bug diverges the hash. */
+  def resizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nLanes = FakeCodec.FeatureDim
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = ((id % 8 + 4) * 2).toInt // even dims: the pool is exact
+        val h = ((id % 4 + 4) * 2).toInt
+        val px = Array.tabulate(w * h)(i => synthPixel(id, i, w).toInt)
+        val png = RealCodec.encode("png", w, h, px)
+        val (dw, dh, dec) = RealCodec.decode(png).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own PNG"))
+        require(dw == w && dh == h, s"doc $id: decoded dims drifted")
+        val (w2, h2) = (w / 2, h / 2)
+        val lanes = new Array[Long](nLanes)
+        var cy = 0
+        while (cy < h2) {
+          var cx = 0
+          while (cx < w2) {
+            val pooled = (dec(2 * cy * w + 2 * cx) +
+              dec(2 * cy * w + 2 * cx + 1) +
+              dec((2 * cy + 1) * w + 2 * cx) +
+              dec((2 * cy + 1) * w + 2 * cx + 1)) / 4
+            lanes((cy * w2 + cx) % nLanes) += pooled
+            cx += 1
+          }
+          cy += 1
+        }
+        (id, w2.toLong, h2.toLong, lanes.toSeq)
+      })
+      .toDF("doc_id", "out_w", "out_h", "lanes")
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        md5(concat_ws(" ",
+          expr("transform(lanes, x -> cast(x as string))")))
+          .as("pooled_lane_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** The waveform formula the audio roundtrip fixture and the DuckDB
+    * oracle SHARE — Spark writes these samples into a real WAV container
+    * and decodes them back; the oracle recomputes them in pure SQL.
+    * Range [-2048, 2047]: well inside signed 16-bit, never clipped. */
+  def synthSample(docId: Long, i: Long): Long =
+    (docId * 37 + i * 11) % 4096 - 2048
+
+  /** REAL audio decode under the driver's hash gate — the
+    * [[decodeRoundtrip]] pattern on the WAV path. Per document: a
+    * synthetic PCM waveform (channel count, frame count, sample rate and
+    * every sample from oracle-shared formulas) is encoded into a genuine
+    * RIFF/WAVE container, content-sniffed, decoded by [[AudioCodec]],
+    * and reduced to exact-integer lane sums over the DECODED interleaved
+    * samples. PCM is lossless, so the sums — and the rate/channel
+    * metadata read back from the container — must equal the oracle's
+    * formula-only computation; a header mis-parse, endianness or
+    * sign-extension bug, or channel de-interleave error diverges the
+    * hash. One encode+decode per row, partition-batched; waveform length
+    * is bounded (≤ 190 samples), so per-row cost is fixed and small. */
+  def audioRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nLanes = FakeCodec.FeatureDim
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val frames = (id % 64 + 32).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples =
+          Array.tabulate(frames * channels)(i => synthSample(id, i).toInt)
+        val wav = AudioCodec.encode(rate, channels, samples)
+        require(AudioCodec.isWav(wav), s"doc $id: encoder produced non-WAV")
+        val (dRate, dCh, dec) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own WAV"))
+        val lanes = new Array[Long](nLanes)
+        var i = 0
+        while (i < dec.length) { lanes(i % nLanes) += dec(i); i += 1 }
+        (id, dRate.toLong, dCh.toLong, dec.length.toLong, lanes.toSeq)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "lanes")
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"),
+        md5(concat_ws(" ",
+          expr("transform(lanes, x -> cast(x as string))")))
+          .as("decoded_sample_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL audio frame features under the driver's hash gate: the
+    * windowed feature-extraction step of an audio pipeline (VAD /
+    * loudness normalization run on exactly this shape) over DECODED
+    * samples. Per document, the [[audioRoundtrip]] waveform goes
+    * through a real WAV encode → decode cycle, then per non-overlapping
+    * 16-sample window: exact integer energy (Σ s²) and peak |s| — one
+    * row per (doc, frame), Generate fan-out bounded by the fixed
+    * waveform length. The oracle recomputes both from the formula, so
+    * any decode or windowing bug diverges the hash. */
+  def audioFrames(spark: SparkSession, dir: String, window: Int = 16)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val channels = (id % 2 + 1).toInt
+        val frames = (id % 64 + 32).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples =
+          Array.tabulate(frames * channels)(i => synthSample(id, i).toInt)
+        val wav = AudioCodec.encode(rate, channels, samples)
+        val (_, _, dec) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own WAV"))
+        dec.grouped(window).zipWithIndex.map { case (win, fi) =>
+          var energy = 0L; var peak = 0L
+          var i = 0
+          while (i < win.length) {
+            val s = win(i).toLong
+            energy += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          (id, fi.toLong, win.length.toLong, energy, peak)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_len", "energy", "peak")
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** documents.text reinterpreted as an opaque binary payload column —

@@ -137,6 +137,121 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.FakeCodec.decode(7L, garbage).features.toSeq)
   }
 
+  test("resizeRoundtrip's distributed decode+pool equals the formula " +
+      "directly (the oracle's half, computed in-JVM)") {
+    val out = Multimodal.resizeRoundtrip(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (w2, h2, digest)) =>
+      val w = ((id % 8 + 4) * 2).toInt
+      val h = ((id % 4 + 4) * 2).toInt
+      assert(w2 === w / 2 && h2 === h / 2, s"doc $id pooled dims")
+      def px(x: Int, y: Int): Long = Multimodal.synthPixel(id, y * w + x, w)
+      val lanes = new Array[Long](Multimodal.FakeCodec.FeatureDim)
+      for (cy <- 0 until h / 2; cx <- 0 until w / 2) {
+        val pooled = (px(2 * cx, 2 * cy) + px(2 * cx + 1, 2 * cy) +
+          px(2 * cx, 2 * cy + 1) + px(2 * cx + 1, 2 * cy + 1)) / 4
+        lanes((cy * (w / 2) + cx) % lanes.length) += pooled
+      }
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(lanes.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(digest === want, s"doc $id pooled lane digest diverges")
+    }
+  }
+
+  // ------------------------------------------------------- audio codec
+
+  private val testWave =
+    Array.tabulate(96)(i => ((i * 523 + 11) % 4096) - 2048)
+
+  for (ch <- Seq(1, 2))
+  test(s"AudioCodec roundtrips a $ch-channel WAV losslessly " +
+      "(encode -> sniff -> javax.sound decode -> identical samples)") {
+    val wav = Multimodal.AudioCodec.encode(16000, ch, testWave)
+    assert(Multimodal.AudioCodec.isWav(wav), "WAV magic not sniffed")
+    assert(!Multimodal.RealCodec.canDecode(wav), "image sniff stole a WAV")
+    val (rate, chans, dec) = Multimodal.AudioCodec.decode(wav).get
+    assert(rate === 16000, "sample rate not recovered from the container")
+    assert(chans === ch, "channel count not recovered from the container")
+    assert(dec.toSeq === testWave.toSeq,
+      s"$ch-channel decode must recover the exact interleaved samples")
+  }
+
+  test("AudioCodec decode is total: RIFF magic with a garbage body " +
+      "returns None and decodeAny falls back to the stub") {
+    val wav = Multimodal.AudioCodec.encode(8000, 1, testWave)
+    // torn container: header cut mid-fmt-chunk
+    val torn = wav.take(16)
+    assert(Multimodal.AudioCodec.canDecode(torn))
+    assert(Multimodal.AudioCodec.decode(torn).isEmpty)
+    assert(Multimodal.decodeAny(9L, torn).features.toSeq ===
+      Multimodal.FakeCodec.decode(9L, torn).features.toSeq)
+    // valid RIFF/WAVE magic, junk body
+    val garbage = wav.take(12) ++
+      Array.tabulate(128)(i => (i * 89 + 7).toByte)
+    assert(Multimodal.AudioCodec.canDecode(garbage))
+    assert(Multimodal.AudioCodec.decode(garbage).isEmpty)
+    assert(Multimodal.decodeAny(9L, garbage).features.toSeq ===
+      Multimodal.FakeCodec.decode(9L, garbage).features.toSeq)
+  }
+
+  test("decodeAny dispatches WAV payloads to sample-derived features") {
+    val wav = Multimodal.AudioCodec.encode(8000, 1, testWave)
+    val real = Multimodal.decodeAny(9L, wav)
+    val expected = new Array[Float](Multimodal.FakeCodec.FeatureDim)
+    testWave.zipWithIndex.foreach { case (s, i) =>
+      expected(i % expected.length) += (s + 32768) / 65535.0f
+    }
+    real.features.zip(expected).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-3f, "sample-derived feature off")
+    }
+    assert(real.n_bytes === wav.length)
+    // features must come from samples, NOT container bytes
+    assert(!real.features.sameElements(
+      Multimodal.FakeCodec.decode(9L, wav).features))
+  }
+
+  test("audioRoundtrip's distributed WAV decode equals the formula " +
+      "directly (the oracle's half, computed in-JVM)") {
+    val out = Multimodal.audioRoundtrip(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (rate, ch, n, digest)) =>
+      assert(rate === 8000 + (id % 3) * 4000, s"doc $id sample rate")
+      assert(ch === id % 2 + 1, s"doc $id channels")
+      assert(n === (id % 64 + 32) * (id % 2 + 1), s"doc $id sample count")
+      val lanes = new Array[Long](Multimodal.FakeCodec.FeatureDim)
+      (0L until n).foreach(i =>
+        lanes((i % lanes.length).toInt) += Multimodal.synthSample(id, i))
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(lanes.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(digest === want, s"doc $id decoded sample digest diverges")
+    }
+  }
+
+  test("audioFrames windows the decoded waveform exactly (energy + peak)") {
+    val out = Multimodal.audioFrames(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val ids = out.keys.map(_._1).toSet
+    ids.foreach { id =>
+      val n = ((id % 64 + 32) * (id % 2 + 1)).toInt
+      val s = Array.tabulate(n)(i => Multimodal.synthSample(id, i))
+      val frames = (n + 15) / 16
+      assert(out.keys.count(_._1 == id) === frames, s"doc $id frame count")
+      s.grouped(16).zipWithIndex.foreach { case (win, fi) =>
+        val want = (win.length.toLong, win.map(x => x * x).sum,
+          win.map(math.abs).max)
+        assert(out((id, fi.toLong)) === want, s"doc $id frame $fi diverges")
+      }
+    }
+  }
+
   test("decodeRoundtrip's distributed PNG decode equals the formula " +
       "directly (the oracle's half, computed in-JVM)") {
     val out = Multimodal.decodeRoundtrip(spark, dir).collect()
