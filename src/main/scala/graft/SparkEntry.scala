@@ -168,6 +168,9 @@ object SparkEntry {
     "text_langid" -> (TextSim.textLangid _),
     "text_fingerprint" -> (TextSim.textFingerprint _),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextQuality.textTfidf(s, d)),
+    // CCNet-style mean unigram surprisal (perplexity-filter signal) —
+    // see TextQuality.textSurprisal
+    "text_surprisal" -> (TextQuality.textSurprisal _),
     "quality_filter" -> (TextQuality.qualityFilter _),
     "text_repetition" -> (TextQuality.textRepetition _),
     "pii_redact" -> (TextQuality.piiRedact _),
@@ -175,6 +178,12 @@ object SparkEntry {
     "dedup_canonical" -> (TextSim.dedupCanonical _),
     "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
+    // exact duplicated-span detection (substring-grain dedup) — see
+    // TextSim.dedupSubstring
+    "dedup_substring" -> ((s: SparkSession, d: String) => TextSim.dedupSubstring(s, d)),
+    // per-source duplicated-token share derived from the spans — see
+    // TextSim.corpusDupRate
+    "corpus_dup_rate" -> ((s: SparkSession, d: String) => TextSim.corpusDupRate(s, d)),
     "text_novelty" -> ((s: SparkSession, d: String) => TextSim.textNovelty(s, d)),
     "dedup_levenshtein" -> ((s: SparkSession, d: String) => TextSim.dedupLevenshtein(s, d)),
     "dedup_lev_curated" -> ((s: SparkSession, d: String) =>
@@ -204,7 +213,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "multimodal_features" -> (Multimodal.featureLanes _),
     "multimodal_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeDigest(s, d)),
-    // REAL PNG decode (javax.imageio) under the hash gate — see
+    // REAL PNG/BMP/GIF decode (javax.imageio) under the hash gate — see
     // Multimodal.decodeRoundtrip
     "multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeRoundtrip(s, d)),
     // REAL WAV/PCM decode (javax.sound.sampled) under the hash gate —
@@ -1040,6 +1049,54 @@ object SparkEntry {
         |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
         |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.3
         |ORDER BY d1, d2""".stripMargin,
+    // duplicated 5-gram positions merged to maximal spans per doc; the
+    // oracle groups raw gram strings where Spark groups xxhash64 keys,
+    // so agreement doubles as a collision check
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |  FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, start, start + 5 AS e FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (SELECT doc_id, start, e,
+        |    CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+        |  FROM sp),
+        |isl2 AS (SELECT doc_id, start, e,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // per-source duplicated-token share: the dedup_substring span chain
+    // rolled up per doc then per source; docs too short for a gram keep
+    // their tokens in the denominator with zero duplicated tokens
+    "corpus_dup_rate" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |  FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, start, start + 5 AS e FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (SELECT doc_id, start, e,
+        |    CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+        |  FROM sp),
+        |isl2 AS (SELECT doc_id, start, e,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (SELECT doc_id, min(start) AS span_start, max(e) AS span_end FROM isl2 GROUP BY doc_id, island),
+        |per_doc AS (SELECT doc_id, sum(span_end - span_start) AS dup_toks FROM spans GROUP BY doc_id)
+        |SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(dup_toks, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN coalesce(dup_toks, 0) > 0 THEN 1 END) AS BIGINT) AS n_docs_with_dups,
+        |  round(CAST(sum(coalesce(dup_toks, 0)) AS DOUBLE) / sum(len(toks)), 6) AS dup_rate
+        |FROM t LEFT JOIN per_doc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1058,6 +1115,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // order-pinned float parity: both engines fold log2 over the SORTED
+    // per-doc count list (aggregate HOF ↔ list_sort + list_reduce)
+    "text_surprisal" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |freq AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM freq),
+        |percy AS (SELECT doc_id, list_sort(list(c)) AS cs FROM occ JOIN freq USING (token) GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_tokens,
+        |  round((len(cs) * log2(T) - list_reduce(list_transform(cs, x -> log2(CAST(x AS DOUBLE))), (a, b) -> a + b)) / len(cs), 6) AS avg_bits
+        |FROM percy, tot ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -60,10 +60,11 @@ object Multimodal {
     }
   }
 
-  /** REAL image codec: PNG/BMP via the JDK's `javax.imageio`. Grayscale
-    * rasters only (band 0) — exactly what the roundtrip fixture writes;
-    * a multi-band image would still decode (band 0 = red), the fixture
-    * just has no use for it. Memory-only (no ImageIO disk cache). */
+  /** REAL image codec: PNG/BMP/GIF via the JDK's `javax.imageio`.
+    * Grayscale rasters only (band 0) — exactly what the roundtrip
+    * fixture writes; a multi-band image would still decode (band 0 =
+    * red), the fixture just has no use for it. Memory-only (no ImageIO
+    * disk cache). */
   object RealCodec {
     javax.imageio.ImageIO.setUseCache(false)
 
@@ -78,10 +79,14 @@ object Multimodal {
       payload.length >= 2 && payload(0) == 'B'.toByte &&
         payload(1) == 'M'.toByte
 
+    def isGif(payload: Array[Byte]): Boolean =
+      payload.length >= 6 && payload(0) == 'G'.toByte &&
+        payload(1) == 'I'.toByte && payload(2) == 'F'.toByte
+
     /** Content sniff: does this payload carry a container the JDK can
       * actually decode here? */
     def canDecode(payload: Array[Byte]): Boolean =
-      isPng(payload) || isBmp(payload)
+      isPng(payload) || isBmp(payload) || isGif(payload)
 
     /** Decode container bytes → (width, height, row-major band-0
       * samples). None when the container is unreadable (truncated or
@@ -94,12 +99,24 @@ object Multimodal {
         if (img == null) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
+          // indexed images (GIF): band-0 samples are PALETTE INDICES,
+          // not gray values — read through the color model instead
+          // (getRGB is palette-exact for indexed; for TYPE_BYTE_GRAY it
+          // would apply a colorspace transform, so keep raw samples
+          // there)
+          val indexed = img.getColorModel
+            .isInstanceOf[java.awt.image.IndexColorModel]
           val raster = img.getRaster
           val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            while (x < w) {
+              px(y * w + x) =
+                if (indexed) img.getRGB(x, y) & 0xFF
+                else raster.getSample(x, y, 0)
+              x += 1
+            }
             y += 1
           }
           Some((w, h, px))
@@ -275,26 +292,31 @@ object Multimodal {
 
   /** REAL decode under the driver's hash gate: per document, a synthetic
     * grayscale image (dims and pixels from oracle-shared formulas) is
-    * encoded into a genuine PNG container, content-sniffed, decoded by
-    * [[RealCodec]], and reduced to exact-integer lane sums over the
-    * DECODED raster. PNG is lossless, so the sums must equal the
-    * oracle's formula-only computation — a container mis-parse, band
-    * mixup, row-order bug, or sniff failure diverges the hash. One
-    * imageio encode+decode per row, partition-batched; image size is
-    * bounded (≤ 23×15), so the per-row cost is fixed and small. */
+    * encoded into a genuine container — PNG, BMP, or GIF by
+    * `doc_id % 3`, so ALL THREE real container paths sit under the one
+    * hash — content-sniffed, decoded by [[RealCodec]], and reduced to
+    * exact-integer lane sums over the DECODED raster. All three formats
+    * are lossless for 8-bit grayscale, so the sums must equal the
+    * oracle's formula-only computation — a container mis-parse, band or
+    * palette mixup, row-order bug, or sniff failure diverges the hash.
+    * One imageio encode+decode per row, partition-batched; image size
+    * is bounded (≤ 23×15), so the per-row cost is fixed and small. */
   def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nLanes = FakeCodec.FeatureDim
+    val formats = Array("png", "bmp", "gif")
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 8 + 8).toInt
         val px = Array.tabulate(w * h)(i => synthPixel(id, i, w).toInt)
-        val png = RealCodec.encode("png", w, h, px)
-        require(RealCodec.isPng(png), s"doc $id: encoder produced non-PNG")
+        val fmt = formats((id % 3).toInt)
+        val png = RealCodec.encode(fmt, w, h, px)
+        require(RealCodec.canDecode(png),
+          s"doc $id: encoder produced unsniffable $fmt")
         val (dw, dh, dec) = RealCodec.decode(png).getOrElse(
-          sys.error(s"doc $id: JDK failed to decode its own PNG"))
+          sys.error(s"doc $id: JDK failed to decode its own $fmt"))
         val lanes = new Array[Long](nLanes)
         var i = 0
         while (i < dec.length) { lanes(i % nLanes) += dec(i); i += 1 }

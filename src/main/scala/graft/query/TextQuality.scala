@@ -194,6 +194,40 @@ object TextQuality {
       .orderBy("doc_id", "rank")
   }
 
+  /** CCNet-style language-model quality signal: per-document mean
+    * unigram SURPRISAL in bits — avg over the doc's token occurrences
+    * of −log2(count(token)/T) under the corpus' own unigram
+    * distribution (T = corpus token count). Low = templated/common
+    * text, high = rare-token text; the perplexity-filter signal of
+    * CCNet/RedPajama computed with the corpus itself as the LM (no
+    * external model in the sandbox — the plan shape is identical with
+    * a real LM's broadcast table).
+    *
+    * Cross-engine determinism: floating-point sums are
+    * order-sensitive, so the per-doc fold runs over the SORTED count
+    * list via the sequential `aggregate` HOF — the oracle mirrors with
+    * list_sort + list_reduce, making the operation order identical on
+    * both engines (the residual last-ulp log2 risk is the accepted
+    * [[textTfidf]] precedent). Shape at scale: one token-grain
+    * aggregate for the frequency table (vocabulary-sized → broadcast),
+    * one doc-grain aggregate — same class as tfidf, no cross product. */
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsTok(spark, dir)
+    val occ = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+    val freq = occ.groupBy("token").agg(count(lit(1)).as("c"))
+    // corpus token count: a model scalar (the tfidf `n` convention)
+    val total = freq.agg(sum("c")).first().getLong(0)
+    occ.join(broadcast(freq), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("doc_id"), size(col("cs")).cast("long").as("n_tokens"),
+        round((size(col("cs")) * log2(lit(total.toDouble)) -
+          expr("aggregate(cs, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + log2(CAST(x AS DOUBLE)))")) /
+          size(col("cs")), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style quality filter: keep/drop with the FIRST failing rule
     * as the reason. Rules (thresholds sit inside the synthetic corpus'
     * observed distribution so every branch is exercised):

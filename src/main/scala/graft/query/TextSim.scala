@@ -304,6 +304,102 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
+  /** Exact duplicated-SPAN detection — substring-grain dedup (the
+    * suffix-array exact-substring method of "Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022, re-expressed
+    * as a shuffle-on-gram Spark plan): find every token position whose
+    * `gramLen`-gram occurs more than once in the corpus (within- OR
+    * cross-document — both are removal targets), then merge the
+    * overlapping/adjacent hits per document into maximal spans
+    * (gaps-and-islands). Output: one row per maximal duplicated span
+    * with its token range [span_start, span_end) and the number of
+    * duplicated grams it merged.
+    *
+    * Scale shape — and why there is NO df cap here, unlike
+    * [[dedupNgram]]: nothing is pairwise. The plan is one gram-grain
+    * aggregate (map-side combinable count), one equi-join back on the
+    * 64-bit gram hash (hot boilerplate grams are a large PROBE side
+    * against a single build row — linear, not quadratic), and one
+    * per-document window whose partition is bounded by document length.
+    * Total work is linear in corpus token count at any skew; a real
+    * suffix array would find variable-length maximal repeats, but the
+    * fixed-gram + island-merge form recovers the same maximal spans
+    * down to `gramLen` resolution with only scan-shuffle-window
+    * primitives. Spark groups/joins 64-bit xxhash64 gram keys while the
+    * oracle groups raw strings, so hash agreement doubles as a
+    * collision check ([[textNoveltyOf]] convention). */
+  def dedupSubstring(spark: SparkSession, dir: String, gramLen: Int = 5)
+      : DataFrame =
+    dedupSubstringOf(Tables.load(spark, dir, "documents"), gramLen)
+
+  /** DataFrame-parameterized core of [[dedupSubstring]] (specs plant
+    * known duplicated spans through it). */
+  def dedupSubstringOf(docs: DataFrame, gramLen: Int = 5): DataFrame = {
+    val grams = docsTokOf(docs)
+      .filter(size(col("toks")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $gramLen),
+           |  s -> struct(s AS start,
+           |    array_join(slice(toks, s + 1, $gramLen), ' ') AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        xxhash64(col("g.gram")).as("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("gh")
+    val spans = grams.join(dupGrams, "gh")
+      .select(col("doc_id"), col("start"),
+        (col("start") + gramLen).as("end"))
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    spans
+      .withColumn("prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      // new island when this gram starts past everything seen so far;
+      // start == prev end merges too (contiguous duplicated text)
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("start").cast("long").as("span_start"),
+        max("end").cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The decision metric derived from [[dedupSubstring]]'s spans: what
+    * fraction of each SOURCE's tokens sits inside a duplicated span
+    * (plus doc counts) — the per-provenance duplication report a
+    * curation run reads before deciding which sources to dedup or
+    * down-weight. Docs shorter than a gram contribute to the token
+    * denominator with zero duplicated tokens, so the rate is over the
+    * whole corpus, not just span-eligible docs. One extra doc-grain
+    * aggregate and a source-grain rollup on top of the span plan —
+    * same linear class. */
+  def corpusDupRate(spark: SparkSession, dir: String, gramLen: Int = 5)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docsTokOf(docs).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_toks"))
+    val dup = dedupSubstringOf(docs, gramLen)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_toks"))
+    tok.join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_toks"))
+      .groupBy("source")
+      .agg(sum("n_toks").as("total_tokens"),
+        sum("dup_toks").as("dup_tokens"),
+        count(lit(1)).as("n_docs"),
+        count(when(col("dup_toks") > 0, lit(1))).as("n_docs_with_dups"))
+      .select(col("source"), col("total_tokens"), col("dup_tokens"),
+        col("n_docs"), col("n_docs_with_dups"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Boilerplate share per document (the C4/RefinedWeb signal): the
     * fraction of a doc's distinct shingles whose corpus document
     * frequency exceeds `commonDf` — high share ⇒ the doc is mostly

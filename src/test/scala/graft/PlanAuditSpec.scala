@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_cluster", "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control",
     "ingest_e2e_diff", "scan_zorder",
+    // runs the corpus-total count on construction (the tfidf pattern)
+    "text_surprisal",
     // the streaming drives EXECUTE on construction (stage + drain a
     // streaming query, return a pinned LocalRelation — no plan to
     // audit); StreamDriveSpec covers them

@@ -86,13 +86,14 @@ class MultimodalSpec extends SparkSuite {
 
   private val testPx = Array.tabulate(12 * 9)(i => (i * 37 + 5) % 256)
 
-  for (fmt <- Seq("png", "bmp"))
+  for (fmt <- Seq("png", "bmp", "gif"))
   test(s"RealCodec roundtrips a $fmt container losslessly " +
       "(encode -> sniff -> imageio decode -> identical raster)") {
     val bytes = Multimodal.RealCodec.encode(fmt, 12, 9, testPx)
     assert(Multimodal.RealCodec.canDecode(bytes), s"$fmt magic not sniffed")
     assert(fmt != "png" || Multimodal.RealCodec.isPng(bytes))
     assert(fmt != "bmp" || Multimodal.RealCodec.isBmp(bytes))
+    assert(fmt != "gif" || Multimodal.RealCodec.isGif(bytes))
     val (w, h, px) = Multimodal.RealCodec.decode(bytes).get
     assert((w, h) === ((12, 9)))
     assert(px.toSeq === testPx.toSeq,

@@ -11,6 +11,32 @@ class TextQualitySpec extends SparkSuite {
 
   private val dir = TestSpark.sfDir
 
+  test("text_surprisal ties out against a direct unigram-LM computation") {
+    val toks = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val freq = toks.values.flatten.groupBy(identity).map {
+      case (t, occ) => t -> occ.size.toLong
+    }
+    val total = freq.values.sum.toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val out = TextQuality.textSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === toks.filter(_._2.nonEmpty).keySet)
+    out.foreach { case (id, (n, bits)) =>
+      assert(n === toks(id).size.toLong, s"doc $id token count")
+      // mean surprisal, fold order irrelevant at test tolerance
+      val want = toks(id).map(t => log2(total / freq(t))).sum / n
+      assert(math.abs(bits - want) < 1e-5, s"doc $id bits=$bits want=$want")
+      assert(bits > 0, s"doc $id nonpositive surprisal")
+    }
+    // rarity sanity: the most common token alone scores below the mean
+    // of the rarest token's surprisal
+    val cMax = freq.values.max.toDouble
+    val cMin = freq.values.min.toDouble
+    assert(log2(total / cMax) < log2(total / cMin))
+  }
+
   test("text_repetition: scan-side mode agrees with explode+groupBy brute force") {
     import org.apache.spark.sql.expressions.Window
     val out = TextQuality.textRepetition(spark, dir)

@@ -42,6 +42,72 @@ class TextSimSpec extends SparkSuite {
     assert(canonN <= exactN)
   }
 
+  test("dedup_substring: planted duplicated spans are found, merged " +
+      "maximally, and unique text yields nothing") {
+    import spark.implicits._
+    // doc 1 and 2 share a 7-token run (≥ gramLen=5) mid-document; doc 3
+    // is byte-unique AND shares no 5-gram with anything
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val twin = "hotel india juliett kilo lima mike november oscar"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine ten eleven $shared twelve"),
+      (3L, "completely different words with no overlap at all here"),
+      // byte-identical twins: EVERY gram repeats → one whole-doc span
+      (4L, twin), (5L, twin))
+      .toDF("doc_id", "text")
+    val out = TextSim.dedupSubstringOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: shared run = tokens [2, 9) → grams at starts 2,3,4 → one
+    // merged span [2, 9); doc 2: tokens [3, 10) → one span [3, 10);
+    // docs 4/5: 8 tokens, grams at starts 0..3 all duplicated → [0, 8)
+    assert(out.toSet === Set((1L, 2L, 9L, 3L), (2L, 3L, 10L, 3L),
+      (4L, 0L, 8L, 4L), (5L, 0L, 8L, 4L)), s"got ${out.toSeq}")
+    // fixture-wide invariants at the default gram length
+    val fix = TextSim.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fix.nonEmpty, "fixture corpus has exact dups; spans expected")
+    fix.foreach { case (id, s, e, n) =>
+      assert(e - s >= 5, s"doc $id span shorter than a gram")
+      assert(n <= e - s - 5 + 1 && n >= 1, s"doc $id gram count impossible")
+    }
+    // spans within a doc are disjoint and strictly ordered (maximality)
+    fix.groupBy(_._1).foreach { case (id, spans) =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, s"doc $id spans overlap — merge failed")
+        case _ => ()
+      }
+    }
+  }
+
+  test("corpus_dup_rate ties out against the span output and raw token counts") {
+    import org.apache.spark.sql.functions.{col, size}
+    val dupByDoc = TextSim.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2) - r.getLong(1)))
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).sum }
+    val docMeta = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextSim.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = TextSim.corpusDupRate(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val bySource = docMeta.groupBy(_._2)
+    assert(out.keySet === bySource.keySet)
+    bySource.foreach { case (src, docs) =>
+      val total = docs.map(_._3).sum
+      val dup = docs.map(d => dupByDoc.getOrElse(d._1, 0L)).sum
+      val withDups = docs.count(d => dupByDoc.getOrElse(d._1, 0L) > 0)
+      val (oTotal, oDup, oN, oWith, oRate) = out(src)
+      assert((oTotal, oDup, oN, oWith) ===
+        ((total, dup, docs.length.toLong, withDups.toLong)),
+        s"source $src counters diverge from direct computation")
+      assert(oDup <= oTotal && oWith <= oN, s"source $src impossible rate")
+      assert(math.abs(oRate - dup.toDouble / total) < 1e-6, s"source $src rate")
+    }
+  }
+
   test("dedup_ngram: DF cap above the corpus max changes nothing; a tiny cap prunes candidates") {
     val base = TextSim.dedupNgram(spark, dir).collect().map(_.toString).sorted
     val highCap = TextSim.dedupNgram(spark, dir, maxShingleDf = 100000)
