@@ -224,7 +224,10 @@ object SparkEntry {
     "multimodal_resize_real" -> ((s: SparkSession, d: String) => Multimodal.resizeRoundtrip(s, d)),
     // windowed frame energy/peak over DECODED WAV samples — see
     // Multimodal.audioFrames
-    "multimodal_audio_frames" -> ((s: SparkSession, d: String) => Multimodal.audioFrames(s, d)))
+    "multimodal_audio_frames" -> ((s: SparkSession, d: String) => Multimodal.audioFrames(s, d)),
+    // REAL multi-frame decode: animated-GIF frame extraction — see
+    // Multimodal.videoRoundtrip
+    "multimodal_video" -> ((s: SparkSession, d: String) => Multimodal.videoRoundtrip(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -1384,5 +1387,20 @@ object SparkEntry {
         |  CAST(len(s) AS BIGINT) AS frame_len,
         |  CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS energy,
         |  CAST(coalesce(list_max(list_transform(s, x -> abs(x))), 0) AS BIGINT) AS peak
-        |FROM e ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+    // animated-GIF frame extraction: the oracle recomputes every
+    // frame's lane sums from the shared per-frame pixel formula — the
+    // Spark side must recover them from a real multi-frame container
+    "multimodal_video" ->
+      """WITH g AS (SELECT doc_id, doc_id % 4 + 2 AS F, doc_id % 6 + 6 AS w, doc_id % 3 + 6 AS h FROM documents),
+        |fr AS (SELECT doc_id, w, h, UNNEST(range(0, F)) AS frame_idx FROM g),
+        |d AS (SELECT doc_id, frame_idx, w, h,
+        |    list_transform(range(0, 8), j -> CAST(coalesce(list_sum(list_transform(
+        |      list_filter(range(0, w * h), i -> i % 8 = j),
+        |      i -> (doc_id * 31 + frame_idx * 41 + (i % w) * 7 + (i // w) * 13) % 256)), 0) AS BIGINT)) AS lanes
+        |  FROM fr)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  md5(array_to_string(lanes, ' ')) AS frame_digest
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin)
 }

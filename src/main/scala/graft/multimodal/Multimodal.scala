@@ -97,30 +97,7 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (img == null) None
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          // indexed images (GIF): band-0 samples are PALETTE INDICES,
-          // not gray values — read through the color model instead
-          // (getRGB is palette-exact for indexed; for TYPE_BYTE_GRAY it
-          // would apply a colorspace transform, so keep raw samples
-          // there)
-          val indexed = img.getColorModel
-            .isInstanceOf[java.awt.image.IndexColorModel]
-          val raster = img.getRaster
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y * w + x) =
-                if (indexed) img.getRGB(x, y) & 0xFF
-                else raster.getSample(x, y, 0)
-              x += 1
-            }
-            y += 1
-          }
-          Some((w, h, px))
-        }
+        else Some((img.getWidth, img.getHeight, readRaster(img)))
       } catch {
         // NonFatal, not just IOException: the JDK's format parsers can
         // throw RuntimeExceptions (negative array sizes, bad index
@@ -129,6 +106,91 @@ object Multimodal {
         // to the stub rather than failing the task.
         case scala.util.control.NonFatal(_) => None
       }
+
+    /** Row-major band-0 read of one decoded image. Indexed images
+      * (GIF): band-0 samples are PALETTE INDICES, not gray values —
+      * read through the color model instead (getRGB is palette-exact
+      * for indexed; for TYPE_BYTE_GRAY it would apply a colorspace
+      * transform, so keep raw samples there). */
+    private def readRaster(img: java.awt.image.BufferedImage): Array[Int] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val indexed = img.getColorModel
+        .isInstanceOf[java.awt.image.IndexColorModel]
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) =
+            if (indexed) img.getRGB(x, y) & 0xFF
+            else raster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+
+    /** MULTI-FRAME decode — the video-like path: every frame of an
+      * animated GIF (or the single frame of any other readable
+      * container), via the JDK's ImageReader sequence API. None on
+      * anything unreadable, same totality contract as [[decode]]. */
+    def decodeFrames(payload: Array[Byte])
+        : Option[(Int, Int, Seq[Array[Int]])] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val n = rd.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val imgs = (0 until n).map(rd.read)
+              Some((imgs.head.getWidth, imgs.head.getHeight,
+                imgs.map(readRaster)))
+            }
+          } finally { rd.dispose(); iis.close() }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    /** Encode grayscale frames into one ANIMATED GIF container — the
+      * fixture side of the multi-frame roundtrip. */
+    def encodeAnimated(w: Int, h: Int, frames: Seq[Array[Int]])
+        : Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == w * h),
+        s"every frame must be $w x $h")
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        frames.foreach { px =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+            y += 1
+          }
+          wr.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null),
+            wr.getDefaultWriteParam)
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
 
     /** Encode row-major grayscale pixels into a real container
       * (`format`: "png" or "bmp") — the test/fixture side of the
@@ -375,6 +437,52 @@ object Multimodal {
           expr("transform(lanes, x -> cast(x as string))")))
           .as("pooled_lane_digest"))
       .orderBy("doc_id")
+  }
+
+  /** The per-frame pixel formula of the VIDEO roundtrip (frame index in
+    * the formula, shared with the oracle). */
+  def synthFramePixel(docId: Long, frame: Long, i: Long, w: Long): Long =
+    (docId * 31 + frame * 41 + (i % w) * 7 + (i / w) * 13) % 256
+
+  /** REAL multi-frame (video-like) decode under the driver's hash
+    * gate — [[frameSample]]'s char-range frames upgraded to an actual
+    * container: per document, `doc_id % 4 + 2` synthetic grayscale
+    * frames are encoded into ONE genuine animated-GIF container,
+    * decoded back frame-by-frame through the JDK's ImageReader
+    * sequence API ([[RealCodec.decodeFrames]]), and reduced to
+    * per-frame exact-integer lane sums — one output row per (doc,
+    * frame), the frame-extraction shape of a video training pipeline.
+    * GIF is lossless for 8-bit grayscale, so a frame-order, palette,
+    * or frame-count bug diverges the hash. */
+  def videoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nLanes = FakeCodec.FeatureDim
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nF = (id % 4 + 2).toInt
+        val w = (id % 6 + 6).toInt
+        val h = (id % 3 + 6).toInt
+        val frames = (0 until nF).map(f =>
+          Array.tabulate(w * h)(i => synthFramePixel(id, f, i, w).toInt))
+        val gif = RealCodec.encodeAnimated(w, h, frames)
+        require(RealCodec.isGif(gif), s"doc $id: non-GIF animated output")
+        val (dw, dh, dec) = RealCodec.decodeFrames(gif).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own animated GIF"))
+        require(dec.length == nF, s"doc $id: frame count drifted")
+        dec.zipWithIndex.map { case (px, f) =>
+          val lanes = new Array[Long](nLanes)
+          var i = 0
+          while (i < px.length) { lanes(i % nLanes) += px(i); i += 1 }
+          (id, f.toLong, dw.toLong, dh.toLong, lanes.toSeq)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "lanes")
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        md5(concat_ws(" ",
+          expr("transform(lanes, x -> cast(x as string))")))
+          .as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** The waveform formula the audio roundtrip fixture and the DuckDB

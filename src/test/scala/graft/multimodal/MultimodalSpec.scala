@@ -162,6 +162,55 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("encodeAnimated/decodeFrames roundtrips every frame of an " +
+      "animated GIF losslessly, in order") {
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(10 * 7)(i => (f * 41 + i * 13 + 5) % 256))
+    val gif = Multimodal.RealCodec.encodeAnimated(10, 7, frames)
+    assert(Multimodal.RealCodec.isGif(gif), "animated GIF magic")
+    val (w, h, dec) = Multimodal.RealCodec.decodeFrames(gif).get
+    assert((w, h) === ((10, 7)))
+    assert(dec.length === 3, "frame count")
+    dec.zip(frames).zipWithIndex.foreach { case ((d, e), f) =>
+      assert(d.toSeq === e.toSeq, s"frame $f diverges")
+    }
+    // a single-frame container decodes through the same API with n=1
+    val png = Multimodal.RealCodec.encode("png", 12, 9, testPx)
+    val (pw, ph, pf) = Multimodal.RealCodec.decodeFrames(png).get
+    assert((pw, ph, pf.length) === ((12, 9, 1)))
+    assert(pf.head.toSeq === testPx.toSeq)
+    // totality: garbage behind a GIF magic → None
+    val garbage = gif.take(6) ++ Array.tabulate(64)(i => (i * 31).toByte)
+    assert(Multimodal.RealCodec.decodeFrames(garbage).isEmpty)
+  }
+
+  test("videoRoundtrip's distributed animated-GIF decode equals the " +
+      "formula directly (the oracle's half, computed in-JVM)") {
+    val out = Multimodal.videoRoundtrip(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.nonEmpty)
+    val ids = out.keys.map(_._1).toSet
+    ids.foreach { id =>
+      val nF = id % 4 + 2
+      val w = id % 6 + 6
+      val h = id % 3 + 6
+      assert(out.keys.count(_._1 == id) === nF, s"doc $id frame count")
+      (0L until nF).foreach { f =>
+        val (ow, oh, digest) = out((id, f))
+        assert((ow, oh) === ((w, h)), s"doc $id dims")
+        val lanes = new Array[Long](Multimodal.FakeCodec.FeatureDim)
+        (0L until w * h).foreach(i =>
+          lanes((i % lanes.length).toInt) +=
+            Multimodal.synthFramePixel(id, f, i, w))
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(lanes.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(digest === want, s"doc $id frame $f digest diverges")
+      }
+    }
+  }
+
   // ------------------------------------------------------- audio codec
 
   private val testWave =
