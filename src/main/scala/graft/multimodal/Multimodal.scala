@@ -26,13 +26,12 @@ import graft.core.Tables
   *    lossless, so the decoded samples' lane sums must equal what DuckDB
   *    computes from the shared waveform formula alone.
   *  - [[FakeCodec]] — the DETERMINISTIC STUB for formats the JDK cannot
-  *    decode (JPEG-less containers, compressed audio, video): plausible
-  *    metadata and a fixed-shape feature vector derived from the raw
-  *    bytes. The batch-shape plumbing (BinaryType column, typed result
-  *    schema, partition-wise batching via mapPartitions — the Scala
-  *    analogue of mapInPandas) is identical either way, so swapping in
-  *    further real codecs is a dispatch-table entry, not a pipeline
-  *    change.
+  *    decode (compressed audio, real video codecs): plausible metadata
+  *    and a fixed-shape feature vector derived from the raw bytes. The
+  *    batch-shape plumbing (BinaryType column, typed result schema,
+  *    partition-wise batching via mapPartitions — the Scala analogue of
+  *    mapInPandas) is identical either way, so swapping in further real
+  *    codecs is a dispatch-table entry, not a pipeline change.
   */
 object Multimodal {
 
@@ -60,7 +59,7 @@ object Multimodal {
     }
   }
 
-  /** REAL image codec: PNG/BMP/GIF via the JDK's `javax.imageio`.
+  /** REAL image codec: PNG/BMP/GIF/JPEG via the JDK's `javax.imageio`.
     * Grayscale rasters only (band 0) — exactly what the roundtrip
     * fixture writes; a multi-band image would still decode (band 0 =
     * red), the fixture just has no use for it. Memory-only (no ImageIO
@@ -83,10 +82,18 @@ object Multimodal {
       payload.length >= 6 && payload(0) == 'G'.toByte &&
         payload(1) == 'I'.toByte && payload(2) == 'F'.toByte
 
+    def isJpeg(payload: Array[Byte]): Boolean =
+      payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+
     /** Content sniff: does this payload carry a container the JDK can
-      * actually decode here? */
+      * actually decode here? PNG/BMP/GIF are lossless for 8-bit
+      * grayscale (hash-gated via the roundtrip keys); JPEG decodes for
+      * real too but is LOSSY, so it is tolerance-tested in the spec and
+      * kept out of the exact-roundtrip fixtures. */
     def canDecode(payload: Array[Byte]): Boolean =
-      isPng(payload) || isBmp(payload) || isGif(payload)
+      isPng(payload) || isBmp(payload) || isGif(payload) ||
+        isJpeg(payload)
 
     /** Decode container bytes → (width, height, row-major band-0
       * samples). None when the container is unreadable (truncated or

@@ -162,6 +162,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("RealCodec decodes JPEG for real (lossy: dims exact, pixels " +
+      "within codec tolerance, dispatch uses decoded pixels)") {
+    val bytes = Multimodal.RealCodec.encode("jpg", 12, 9, testPx)
+    assert(Multimodal.RealCodec.isJpeg(bytes), "JPEG magic not sniffed")
+    assert(Multimodal.RealCodec.canDecode(bytes))
+    val (w, h, px) = Multimodal.RealCodec.decode(bytes).get
+    assert((w, h) === ((12, 9)), "JPEG dims must be exact")
+    val errs = px.zip(testPx).map { case (a, e) => math.abs(a - e) }
+    assert(errs.sum.toDouble / errs.length < 16,
+      s"mean JPEG error ${errs.sum.toDouble / errs.length} too high")
+    assert(errs.max < 64, s"max JPEG error ${errs.max} too high")
+    // dispatch: features come from DECODED pixels, not container bytes
+    val real = Multimodal.decodeAny(7L, bytes)
+    assert(!real.features.sameElements(
+      Multimodal.FakeCodec.decode(7L, bytes).features))
+    val fromPx = new Array[Float](Multimodal.FakeCodec.FeatureDim)
+    px.zipWithIndex.foreach { case (v, i) =>
+      fromPx(i % fromPx.length) += v / 255.0f
+    }
+    real.features.zip(fromPx).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-4f, "JPEG feature not pixel-derived")
+    }
+  }
+
   test("encodeAnimated/decodeFrames roundtrips every frame of an " +
       "animated GIF losslessly, in order") {
     val frames = (0 until 3).map(f =>
