@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, Relational, Sampling, Temporal, TextQuality, TextSim}
+import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, PowerIter, Relational, Sampling, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -130,6 +130,9 @@ object SparkEntry {
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
     "embed_quantize" -> (TextSim.embedQuantize _),
+    // exact-integer power iteration toward the dominant embedding
+    // direction — see PowerIter.embedPowerIter
+    "embed_power_iter" -> (PowerIter.embedPowerIter _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -760,6 +763,29 @@ object SparkEntry {
         |SELECT doc_id, source, mix_threshold FROM t
         |WHERE md5(CAST(doc_id AS VARCHAR)) < mix_threshold
         |ORDER BY doc_id""".stripMargin,
+    // exact-integer power iteration: quantize -> matvec -> truncated-
+    // division renorm, twice — every step integer and order-free, so
+    // the oracle reproduces the 64 component values bit-exactly
+    "embed_power_iter" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |d1 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * ((d % 7) - 3))) AS dot
+        |  FROM e),
+        |y1 AS (SELECT d, sum(q[d + 1] * dot) AS y
+        |  FROM d1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |m1 AS (SELECT max(abs(y)) AS m FROM y1),
+        |r1 AS (SELECT d, CAST(y * 1024 // m AS BIGINT) AS r FROM y1, m1),
+        |r1l AS (SELECT list(r ORDER BY d) AS rv FROM r1),
+        |d2 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot
+        |  FROM e, r1l),
+        |y2 AS (SELECT d, sum(q[d + 1] * dot) AS y
+        |  FROM d2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |m2 AS (SELECT max(abs(y)) AS m FROM y2)
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(y * 1024 // m AS BIGINT) AS component_q
+        |FROM y2, m2 ORDER BY dim""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
         |    CAST(list_min(embedding) AS DOUBLE) AS lo,

@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSuite {
     "ingest_e2e_diff", "scan_zorder",
     // runs the corpus-total count on construction (the tfidf pattern)
     "text_surprisal",
+    // runs both matvec passes on construction (model-scalar collects)
+    "embed_power_iter",
     // the streaming drives EXECUTE on construction (stage + drain a
     // streaming query, return a pinned LocalRelation — no plan to
     // audit); StreamDriveSpec covers them
