@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, PowerIter, Relational, Sampling, Temporal, TextQuality, TextSim}
+import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -133,6 +133,9 @@ object SparkEntry {
     // exact-integer power iteration toward the dominant embedding
     // direction — see PowerIter.embedPowerIter
     "embed_power_iter" -> (PowerIter.embedPowerIter _),
+    // Misra–Gries heavy hitters: the deterministic completeness
+    // guarantee under the hash gate — see Sketches.heavyHitters
+    "agg_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.heavyHitters(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -763,6 +766,18 @@ object SparkEntry {
         |SELECT doc_id, source, mix_threshold FROM t
         |WHERE md5(CAST(doc_id AS VARCHAR)) < mix_threshold
         |ORDER BY doc_id""".stripMargin,
+    // Misra-Gries completeness: the oracle re-derives the exact heavy
+    // hitters of the deterministic ramp stream (pure integer compare,
+    // 9c > n) and asserts caught literally TRUE — the MG theorem
+    // guarantees the Spark sketch retained each one, so any guarantee
+    // break (bad decrement, bad merge) flips the boolean and the hash
+    "agg_heavy_hitters" ->
+      """WITH s AS (SELECT doc_id, 'z' || CAST(64 // r AS VARCHAR) AS item
+        |  FROM documents CROSS JOIN range(1, 65) t(r)),
+        |f AS (SELECT item, count(*) AS c FROM s GROUP BY item),
+        |tot AS (SELECT sum(c) AS n FROM f)
+        |SELECT item, CAST(c AS BIGINT) AS exact_cnt, TRUE AS caught
+        |FROM f, tot WHERE 9 * c > n ORDER BY item""".stripMargin,
     // exact-integer power iteration: quantize -> matvec -> truncated-
     // division renorm, twice — every step integer and order-free, so
     // the oracle reproduces the 64 component values bit-exactly

@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Misra–Gries heavy-hitters sketch as a [[TypedImperativeAggregate]]
+  * (the [[TopKPairs]] pattern): at most `k` (item, counter) pairs per
+  * group at all times — fixed memory, map-side partial aggregation, and
+  * the merge subtracts the (k+1)-th largest combined counter (the
+  * Agarwal et al. mergeable-summaries rule), which preserves the MG
+  * deterministic guarantee end-to-end:
+  *
+  *   ANY item with true frequency f where (k+1)·f > n (n = stream
+  *   length) IS in the final summary, REGARDLESS of input order,
+  *   partitioning, or merge tree.
+  *
+  * The exact survivor set and counters below that bar DO depend on
+  * merge order, so query keys built on this sketch must expose only
+  * the order-free guarantee (membership of true heavy hitters), never
+  * raw counters — `Sketches.heavyHitters` does exactly that. At 100 TB
+  * the shuffle carries ≤ k pairs per (task, group) instead of the
+  * stream; the decrement step amortizes O(1) per update. */
+case class MisraGriesItems(
+    item: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with ImplicitCastInputTypes {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(item)
+  override def inputTypes = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = item.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1)
+        case None if buf.size < k => buf.update(s, 1L)
+        case None =>
+          // decrement-all: drop one count from every tracked item
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.foreach { case (key, c) =>
+            if (c == 1L) dead += key else buf.update(key, c - 1)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long])
+      : mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) =>
+      buf.update(s, buf.getOrElse(s, 0L) + c)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest counter from all, drop <= 0
+      val d = buf.values.toArray.sortBy(-_).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.foreach { case (key, c) =>
+        if (c - d <= 0L) dead += key else buf.update(key, c - d)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  /** Survivor items only (sorted for a stable value) — counters are
+    * merge-order-dependent lower bounds and deliberately not exposed. */
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(buf.keys.toArray.sorted
+      .map(UTF8String.fromString(_)).toArray[Any])
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var j = 0
+    while (j < n) { buf.update(in.readUTF(), in.readLong()); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesItems =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesItems =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesItems =
+    copy(item = newChildren(0))
+}

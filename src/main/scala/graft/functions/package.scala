@@ -34,6 +34,12 @@ package object functions {
   def top_k(score: Column, id: Column, k: Int): Column =
     toCol(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
 
+  /** Misra–Gries heavy-hitters sketch aggregate: the ≤ k surviving
+    * items per group — see [[MisraGriesItems]] for the deterministic
+    * completeness guarantee and what must NOT be read from it. */
+  def heavy_hitters_sketch(item: Column, k: Int): Column =
+    toCol(MisraGriesItems(expr(item), k).toAggregateExpression())
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",

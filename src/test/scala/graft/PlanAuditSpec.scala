@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSuite {
     "text_surprisal",
     // runs both matvec passes on construction (model-scalar collects)
     "embed_power_iter",
+    // collects the sketch survivors + stream total on construction
+    "agg_heavy_hitters",
     // the streaming drives EXECUTE on construction (stage + drain a
     // streaming query, return a pinned LocalRelation — no plan to
     // audit); StreamDriveSpec covers them
