@@ -160,6 +160,8 @@ object SparkEntry {
     "stream_session_window_restart" -> (streaming.SessionDrive.sessionsRestart _),
     "stream_dedup_drive" -> (streaming.DedupDrive.dedup _),
     "stream_topk_window" -> (streaming.TopKDrive.topk _),
+    // the MG sketch inside streaming window state — see HeavyHitterDrive
+    "stream_heavy_hitters" -> ((s: SparkSession, d: String) => streaming.HeavyHitterDrive.heavy(s, d)),
     "stream_session_tracker" -> (streaming.TrackerDrive.sessions _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
@@ -714,6 +716,18 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     // hour windows align to epoch in both engines; tiebreak mirrors the
     // bounded-heap aggregate's contract (score desc, id asc)
+    // per-window MG completeness: exact heavy hitters re-derived by
+    // the oracle, caught pinned literal TRUE (the MG theorem, per
+    // window group — state-store codec corruption flips the hash)
+    "stream_heavy_hitters" ->
+      """WITH s AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |    'z' || CAST(64 // r AS VARCHAR) AS item
+        |  FROM events CROSS JOIN range(1, 65) t(r)),
+        |f AS (SELECT window_start, item, count(*) AS c FROM s GROUP BY 1, 2),
+        |t AS (SELECT window_start, sum(c) AS n FROM f GROUP BY 1)
+        |SELECT f.window_start, item, CAST(c AS BIGINT) AS exact_cnt, TRUE AS caught
+        |FROM f JOIN t USING (window_start) WHERE 9 * c > n
+        |ORDER BY window_start, item""".stripMargin,
     "stream_topk_window" ->
       """WITH w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_id, value FROM events),
         |r AS (SELECT window_start, event_id, value,

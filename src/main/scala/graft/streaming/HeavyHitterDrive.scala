@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Oracle-checked drive of the Misra–Gries sketch
+  * ([[graft.functions.MisraGriesItems]]) running INSIDE streaming
+  * window state — the sketch's serialize/deserialize/merge path
+  * persists through the state store on EVERY trigger (the
+  * [[TopKDrive]] exercise, applied to the frequency sketch): each
+  * micro-batch updates the k-bounded buffer, append mode emits the
+  * survivors when the watermark closes the window.
+  *
+  * What the key asserts is ONLY the order-free MG theorem, per window:
+  * every item with (k+1)·f > n_window is in that window's survivor
+  * set. The output rows are the EXACTLY-derived per-window heavy
+  * hitters (deterministic batch algebra over the same events) plus the
+  * `caught` membership flag — the oracle re-derives the exact side and
+  * pins `caught` to literal TRUE, so a corruption anywhere in the
+  * sketch's state-store codec or merge flips the hash.
+  *
+  * Item stream: every event fans out to the 64-item ramp
+  * `z(64 div r), r = 1..64` (the batch `agg_heavy_hitters` fixture at
+  * the event grain) — so EVERY nonempty window carries 15 distinct
+  * items against the k = 8 slots (genuinely lossy) and exactly z1 and
+  * z2 clear the per-window (k+1)·f > n bar, regardless of how many
+  * events the window holds. State at scale: one ≤ k-entry buffer per
+  * window — fixed memory, watermark-evicted. */
+object HeavyHitterDrive {
+
+  private val itemsExpr =
+    "transform(sequence(1, 64), r -> concat('z', cast(64 div r as string)))"
+
+  def heavy(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    DriveSupport.withWorkspace("graft-hh") { ws =>
+      val name = DriveSupport.sinkName("hh_drive")
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      val eDir = ws.resolve("events").toString
+      events.coalesce(1).write.parquet(eDir)
+
+      DriveSupport.withStreamConfs(spark) {
+        val stream = spark.readStream.schema(events.schema).parquet(eDir)
+        val q = stream
+          .select(col("ts"), explode(expr(itemsExpr)).as("item"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(graft.functions.heavy_hitters_sketch(col("item"), k)
+            .as("hh"))
+          .select(col("window.start").as("window_start"), col("hh"))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("append").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          // sentinel nudges close every real window (TopKDrive pattern);
+          // the sentinel's far-future window is dropped by the inner
+          // join below — the `events` frame predates the appends
+          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+          Seq("366 days", "367 days").foreach { shift =>
+            spark.range(1)
+              .select(lit(-1L).as("event_id"),
+                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
+                  .as("ts"))
+              .write.mode("append").parquet(eDir)
+            q.processAllAvailable()
+          }
+          val survivors = DriveSupport.pin(spark, spark.table(name))
+          val exact = events
+            .select(date_trunc("hour", col("ts")).as("window_start"),
+              explode(expr(itemsExpr)).as("item"))
+            .groupBy("window_start", "item").agg(count(lit(1)).as("c"))
+          val totals = exact.groupBy("window_start").agg(sum("c").as("n"))
+          exact.join(totals, "window_start")
+            .filter(col("c") * (k + 1) > col("n"))
+            .join(survivors, Seq("window_start"))
+            .select(
+              col("window_start").cast("timestamp_ntz").as("window_start"),
+              col("item"), col("c").as("exact_cnt"),
+              array_contains(col("hh"), col("item")).as("caught"))
+            .orderBy("window_start", "item")
+        }
+      }
+    }
+}

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
     "stream_topk_window", "stream_session_tracker",
+    "stream_heavy_hitters",
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q")
   // sanctioned nested-loop joins: tiny broadcast sides by design —

@@ -187,6 +187,36 @@ class StreamDriveSpec extends SparkSuite {
       "state-store top-k must equal the batch window ranking")
   }
 
+  test("heavy-hitters drive: every per-window exact heavy hitter " +
+      "survives the state-store MG sketch") {
+    val streamed = HeavyHitterDrive.heavy(spark, dir)
+    // exact side recomputed directly (the oracle's half)
+    val exact = Tables.load(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("window_start"),
+        explode(expr("transform(sequence(1, 64), " +
+          "r -> concat('z', cast(64 div r as string)))")).as("item"))
+      .groupBy("window_start", "item").agg(count(lit(1)).as("c"))
+    val tot = exact.groupBy("window_start").agg(sum("c").as("n"))
+    val heavy = exact.join(tot, "window_start")
+      .filter(col("c") * 9 > col("n"))
+      .select(col("window_start"), col("item"),
+        col("c").as("exact_cnt"), lit(true).as("caught"))
+    val rows = streamed.collect()
+    val got = rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got.nonEmpty, "no window produced a heavy hitter — vacuous")
+    assert(rows.forall(_.getBoolean(3)),
+      "MG sketch in streaming state missed a true heavy hitter")
+    val want = heavy.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(got === want, "exact side diverges from direct computation")
+    // non-vacuity of the sketch: at least one window must have MORE
+    // distinct items than the k=8 slots (the sketch actually dropped)
+    val maxDistinct = exact.groupBy("window_start")
+      .agg(count(lit(1)).as("d")).agg(max("d")).first().getLong(0)
+    assert(maxDistinct > 8, s"only $maxDistinct distinct items/window")
+  }
+
   test("dedup drive absorbs a full cross-batch re-delivery exactly") {
     val streamed = DedupDrive.dedup(spark, dir)
     val original = Tables.load(spark, dir, "events")
