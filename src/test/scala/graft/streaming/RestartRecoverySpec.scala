@@ -372,6 +372,80 @@ class RestartRecoverySpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------- heavy hitters
+
+  for ((label, prov) <- providers)
+  test(s"MG heavy-hitters sketch recovers across a restart — the " +
+      s"completeness guarantee holds ($label)") {
+    val ramp = "transform(sequence(1, 64), " +
+      "r -> concat('z', cast(64 div r as string)))"
+    val staged = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    // cut inside the busiest hour window: its half-built MG HashMap
+    // must serialize into the checkpoint, deserialize in the new
+    // incarnation, and MERGE with the post-restart stream — the codec
+    // + merge path a within-run drive never exercises across a restart
+    val busiest = staged.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n")).orderBy(desc("n"), col("w.start"))
+      .head().getStruct(0).getTimestamp(0)
+    val inWin = staged
+      .filter(col("ts") >= lit(busiest) &&
+        col("ts") < lit(busiest) + expr("INTERVAL 1 HOUR"))
+      .orderBy("ts").collect()
+    val cut = inWin((inWin.length - 1) / 2).getTimestamp(1)
+    DriveSupport.withWorkspace("graft-restart-hh") { ws =>
+      DriveSupport.withStreamConfs(spark, provider = prov) {
+        val eDir = ws.resolve("events").toString
+        staged.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(eDir)
+        val out = spark.readStream.schema(staged.schema).parquet(eDir)
+          .select(col("ts"), explode(expr(ramp)).as("item"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(graft.functions.heavy_hitters_sketch(col("item"), 8)
+            .as("hh"))
+          .select(col("window.start").as("window_start"), col("hh"))
+        val buf = new ConcurrentLinkedQueue[Row]
+        val ckpt = ws.resolve("ckpt").toString
+        incarnation(out, ckpt, buf)(_.processAllAvailable())
+        incarnation(out, ckpt, buf) { q =>
+          staged.filter(col("ts") > lit(cut)).coalesce(1)
+            .write.mode("append").parquet(eDir)
+          q.processAllAvailable()
+          val maxTs = staged.agg(max("ts")).head().getTimestamp(0)
+          Seq("366 days", "367 days").foreach { shift =>
+            spark.range(1).select(lit(-1L).as("event_id"),
+              (lit(maxTs) + expr(s"INTERVAL $shift")).as("ts"))
+              .write.mode("append").parquet(eDir)
+            q.processAllAvailable()
+          }
+        }
+        // the guarantee — NOT row equality: survivor sets below the
+        // (k+1)f > n bar legitimately differ with the merge tree, and
+        // a restart IS a different merge tree. Every exact heavy
+        // hitter per window must still be in that window's survivors.
+        val survivors = pinned(out.schema, buf).collect()
+          .map(r => r.getTimestamp(0) -> r.getSeq[String](1).toSet)
+          .toMap
+        val exact = Tables.load(spark, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("window_start"),
+            explode(expr(ramp)).as("item"))
+          .groupBy("window_start", "item").agg(count(lit(1)).as("c"))
+        val tot = exact.groupBy("window_start").agg(sum("c").as("n"))
+        val heavy = exact.join(tot, "window_start")
+          .filter(col("c") * 9 > col("n"))
+          .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+        assert(heavy.nonEmpty, "no heavy hitters — vacuous")
+        // the cut window must actually have emitted post-restart
+        assert(survivors.contains(busiest),
+          "busiest (cut) window missing from the stream output")
+        heavy.foreach { case (w, item) =>
+          assert(survivors.get(w).exists(_.contains(item)),
+            s"window $w lost heavy hitter $item across the restart")
+        }
+      }
+    }
+  }
+
   // ----------------------------------------------------- transformWithState
 
   test("transformWithState recovers running totals across a restart " +
