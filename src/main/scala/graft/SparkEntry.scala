@@ -721,8 +721,8 @@ object SparkEntry {
     // window group — state-store codec corruption flips the hash)
     "stream_heavy_hitters" ->
       """WITH s AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
-        |    'z' || CAST(64 // r AS VARCHAR) AS item
-        |  FROM events CROSS JOIN range(1, 65) t(r)),
+        |    'z' || CAST(32 // r AS VARCHAR) AS item
+        |  FROM events CROSS JOIN range(1, 33) t(r)),
         |f AS (SELECT window_start, item, count(*) AS c FROM s GROUP BY 1, 2),
         |t AS (SELECT window_start, sum(c) AS n FROM f GROUP BY 1)
         |SELECT f.window_start, item, CAST(c AS BIGINT) AS exact_cnt, TRUE AS caught

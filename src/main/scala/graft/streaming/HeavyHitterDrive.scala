@@ -21,17 +21,18 @@ import graft.core.Tables
   * pins `caught` to literal TRUE, so a corruption anywhere in the
   * sketch's state-store codec or merge flips the hash.
   *
-  * Item stream: every event fans out to the 64-item ramp
-  * `z(64 div r), r = 1..64` (the batch `agg_heavy_hitters` fixture at
-  * the event grain) — so EVERY nonempty window carries 15 distinct
-  * items against the k = 8 slots (genuinely lossy) and exactly z1 and
-  * z2 clear the per-window (k+1)·f > n bar, regardless of how many
-  * events the window holds. State at scale: one ≤ k-entry buffer per
-  * window — fixed memory, watermark-evicted. */
+  * Item stream: every event fans out to the 32-item ramp
+  * `z(32 div r), r = 1..32` (the batch `agg_heavy_hitters` fixture's
+  * shape at the event grain, halved — 10 distinct items per event
+  * still exceed the k = 8 slots) — so EVERY nonempty window is
+  * genuinely lossy and exactly z1 (16/32) and z2 (6/32) clear the
+  * per-window (k+1)·f > n bar, regardless of how many events the
+  * window holds. State at scale: one ≤ k-entry buffer per window —
+  * fixed memory, watermark-evicted. */
 object HeavyHitterDrive {
 
   private val itemsExpr =
-    "transform(sequence(1, 64), r -> concat('z', cast(64 div r as string)))"
+    "transform(sequence(1, 32), r -> concat('z', cast(32 div r as string)))"
 
   def heavy(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     DriveSupport.withWorkspace("graft-hh") { ws =>

@@ -377,8 +377,8 @@ class RestartRecoverySpec extends SparkSuite {
   for ((label, prov) <- providers)
   test(s"MG heavy-hitters sketch recovers across a restart — the " +
       s"completeness guarantee holds ($label)") {
-    val ramp = "transform(sequence(1, 64), " +
-      "r -> concat('z', cast(64 div r as string)))"
+    val ramp = "transform(sequence(1, 32), " +
+      "r -> concat('z', cast(32 div r as string)))"
     val staged = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
     // cut inside the busiest hour window: its half-built MG HashMap

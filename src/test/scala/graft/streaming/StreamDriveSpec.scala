@@ -194,8 +194,8 @@ class StreamDriveSpec extends SparkSuite {
     val exact = Tables.load(spark, dir, "events")
       .select(date_trunc("hour", col("ts")).cast("timestamp_ntz")
           .as("window_start"),
-        explode(expr("transform(sequence(1, 64), " +
-          "r -> concat('z', cast(64 div r as string)))")).as("item"))
+        explode(expr("transform(sequence(1, 32), " +
+          "r -> concat('z', cast(32 div r as string)))")).as("item"))
       .groupBy("window_start", "item").agg(count(lit(1)).as("c"))
     val tot = exact.groupBy("window_start").agg(sum("c").as("n"))
     val heavy = exact.join(tot, "window_start")
