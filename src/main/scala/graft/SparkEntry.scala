@@ -133,6 +133,9 @@ object SparkEntry {
     // exact-integer power iteration toward the dominant embedding
     // direction — see PowerIter.embedPowerIter
     "embed_power_iter" -> (PowerIter.embedPowerIter _),
+    // the SECOND principal direction by exact-integer deflation — see
+    // PowerIter.embedPca2
+    "embed_pca2" -> (PowerIter.embedPca2 _),
     // Misra–Gries heavy hitters: the deterministic completeness
     // guarantee under the hash gate — see Sketches.heavyHitters
     "agg_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.heavyHitters(s, d)),
@@ -792,6 +795,48 @@ object SparkEntry {
         |tot AS (SELECT sum(c) AS n FROM f)
         |SELECT item, CAST(c AS BIGINT) AS exact_cnt, TRUE AS caught
         |FROM f, tot WHERE 9 * c > n ORDER BY item""".stripMargin,
+    // second principal direction: the power-iter chain, then division-
+    // free deflation (q*rr - (q.r)*r), an integer-derived sign-
+    // symmetric shift back into range, and two more matvec passes —
+    // all integers, so the oracle replays the whole chain bit-exactly
+    "embed_pca2" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |d1 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * ((d % 7) - 3))) AS dot
+        |  FROM e),
+        |y1 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM d1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |m1 AS (SELECT max(abs(y)) AS m FROM y1),
+        |r1 AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM y1, m1),
+        |d2 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot
+        |  FROM e, r1),
+        |y2 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM d2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |m2 AS (SELECT max(abs(y)) AS m FROM y2),
+        |fst AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS fv FROM y2, m2),
+        |rr AS (SELECT list_sum(list_transform(fv, x -> x * x)) AS v FROM fst),
+        |defl AS (SELECT vec_id,
+        |    list_transform(range(0, 64), d -> q[d + 1] * rr.v -
+        |      list_sum(list_transform(range(0, 64), j -> q[j + 1] * fv[j + 1])) * fv[d + 1]) AS qd
+        |  FROM e, fst, rr),
+        |mm AS (SELECT max(list_max(list_transform(qd, x -> abs(x)))) AS m FROM defl),
+        |sh AS (SELECT min(k) AS s FROM range(0, 63) t(k), mm WHERE (m >> CAST(k AS INT)) <= 20000),
+        |q2 AS (SELECT vec_id, list_transform(qd,
+        |      v -> CASE WHEN v >= 0 THEN v >> CAST(sh.s AS INT)
+        |           ELSE -((-v) >> CAST(sh.s AS INT)) END) AS q
+        |  FROM defl, sh),
+        |e1 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * ((d % 7) - 3))) AS dot FROM q2),
+        |z1 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM e1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |n1 AS (SELECT max(abs(y)) AS m FROM z1),
+        |s1 AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM z1, n1),
+        |e2 AS (SELECT vec_id, q,
+        |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot FROM q2, s1),
+        |z2 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM e2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
+        |n2 AS (SELECT max(abs(y)) AS m FROM z2)
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(y * 1024 // m AS BIGINT) AS component2_q
+        |FROM z2, n2 ORDER BY dim""".stripMargin,
     // exact-integer power iteration: quantize -> matvec -> truncated-
     // division renorm, twice — every step integer and order-free, so
     // the oracle reproduces the 64 component values bit-exactly

@@ -60,32 +60,95 @@ object PowerIter {
     y.map(v => v * Target / m)
   }
 
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Quant) AS BIGINT))")
+        .as("q"))
+
+  /** Overflow guard for a matvec pass over `q`-column rows whose
+    * entries are bounded by `qmax` (2× Long margin). */
+  private def guardPass(q: DataFrame, qmax: Long): Unit = {
+    val n = q.count()
+    require(qmax > 0, "degenerate corpus: all-zero vectors")
+    require(n <= Long.MaxValue / 2 / qmax / qmax / Dim / Target,
+      s"n=$n qmax=$qmax would overflow the fixed $Target target — " +
+        "lower the renormalization target")
+  }
+
+  private val start = Array.tabulate(Dim)(d => (d % 7 - 3).toLong)
+
+  /** Two power-iteration steps over `q` from the fixed start. */
+  private def dominantOf(q: DataFrame): Array[Long] =
+    renorm(matvec(q, renorm(matvec(q, start))))
+
   /** Two power-iteration steps from the fixed start s[d] = d%7 − 3;
     * output: the renormalized direction after pass 2, one row per
     * dimension — 64 exact integers, hash-compared against DuckDB
     * running the identical integer algebra. */
   def embedPowerIter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val q = Tables.load(spark, dir, "embeddings")
-      .select(expr(
-        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Quant) AS BIGINT))")
-        .as("q"))
-      .cache()
+    val q = quantized(spark, dir).cache()
     try {
-      // runtime guard for the documented magnitude bound (2× margin)
-      val guard = q.agg(count(lit(1)),
-        max(expr("array_max(transform(q, x -> abs(x)))"))).first()
-      val (n, qmax) = (guard.getLong(0), guard.getLong(1))
-      require(qmax > 0, "degenerate corpus: all-zero embeddings")
-      require(n <= Long.MaxValue / 2 / qmax / qmax / Dim / Target,
-        s"n=$n qmax=$qmax would overflow the fixed $Target target — " +
-          "lower the renormalization target")
-      val s = Array.tabulate(Dim)(d => (d % 7 - 3).toLong)
-      val r2 = renorm(matvec(q, renorm(matvec(q, s))))
-      r2.zipWithIndex
+      val qmax = q.agg(max(expr("array_max(transform(q, x -> abs(x)))")))
+        .first().getLong(0)
+      guardPass(q, qmax)
+      dominantOf(q).zipWithIndex
         .map { case (v, d) => (d.toLong, v) }.toSeq
         .toDF("dim", "component_q")
         .orderBy("dim")
+    } finally q.unpersist()
+  }
+
+  /** The SECOND principal direction by exact-integer deflation — the
+    * step that turns the power-iteration primitive into top-k PCA,
+    * still bit-identical across engines. Deflation avoids division
+    * entirely: q′ᵢ = qᵢ·(r·r) − (qᵢ·r)·r (exact longs, orthogonal to
+    * the first direction r by construction), then scales back into the
+    * pass-safe range by a SIGN-SYMMETRIC right shift whose width is
+    * derived from the matrix's own max magnitude by integer-only
+    * comparison (no float log — a last-ulp log2 flip would change the
+    * shift and every output). Two more matvec passes on the deflated
+    * matrix give the second direction; the oracle replays the whole
+    * chain. The spec checks near-orthogonality to the first component
+    * (exact orthogonality is lost to the shift truncation, by design). */
+  def embedPca2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir).cache()
+    try {
+      val qmax = q.agg(max(expr("array_max(transform(q, x -> abs(x)))")))
+        .first().getLong(0)
+      guardPass(q, qmax)
+      val first = dominantOf(q)
+      val rr = first.map(v => v * v).sum
+      val fLit = first.mkString("array(", "L, ", "L)")
+      val defl = q
+        .withColumn("dot", expr(
+          s"aggregate(zip_with(q, $fLit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(expr(
+          s"zip_with(q, $fLit, (a, b) -> a * ${rr}L - dot * b)").as("qd"))
+        .cache()
+      try {
+        val m = defl
+          .agg(max(expr("array_max(transform(qd, x -> abs(x)))")))
+          .first().getLong(0)
+        require(m > 0, "degenerate corpus: rank-1 second-moment matrix")
+        // integer-only shift derivation (the oracle mirrors it with a
+        // min-over-range >> comparison)
+        var shift = 0
+        while ((m >> shift) > 20000L) shift += 1
+        val q2 = defl.select(expr(
+          s"""transform(qd, v -> CASE WHEN v >= 0 THEN shiftright(v, $shift)
+             |  ELSE -shiftright(-v, $shift) END)""".stripMargin).as("q"))
+          .cache()
+        try {
+          guardPass(q2, 20000L)
+          dominantOf(q2).zipWithIndex
+            .map { case (v, d) => (d.toLong, v) }.toSeq
+            .toDF("dim", "component2_q")
+            .orderBy("dim")
+        } finally q2.unpersist()
+      } finally defl.unpersist()
     } finally q.unpersist()
   }
 }

@@ -17,8 +17,8 @@ class PlanAuditSpec extends SparkSuite {
     "ingest_e2e_diff", "scan_zorder",
     // runs the corpus-total count on construction (the tfidf pattern)
     "text_surprisal",
-    // runs both matvec passes on construction (model-scalar collects)
-    "embed_power_iter",
+    // run the matvec passes on construction (model-scalar collects)
+    "embed_power_iter", "embed_pca2",
     // collects the sketch survivors + stream total on construction
     "agg_heavy_hitters",
     // the streaming drives EXECUTE on construction (stage + drain a

@@ -45,6 +45,36 @@ class PowerIterSpec extends SparkSuite {
       assert(got(d.toLong) === want(d), s"dim $d diverges"))
   }
 
+  test("embedPca2: distributed deflated direction equals the direct " +
+      "integer computation and is near-orthogonal to the first") {
+    val q = quantized
+    val s = Array.tabulate(Dim)(d => (d % 7 - 3).toLong)
+    val first = renorm(matvec(q, renorm(matvec(q, s))))
+    val rr = first.map(v => v * v).sum
+    val defl = q.map { qi =>
+      var dot = 0L
+      (0 until Dim).foreach(d => dot += qi(d) * first(d))
+      Array.tabulate(Dim)(d => qi(d) * rr - dot * first(d))
+    }
+    val m = defl.map(_.map(math.abs).max).max
+    var k = 0
+    while ((m >> k) > 20000L) k += 1
+    def sshift(v: Long): Long = if (v >= 0) v >> k else -((-v) >> k)
+    val q2 = defl.map(_.map(sshift))
+    val want = renorm(matvec(q2, renorm(matvec(q2, s))))
+    val got = PowerIter.embedPca2(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === Dim)
+    (0 until Dim).foreach(d =>
+      assert(got(d.toLong) === want(d), s"dim $d diverges"))
+    // near-orthogonality: exact orthogonality is lost to the shift
+    // truncation by design, but the residual must be tiny
+    val dot12 = first.zip(want).map { case (a, b) => a.toDouble * b }.sum
+    val cos = dot12 / math.sqrt(
+      first.map(x => x.toDouble * x).sum * want.map(x => x.toDouble * x).sum)
+    assert(math.abs(cos) < 0.05, s"second component not orthogonal: $cos")
+  }
+
   test("power-iteration convergence: successive directions align " +
       "monotonically (PSD second-moment matrix)") {
     val q = quantized
