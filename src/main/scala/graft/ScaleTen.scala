@@ -46,7 +46,7 @@ object ScaleTen {
   /** Bump on any generator-semantics change: the output cache keys on
     * (base fingerprints, factor, GenVersion) — without it a code change
     * would silently serve the previous corpus. */
-  val GenVersion = 2
+  val GenVersion = 3
 
   /** Fresh-draw documents: n docs shaped like `base`. Planted exact
     * duplicates at the base corpus's measured rate via contentId
@@ -84,12 +84,21 @@ object ScaleTen {
     def plantMod(extras: Long): Option[Int] =
       if (extras == 0) None
       else Some(math.max(2, (baseRows / extras).toInt))
-    def planted(tag: String, extras: Long): Column =
+    def plantedAt(tag: String, extras: Long, idCol: Column): Column =
       plantMod(extras).map(m =>
-        col("id") > 0 && pmod(h(tag, col("id")), lit(m)) === 0)
+        idCol > 0 && pmod(h(tag, idCol), lit(m)) === 0)
         .getOrElse(lit(false))
-    val isDup = planted("dup", dupExtras)
-    val isNear = !isDup && planted("near", levPairs)
+    // a planted id derives its content from id-1 — but if id-1 is
+    // ITSELF planted, the derived text equals the hypothetical fresh
+    // doc id-1, which no real doc carries, so the copy would be unique
+    // and the measured dup/near rates would drift low. Skip planting
+    // when the predecessor is planted (plant rates are ~1/mod², so the
+    // skipped mass is negligible vs the target rate).
+    val prevPlanted = plantedAt("dup", dupExtras, col("id") - 1) ||
+      plantedAt("near", levPairs, col("id") - 1)
+    val isDup = plantedAt("dup", dupExtras, col("id")) && !prevPlanted
+    val isNear =
+      !isDup && plantedAt("near", levPairs, col("id")) && !prevPlanted
     val contentId = when(isDup || isNear, col("id") - 1).otherwise(col("id"))
     val nWords =
       (pmod(h("len", col("cid")), lit(maxW - minW + 1)) + lit(minW))

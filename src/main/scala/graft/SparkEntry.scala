@@ -808,13 +808,13 @@ object SparkEntry {
         |  FROM e),
         |y1 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM d1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |m1 AS (SELECT max(abs(y)) AS m FROM y1),
-        |r1 AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM y1, m1),
+        |r1 AS (SELECT list(CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM y1, m1),
         |d2 AS (SELECT vec_id, q,
         |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot
         |  FROM e, r1),
         |y2 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM d2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |m2 AS (SELECT max(abs(y)) AS m FROM y2),
-        |fst AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS fv FROM y2, m2),
+        |fst AS (SELECT list(CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) ORDER BY d) AS fv FROM y2, m2),
         |rr AS (SELECT list_sum(list_transform(fv, x -> x * x)) AS v FROM fst),
         |defl AS (SELECT vec_id,
         |    list_transform(range(0, 64), d -> q[d + 1] * rr.v -
@@ -830,12 +830,12 @@ object SparkEntry {
         |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * ((d % 7) - 3))) AS dot FROM q2),
         |z1 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM e1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |n1 AS (SELECT max(abs(y)) AS m FROM z1),
-        |s1 AS (SELECT list(CAST(y * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM z1, n1),
+        |s1 AS (SELECT list(CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) ORDER BY d) AS rv FROM z1, n1),
         |e2 AS (SELECT vec_id, q,
         |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot FROM q2, s1),
         |z2 AS (SELECT d, sum(q[d + 1] * dot) AS y FROM e2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |n2 AS (SELECT max(abs(y)) AS m FROM z2)
-        |SELECT CAST(d AS BIGINT) AS dim, CAST(y * 1024 // m AS BIGINT) AS component2_q
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) AS component2_q
         |FROM z2, n2 ORDER BY dim""".stripMargin,
     // exact-integer power iteration: quantize -> matvec -> truncated-
     // division renorm, twice — every step integer and order-free, so
@@ -850,7 +850,7 @@ object SparkEntry {
         |y1 AS (SELECT d, sum(q[d + 1] * dot) AS y
         |  FROM d1 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |m1 AS (SELECT max(abs(y)) AS m FROM y1),
-        |r1 AS (SELECT d, CAST(y * 1024 // m AS BIGINT) AS r FROM y1, m1),
+        |r1 AS (SELECT d, CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) AS r FROM y1, m1),
         |r1l AS (SELECT list(r ORDER BY d) AS rv FROM r1),
         |d2 AS (SELECT vec_id, q,
         |    list_sum(list_transform(range(0, 64), d -> q[d + 1] * rv[d + 1])) AS dot
@@ -858,7 +858,7 @@ object SparkEntry {
         |y2 AS (SELECT d, sum(q[d + 1] * dot) AS y
         |  FROM d2 CROSS JOIN range(0, 64) t(d) GROUP BY d),
         |m2 AS (SELECT max(abs(y)) AS m FROM y2)
-        |SELECT CAST(d AS BIGINT) AS dim, CAST(y * 1024 // m AS BIGINT) AS component_q
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(CAST(y AS HUGEINT) * 1024 // m AS BIGINT) AS component_q
         |FROM y2, m2 ORDER BY dim""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,

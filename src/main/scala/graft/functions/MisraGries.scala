@@ -93,7 +93,12 @@ case class MisraGriesItems(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    // length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps at
+    // 65535 bytes and would throw for a long item mid-shuffle
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -104,7 +109,13 @@ case class MisraGriesItems(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var j = 0
-    while (j < n) { buf.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      j += 1
+    }
     buf
   }
 

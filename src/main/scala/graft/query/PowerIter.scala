@@ -24,8 +24,11 @@ import graft.core.Tables
   * Magnitude bound (the n ceiling of the fixed target): per pass
   * |y[d]| ≤ n · qmax² · 64 · 1024, which the operator REQUIRES to be
   * under Long.MaxValue with 2× margin at run time — at the fixture's
-  * qmax ≈ 6·10³ that allows n ≈ 3.6M vectors; beyond that lower the
-  * renormalization target (one knob) or shard-and-merge.
+  * qmax ≈ 6·10³ that allows n ≈ 2M vectors; beyond that lower the
+  * renormalization target (one knob) or shard-and-merge. The renorm
+  * step's ×Target multiply is exempt from this bound — it runs in
+  * BigInt/HUGEINT on both engines, so the matvec pass is the only
+  * overflow surface the guard must cover.
   *
   * Shape at scale: each pass is one projected scan (quantize +
   * per-row dot against a BROADCAST 64-long direction literal — pure
@@ -53,11 +56,17 @@ object PowerIter {
   }
 
   /** Renormalize to |r| ≤ Target by truncated division — the exact
-    * operation DuckDB's `//` performs, so the oracle mirrors it. */
+    * operation DuckDB's `//` performs, so the oracle mirrors it. The
+    * v·Target product runs through BigInt (oracle: HUGEINT) so renorm
+    * itself can never overflow — a matvec result near the guard's
+    * Long bound would otherwise wrap silently in the ×Target multiply
+    * while DuckDB raised; the quotient is ≤ Target by construction and
+    * always fits back into a Long. */
   private def renorm(y: Array[Long]): Array[Long] = {
     val m = y.map(math.abs).max
     require(m > 0, "degenerate corpus: zero matvec")
-    y.map(v => v * Target / m)
+    val mb = BigInt(m)
+    y.map(v => (BigInt(v) * Target / mb).toLong)
   }
 
   private def quantized(spark: SparkSession, dir: String): DataFrame =

@@ -52,8 +52,12 @@ object DecodeStream {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val m = Multimodal.decodeAny(id, bytes)
+        // Locale.ROOT: the f-interpolator formats with the JVM default
+        // locale, so a comma-decimal locale would change every lane
+        // (and the digest) across differently-configured JVMs
         (m.doc_id, m.n_bytes.toLong,
-          m.features.map(f => f"$f%.5f").mkString(" "))
+          m.features.map(f => String.format(java.util.Locale.ROOT,
+            "%.5f", Float.box(f))).mkString(" "))
       })
       .toDF("doc_id", "n_bytes", "feature_sig")
       .withColumn("feature_sig", md5(col("feature_sig")))
