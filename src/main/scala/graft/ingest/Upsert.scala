@@ -257,6 +257,23 @@ object SnapshotDiff {
   * plain parquet: correctness never depends on the catalog, only the
   * exchange-free plan does.
   *
+  * `partition = Some(col)` writes every version `partitionBy(col)` —
+  * the directory layout queries prune by (`PartitionFilters` at the
+  * scan). Directory-derived partition values are TYPE-INFERRED on
+  * read (a long cid would come back int), so each partitioned version
+  * dir carries a `_graft_schema.json` sidecar pinning the writer's
+  * exact schema; readers apply it, making the partition column's type
+  * and position bit-stable across JVMs. Underscore prefix = parquet
+  * metadata convention, invisible to any plain reader of the dir.
+  *
+  * A manifest names one or more data dirs (newline-separated):
+  * [[overwrite]] publishes a single-dir manifest; [[append]] publishes
+  * the previous manifest's dirs PLUS one new delta dir — an
+  * Iceberg-style fast append whose write cost is O(delta), not
+  * O(table): existing files are never rewritten, the new manifest just
+  * references more of them. Readers union the listed dirs in one
+  * multi-root scan (partition pruning still applies per root).
+  *
   * @param staleTmpMs age after which an orphaned `.manifest-tmp-*`
   *   (a committer killed between tmp write and rename) is GC'd by the
   *   next successful commit. Age-gated because a CONCURRENT committer's
@@ -268,7 +285,10 @@ object SnapshotDiff {
   *   manifest (SnapshotCrashSpec pins all of this with staleTmpMs=0). */
 class SnapshotStore(val path: String,
     val bucket: Option[(String, Int)] = None,
+    val partition: Option[String] = None,
     val staleTmpMs: Long = 3600000L) {
+  require(bucket.isEmpty || partition.isEmpty,
+    "bucketed and partitioned layouts are mutually exclusive")
 
   private val manifestRe = "MANIFEST-(\\d+)".r
 
@@ -284,8 +304,10 @@ class SnapshotStore(val path: String,
   private def tableName(versionDir: String): String =
     "graft_snap_" + graft.core.Caches.md5Tag(s"$path|$versionDir", 16)
 
-  /** (seq, versionDirName) pairs of committed manifests, ascending. */
-  private def manifests(spark: SparkSession): Seq[(Long, String)] = {
+  /** (seq, data dirs) pairs of committed manifests, ascending. A
+    * manifest body is one dir name per line — single-dir for
+    * [[overwrite]] commits, multi-dir for [[append]] chains. */
+  private def manifests(spark: SparkSession): Seq[(Long, Seq[String])] = {
     val f = fs(spark)
     val root = new Path(path)
     if (!f.exists(root)) return Nil
@@ -294,23 +316,53 @@ class SnapshotStore(val path: String,
         case manifestRe(seq) =>
           val in = f.open(st.getPath)
           try {
-            val body = new String(
-              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-            if (body.nonEmpty) Some(seq.toLong -> body) else None
+            val dirs = new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+              .split("\n").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+            if (dirs.nonEmpty) Some(seq.toLong -> dirs) else None
           } finally in.close()
         case _ => None
       }
     }.sortBy(_._1)
   }
 
+  /** Read the sidecar-pinned schema of a partitioned version dir. */
+  private def sidecarSchema(spark: SparkSession, v: String)
+      : org.apache.spark.sql.types.StructType = {
+    val f = fs(spark)
+    val in = f.open(new Path(s"$path/$v/_graft_schema.json"))
+    val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** Bucket-aware read when the catalog still has the version's table;
-    * plain parquet otherwise. */
-  private def readVersion(spark: SparkSession, seq: Long, v: String)
-      : DataFrame =
+    * schema-pinned multi-root read for partitioned layouts; plain
+    * parquet otherwise. */
+  private def readVersion(spark: SparkSession, seq: Long, dirs: Seq[String])
+      : DataFrame = {
+    val paths = dirs.map(v => s"$path/$v")
     if (bucket.isDefined &&
-        spark.catalog.tableExists(tableName(v)))
-      spark.table(tableName(v))
-    else spark.read.parquet(s"$path/$v")
+        spark.catalog.tableExists(tableName(dirs.head)))
+      spark.table(tableName(dirs.head))
+    else if (partition.isDefined) {
+      // newest dir's sidecar: all dirs in one manifest share the
+      // schema. One read PER root, unioned — a single multi-path read
+      // would make partition discovery hunt for a common base dir and
+      // reject the version-dir layout; filters (including partition
+      // filters) push through the union into every branch's scan.
+      val schema = sidecarSchema(spark, dirs.last)
+      paths.map(p => spark.read.schema(schema).parquet(p))
+        .reduce(_.unionByName(_))
+        // Spark surfaces the partition column LAST regardless of the
+        // given schema; re-select into the writer's recorded order so
+        // readers get back exactly what was written
+        .select(schema.fieldNames.map(
+          org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    } else spark.read.parquet(paths: _*)
+  }
 
   def exists(spark: SparkSession): Boolean = manifests(spark).nonEmpty
 
@@ -344,11 +396,26 @@ class SnapshotStore(val path: String,
     * a SIGKILL, proving a torn tmp file is inert. Production behavior
     * is the plain one-line write. */
   protected def writeManifestBody(out: java.io.OutputStream,
-      version: String): Unit =
-    out.write(version.getBytes("UTF-8"))
+      body: String): Unit =
+    out.write(body.getBytes("UTF-8"))
 
   /** Atomically publish `df` as the new live snapshot. */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = commit(df, appendMode = false)
+
+  /** Atomically publish base∪`df` — the previous manifest's dirs plus
+    * one fresh delta dir — as the new live snapshot. Write cost is
+    * O(delta): no existing file is touched, the new manifest simply
+    * references one more dir. Same crash/race story as [[overwrite]]
+    * (tmp-manifest + rename-to-fresh-name); a replayed append after a
+    * mid-commit kill re-derives the same base dirs and re-publishes.
+    * On an empty store, append == overwrite. Unsupported for bucketed
+    * stores (a bucketed table is one catalog entry per dir). */
+  def append(df: DataFrame): Unit = {
+    require(bucket.isEmpty, "append is not supported on bucketed stores")
+    commit(df, appendMode = true)
+  }
+
+  private def commit(df: DataFrame, appendMode: Boolean): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
     val committed = manifests(spark)
@@ -365,11 +432,28 @@ class SnapshotStore(val path: String,
           .bucketBy(n, key).sortBy(key)
           .saveAsTable(tableName(version))
       case None =>
-        df.write.mode("overwrite").parquet(s"$path/$version")
+        partition match {
+          case Some(pcol) =>
+            df.write.mode("overwrite").partitionBy(pcol)
+              .parquet(s"$path/$version")
+            // sidecar pins the writer's schema (partition-col type and
+            // position survive directory-based type inference)
+            val sc = f.create(
+              new Path(s"$path/$version/_graft_schema.json"), true)
+            try sc.write(df.schema.json.getBytes("UTF-8"))
+            finally sc.close()
+          case None =>
+            df.write.mode("overwrite").parquet(s"$path/$version")
+        }
     }
+    val body =
+      if (appendMode)
+        (committed.lastOption.map(_._2).getOrElse(Nil) :+ version)
+          .mkString("\n")
+      else version
     val tmp = new Path(s"$path/.manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try writeManifestBody(out, version) finally out.close()
+    try writeManifestBody(out, body) finally out.close()
     beforePublish(seq)
     // FileContext rename with default Options.Rename.NONE refuses an
     // existing destination — FileSystem.rename on RawLocalFileSystem
@@ -385,10 +469,12 @@ class SnapshotStore(val path: String,
         throw new java.io.IOException(
           s"snapshot commit lost race for $dst", e)
     }
-    // GC: keep this and the previous version; drop everything older
-    // (catalog entries of GC'd bucketed versions go with their dirs —
-    // including a racing loser's orphan dir + entry).
-    val keep = (committed.takeRight(1).map(_._2) :+ version).toSet
+    // GC: keep every dir the live and previous manifests reference
+    // (an append chain shares dirs across manifests — reference-kept,
+    // never age-kept); drop everything older (catalog entries of GC'd
+    // bucketed versions go with their dirs — including a racing
+    // loser's orphan dir + entry).
+    val keep = (committed.takeRight(1).flatMap(_._2) :+ version).toSet
     committed.dropRight(1).foreach { case (s, _) =>
       f.delete(new Path(s"$path/MANIFEST-$s"), false)
     }

@@ -166,6 +166,23 @@ object Contracts {
       floor)
   }
 
+  /** The [[ivfRecallPerQuery]] contract re-checked over the
+    * INCREMENTALLY-MAINTAINED index ([[Ivf.ensureDeltaIndex]]): after
+    * the delta delivery is assigned to frozen base-trained centroids
+    * and appended, every query must still retrieve the same measured
+    * floor of the brute-force top-5 over the MERGED corpus — the
+    * post-delivery serving guarantee. Same floors as the base key: the
+    * fixture delta is distribution-identical to the training slice, so
+    * assignment quality (and recall) cannot degrade; a drop below the
+    * floor means the append path lost or mis-assigned rows. */
+  def ivfDeltaRecallPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Ivf.similarityIvfDelta(spark, dir, 5, nprobe = Ivf.HighRecallNprobe),
+      floor)
+  }
+
   /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
     * per-SF floor gates; also the lsh key's shape). */
   private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,

@@ -62,8 +62,10 @@ object Ivf {
     * premise of IVF. */
   val HighRecallNprobe = 12
 
-  /** Train centroids and return them as a small DataFrame (cid, cvec). */
-  private def trainCentroids(e: DataFrame, nlist: Int, iters: Int,
+  /** Train centroids and return them as a small DataFrame (cid, cvec).
+    * package-visible: IvfDeltaSpec trains held-out side models for the
+    * out-of-sample drift measure. */
+  private[query] def trainCentroids(e: DataFrame, nlist: Int, iters: Int,
       seed: Long): DataFrame = {
     val seedRank = Window.orderBy(col("h").asc, col("vec_id").asc)
     var cent = e
@@ -118,10 +120,15 @@ object Ivf {
     scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
 
   /** Tag includes the corpus fingerprint ([[Tables.fingerprint]]): a
-    * regenerated fixture at the same path must miss the old index. */
+    * regenerated fixture at the same path must miss the old index.
+    * `layout` versions the ON-DISK shape (L2 = cells partitioned by
+    * cid + schema sidecar): bumping it orphans pre-layout indexes
+    * instead of misreading them. */
+  private val LayoutVersion = "L2"
   private def indexTag(spark: SparkSession, dir: String, nlist: Int,
-      iters: Int, seed: Long): String =
-    graft.core.Caches.md5Tag(s"$dir|$nlist|$iters|$seed|" +
+      iters: Int, seed: Long, variant: String = ""): String =
+    graft.core.Caches.md5Tag(
+      s"$dir|$nlist|$iters|$seed|$LayoutVersion|$variant|" +
       Tables.fingerprint(spark, dir, "embeddings"))
 
   /** Build-or-load the IVF index for (dir, params): returns
@@ -136,8 +143,13 @@ object Ivf {
       memo.getOrElseUpdate(tag, {
         val centStore = new graft.ingest.SnapshotStore(
           s"target/graft-ivf/$tag/centroids")
+        // the inverted file is PHYSICALLY laid out by cell: one cid ↔
+        // one partition directory, so a probe touches nprobe dirs'
+        // files instead of scanning the corpus — the on-disk form of
+        // the scaladoc's 100 TB story (IvfLayoutSpec proves file-level
+        // pruning; the schema sidecar keeps cid a LongType on re-read)
         val cellStore = new graft.ingest.SnapshotStore(
-          s"target/graft-ivf/$tag/cells")
+          s"target/graft-ivf/$tag/cells", partition = Some("cid"))
         if (!(centStore.exists(spark) && cellStore.exists(spark))) {
           val e = Tables.load(spark, dir, "embeddings")
           val cent = trainCentroids(e, nlist, iters, seed)
@@ -160,10 +172,19 @@ object Ivf {
       : DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
     val (cent, cells) = ensureIndex(spark, dir, nlist, iters, seed)
+    probeScore(spark, e, cent, cells, k, nprobe)
+  }
 
+  /** The shared probe-and-score stage: nearest `nprobe` cells per
+    * query from the broadcast centroid model, then exact scoring of
+    * ONLY those cells' rows against the cell-partitioned inverted
+    * file. */
+  private def probeScore(spark: SparkSession, e: DataFrame,
+      cent: DataFrame, cells: DataFrame, k: Int, nprobe: Int)
+      : DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("cid").asc)
-    val probes = e.filter(col("vec_id") < 10)
+    val probePlan = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cent))
       .withColumn("qcos", cosine_sim(col("qv"), col("cvec")))
@@ -172,8 +193,22 @@ object Ivf {
       // fresh name: cells and probes share cent's lineage, so joining
       // cid===cid would resolve self-referentially (trivially true)
       .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    // the probe set is a MODEL SCALAR (≤ queries × nprobe rows — the
+    // nlist-centroid precedent): collecting it lets the probed cids
+    // become LITERAL partition filters on the cell-partitioned store,
+    // so the scan's file index selects only the probed cells' dirs —
+    // static pruning, visible as `PartitionFilters: cid IN (…)` and
+    // independent of dynamic-pruning heuristics
+    val collected = probePlan.collect().toIndexedSeq
+    val probes = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(collected).asJava,
+      probePlan.schema)
+    val probeCids = collected.map(_.getAs[Long]("probe_cid"))
+      .distinct.sorted
 
-    val scored = cells.join(broadcast(probes),
+    val scored = cells
+      .filter(col("cid").isin(probeCids: _*))
+      .join(broadcast(probes),
         cells("cid") === probes("probe_cid") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -184,5 +219,89 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------- incremental index
+  //
+  // The weekly-delivery regime (the reference's own cadence) applied
+  // to ANN: a delivery of new embeddings must NOT retrain the index —
+  // the delta is assigned to the EXISTING centroids and appended to
+  // the inverted file as one O(delta) SnapshotStore commit (a new
+  // manifest referencing the old cell dirs plus one delta dir; no
+  // base file rewritten). Queries then probe the merged corpus
+  // through the same cell-pruned path.
+  //
+  // Drift bound (when to retrain): frozen centroids mis-cluster the
+  // delta exactly as much as the delta's distribution departs from
+  // the training corpus. The fixture's delta (the newest 20% of
+  // vec_ids) is distribution-identical, and the measured per-query
+  // recall at HighRecallNprobe holds the retrained index's floors
+  // (the delta contract key runs at the same floors as the base one).
+  // The operating rule at scale: compare the delta's mean
+  // nearest-centroid cosine against an OUT-OF-SAMPLE base holdout's
+  // under the same frozen model (a cheap side assignment; NOT
+  // base-vs-delta or frozen-vs-retrained on the delta — both bake in
+  // k-means's in-sample advantage, which even iid data shows).
+  // Retrain when that gap stops being noise-sized or the appended
+  // mass approaches the training mass (IvfDeltaSpec measures the
+  // identical-distribution gap at ~0 and the recall floors holding).
+
+  /** The delta split point: the newest ~20% of vec_ids model the
+    * un-indexed weekly delivery (deterministic, data-derived). */
+  private def deltaCutoff(e: DataFrame): Long =
+    e.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5 + 1
+
+  /** Build-or-load the INCREMENTALLY-MAINTAINED index: centroids
+    * trained on the base slice only (vec_id < cutoff), base cells
+    * committed as v0, the delta ASSIGNED (not retrained) and appended
+    * as an O(delta) manifest commit. Returns (centroids, merged
+    * cells). The two-commit build is recovery-safe: an incomplete
+    * store (< 2 cell versions) rebuilds via overwrite — which RESETS
+    * the dir chain to a single-dir manifest — so a crashed builder can
+    * never double-append the delta. */
+  def ensureDeltaIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      iters: Int = 2, seed: Long = 7L): (DataFrame, DataFrame) = {
+    val tag = indexTag(spark, dir, nlist, iters, seed, variant = "delta")
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val centStore = new graft.ingest.SnapshotStore(
+          s"target/graft-ivf/$tag/centroids")
+        val cellStore = new graft.ingest.SnapshotStore(
+          s"target/graft-ivf/$tag/cells", partition = Some("cid"))
+        val complete = centStore.exists(spark) &&
+          cellStore.versions(spark).size >= 2
+        if (!complete) {
+          val e = Tables.load(spark, dir, "embeddings")
+          val cutoff = deltaCutoff(e)
+          val cent = trainCentroids(
+            e.filter(col("vec_id") < cutoff), nlist, iters, seed)
+          try {
+            centStore.overwrite(cent)
+            cellStore.overwrite(
+              assign(e.filter(col("vec_id") < cutoff), cent))
+            cellStore.append(
+              assign(e.filter(col("vec_id") >= cutoff), cent))
+          } catch { case _: java.io.IOException => () } // lost race:
+          // a concurrent builder committed the identical index
+        }
+        (centStore.read(spark).get, cellStore.read(spark).get)
+      })
+    }
+  }
+
+  /** ANN top-k over the incrementally-maintained index
+    * ([[ensureDeltaIndex]]): same output contract as [[similarityIvf]]
+    * but the corpus behind it is base∪delta with base-trained
+    * centroids — the post-delivery serving state. The per-query recall
+    * contract re-runs against brute force over the MERGED corpus
+    * (`similarity_ivf_delta_recall_q`). */
+  def similarityIvfDelta(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 8, iters: Int = 2, seed: Long = 7L)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val (cent, cells) = ensureDeltaIndex(spark, dir, nlist, iters, seed)
+    probeScore(spark, e, cent, cells, k, nprobe)
   }
 }
