@@ -351,6 +351,25 @@ object Multimodal {
           MediaFeatures(docId, payload.length, feats)
         case None => FakeCodec.decode(docId, payload)
       }
+    else if (Mp4.isMp4(payload))
+      // REAL ISO-BMFF demux ([[Mp4.parse]]); pixel decode is real for
+      // motion-JPEG tracks (first keyframe through the JPEG codec —
+      // the keyframe-extraction shape); codecs the JDK cannot decode
+      // (avc1/hevc) fall to the labeled stub like compressed audio
+      (for {
+        track <- Mp4.parse(payload)
+        if track.codec == "jpeg" && track.syncSamples.nonEmpty
+        px <- RealCodec.decode(
+          track.sample(payload, track.syncSamples.head)).map(_._3)
+      } yield {
+        val feats = new Array[Float](FakeCodec.FeatureDim)
+        var i = 0
+        while (i < px.length) {
+          feats(i % FakeCodec.FeatureDim) += px(i) / 255.0f
+          i += 1
+        }
+        MediaFeatures(docId, payload.length, feats)
+      }).getOrElse(FakeCodec.decode(docId, payload))
     else FakeCodec.decode(docId, payload)
 
   /** The pixel formula the roundtrip fixture and the DuckDB oracle
@@ -489,6 +508,55 @@ object Multimodal {
         md5(concat_ws(" ",
           expr("transform(lanes, x -> cast(x as string))")))
           .as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** REAL VIDEO CONTAINER roundtrip under the driver's hash gate —
+    * [[videoRoundtrip]]'s animated-GIF frames upgraded to a genuine
+    * MP4: per document, `doc_id % 4 + 2` synthetic grayscale frames
+    * are JPEG-encoded, muxed into one ISO-BMFF file ([[Mp4.mux]] —
+    * ftyp/mdat/moov with full stsd/stts/stss/stsc/stsz/stco sample
+    * tables), then DEMUXED back ([[Mp4.parse]]): codec fourcc, track
+    * dimensions, timescale, sample count and the stss keyframe list
+    * are all read from the container, each keyframe's byte range is
+    * resolved through the stsc×stco×stsz walk, and the extracted
+    * JPEG decodes through the real image codec. One output row per
+    * KEYFRAME — the keyframe-extraction shape of a video training
+    * pipeline. JPEG is lossy, so the pixel stage is a tolerance gate
+    * (the spec's measured JPEG bounds: mean err < 16, max < 64) and
+    * the hash-gated columns are the container-derived metadata plus
+    * the boolean — a box-layout, sample-table, or keyframe-walk bug
+    * flips a count or the flag and the hash diverges. */
+  def mp4Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nF = (id % 4 + 2).toInt
+        val w = (id % 6 + 6).toInt
+        val h = (id % 3 + 6).toInt
+        val frames = (0 until nF).map(f =>
+          Array.tabulate(w * h)(i => synthFramePixel(id, f, i, w).toInt))
+        val mp4 = Mp4.mux(w, h,
+          frames.map(RealCodec.encode("jpg", w, h, _)))
+        require(Mp4.isMp4(mp4), s"doc $id: non-BMFF mux output")
+        val track = Mp4.parse(mp4).getOrElse(
+          sys.error(s"doc $id: demux failed on own mux output"))
+        val metaOk = track.codec == "jpeg" && track.width == w &&
+          track.height == h && track.nSamples == nF &&
+          track.timescale == 30 && track.duration == nF
+        track.syncSamples.map { f =>
+          val px = RealCodec.decode(track.sample(mp4, f))
+          val ok = metaOk && px.exists { case (dw, dh, p) =>
+            val errs = p.zip(frames(f)).map(t => math.abs(t._1 - t._2))
+            dw == w && dh == h &&
+              errs.sum.toDouble / errs.length < 16 && errs.max < 64
+          }
+          (id, f.toLong, w.toLong, h.toLong, nF.toLong, ok)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "n_samples",
+        "sync_ok")
       .orderBy("doc_id", "frame_idx")
   }
 
