@@ -173,6 +173,9 @@ object SparkEntry {
     "corpus_hist" -> ((s: SparkSession, d: String) => TextQuality.corpusHist(s, d)),
     "curate_budget" -> ((s: SparkSession, d: String) => TextQuality.curateBudget(s, d)),
     "curate_e2e" -> ((s: SparkSession, d: String) => TextQuality.curateE2e(s, d)),
+    // the curation pipeline on the SCALE PATH: + banded-minhash near-dup
+    // cluster stage — see TextQuality.curateFull
+    "curate_full" -> ((s: SparkSession, d: String) => TextQuality.curateFull(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -205,10 +208,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
+    // the scale path: banded-minhash candidate edges (fan-out bounded
+    // by construction, no DF-cap knob) — see Cluster.dedupClusterMinhash
+    "dedup_cluster_minhash" -> ((s: SparkSession, d: String) => Cluster.dedupClusterMinhash(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextSim.decontaminate(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
+    // the weekly-delivery regime applied to ANN: delta assigned to
+    // frozen centroids, appended O(delta) — see Ivf.ensureDeltaIndex
+    "similarity_ivf_delta" -> ((s: SparkSession, d: String) => Ivf.similarityIvfDelta(s, d)),
     // --- contract keys: the approximate families' bound/recall/
     // completeness contracts as hash-gated booleans (see Contracts) ---
     "agg_approx_distinct_bound" -> (Contracts.approxDistinctBound _),
@@ -218,6 +227,7 @@ object SparkEntry {
     "similarity_lsh_recall" -> ((s: SparkSession, d: String) => Contracts.lshRecall(s, d)),
     "similarity_ivf_recall" -> ((s: SparkSession, d: String) => Contracts.ivfRecall(s, d)),
     "similarity_ivf_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfRecallPerQuery(s, d)),
+    "similarity_ivf_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfDeltaRecallPerQuery(s, d)),
     "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
     "multimodal_meta" -> (Multimodal.mediaMeta _),
@@ -238,7 +248,10 @@ object SparkEntry {
     "multimodal_audio_frames" -> ((s: SparkSession, d: String) => Multimodal.audioFrames(s, d)),
     // REAL multi-frame decode: animated-GIF frame extraction — see
     // Multimodal.videoRoundtrip
-    "multimodal_video" -> ((s: SparkSession, d: String) => Multimodal.videoRoundtrip(s, d)))
+    "multimodal_video" -> ((s: SparkSession, d: String) => Multimodal.videoRoundtrip(s, d)),
+    // REAL ISO-BMFF (MP4) demux + motion-JPEG keyframe decode — see
+    // Multimodal.mp4Roundtrip and multimodal.Mp4
+    "multimodal_video_mp4" -> ((s: SparkSession, d: String) => Multimodal.mp4Roundtrip(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -263,12 +276,14 @@ object SparkEntry {
     "agg_approx_distinct_bound", "agg_percentile_approx_bound",
     "dedup_minhash_recall", "dedup_simhash_complete",
     "similarity_lsh_recall", "similarity_ivf_recall",
-    "similarity_ivf_recall_q", "dedup_embedding_ann_recall")
+    "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
+    "dedup_embedding_ann_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
-    * agg_approx_distinct, agg_percentile_approx (engine-specific
-    * hash/signature/centroid/sketch internals). Each of those families
+    * similarity_ivf_delta, agg_approx_distinct, agg_percentile_approx
+    * (engine-specific hash/signature/centroid/sketch internals). Each
+    * of those families
     * IS hash-gated through its companion contract key
     * ([[graft.query.Contracts]]): a boolean bound/recall/completeness
     * assertion whose oracle is literal TRUE on an oracle-reproducible
@@ -309,6 +324,11 @@ object SparkEntry {
     // per-query grain (the lsh key's strength): floor 4/5 measured at
     // the driver's verify SF — see Contracts.ivfRecallPerQuery
     "similarity_ivf_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // the same per-query floors, re-checked over the incrementally-
+    // maintained (delta-appended) index — Contracts.ivfDeltaRecallPerQuery
+    "similarity_ivf_delta_recall_q" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "dedup_embedding_ann_recall" ->
@@ -1290,6 +1310,63 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         |FROM p ORDER BY source, doc_id""".stripMargin,
+    // curate_e2e + the near-dup cluster stage on the banded scale
+    // path: canon -> band-verified >=0.8 pairs among survivors ->
+    // recursive closure -> component minima -> quality -> decontam ->
+    // mixture -> pack (stage algebra shared with the standalone keys)
+    "curate_full" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT *, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |    THEN md5(text)
+        |    ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |  FROM t),
+        |d AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn FROM c)
+        |  WHERE rn = 1),
+        |sh3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |eg AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT src, dst FROM eg UNION SELECT r.src, e2.dst FROM reach r JOIN eg e2 ON r.dst = e2.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |reps AS (SELECT d.* FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |  WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM reps
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
+        |    AND round(CAST(list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) <= 0.12),
+        |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh4 WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |m AS (SELECT * FROM q
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |        WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |        ELSE 'c0' END),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
     "pii_redact" ->
       """WITH p AS (SELECT doc_id, text || CASE
         |    WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com'
@@ -1376,6 +1453,29 @@ object SparkEntry {
         |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
         |SELECT m.doc_id, m.cluster, s.cluster_size, m.doc_id = m.cluster AS is_canonical
         |FROM m JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
+    // closure over the exact-Jaccard >= 0.8 pair set on the FULL
+    // shingle space (no DF cap — minhash's verify space; banding's
+    // completeness at 0.8 is the hash-green dedup_minhash_recall
+    // contract, which is what licenses a full hash gate here)
+    "dedup_cluster_minhash" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |m AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
+        |SELECT m.doc_id, m.cluster, s.cluster_size, m.doc_id = m.cluster AS is_canonical
+        |FROM m JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
@@ -1397,6 +1497,17 @@ object SparkEntry {
         |    unnest(range(0, n_frames)) AS frame_idx FROM m)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substring(text, CAST(frame_idx * frame_size + 1 AS INT), CAST(frame_size AS INT))) AS frame_md5
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    // container-derived metadata replayed from the shared formulas;
+    // the JPEG pixel stage is the tolerance boolean (lossy codec —
+    // the videoRoundtrip hash-gate pattern at the keyframe grain)
+    "multimodal_video_mp4" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 6 + 6 AS w,
+        |    doc_id % 3 + 6 AS h FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_samples, TRUE AS sync_ok
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -96,14 +96,43 @@ object Cluster {
     * Singletons cluster to themselves. Oracle twin: DuckDB recursive CTE
     * transitive closure over the identical pair set. */
   def dedupCluster(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, maxRounds: Int = 30): DataFrame = {
+      threshold: Double = 0.3, maxRounds: Int = 30): DataFrame =
+    dedupClusterOf(spark, dir,
+      TextSim.dedupNgram(spark, dir, threshold), maxRounds)
+
+  /** [[dedupCluster]] with BANDED-MINHASH candidate edges — the scale
+    * path (SCALE.md): n-gram postings' candidate fan-out is bounded by
+    * the DF cap, which a fixed-vocabulary corpus outgrows (the ×10
+    * decade audit shows the cap binding); banding bounds fan-out BY
+    * CONSTRUCTION — a pair is ever considered only if some 4-row band
+    * of their 32-slot signatures collides, so the candidate count
+    * tracks true near-dup mass at any corpus size and no cap knob
+    * exists to mistune. Edges are [[TextSim.dedupMinhash]]'s VERIFIED
+    * pairs (exact Jaccard over the full shingle space ≥ `threshold`).
+    *
+    * Default threshold 0.8 — the near-identical regime transitive
+    * dedup exists for, and the regime where 8×4 banding is measured
+    * complete on the fixtures: per-pair collision probability is
+    * 1−(1−j⁴)⁸ ≥ 0.985 at j = 0.8 and exactly 1 at j = 1 (identical
+    * signatures), and the hash-green `dedup_minhash_recall` contract
+    * pins catch = ALL at every driver SF — which is what lets this
+    * key run under the full DuckDB hash gate (oracle: closure over
+    * the exact-Jaccard ≥ 0.8 pair set) rather than rows-only. */
+  def dedupClusterMinhash(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxRounds: Int = 30): DataFrame =
+    dedupClusterOf(spark, dir,
+      TextSim.dedupMinhash(spark, dir, threshold), maxRounds)
+
+  /** Edge-source-parameterized core: transitive closure over `pairs`
+    * (columns d1, d2), singletons projected from the full corpus. */
+  def dedupClusterOf(spark: SparkSession, dir: String, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
     // component-find runs over the LINKED subgraph only — near-dup pairs
     // are a vanishing fraction of the corpus; unlinked docs become
     // singletons in one final projection instead of shuffling every
     // doc_id through every round
-    val pairs = TextSim.dedupNgram(spark, dir, threshold)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-    val labels = connectedComponents(pairs, maxRounds)
+    val labels = connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")), maxRounds)
 
     val docs = Tables.load(spark, dir, "documents").select("doc_id")
     val mapping = docs.join(labels, Seq("doc_id"), "left")

@@ -162,6 +162,72 @@ object TextQuality {
       .orderBy("source", "doc_id")
   }
 
+  /** The curation pipeline ON THE SCALE PATH — [[curateE2e]]'s five
+    * stages plus the near-duplicate CLUSTER stage, wired through the
+    * banded-minhash edge source end-to-end:
+    *
+    *   1. canonical dedup  — exact/whitespace-case collapse FIRST (it
+    *                        deletes the quadratic mass before any
+    *                        pairwise stage runs — the SCALE.md
+    *                        decade-audit lesson)
+    *   2. near-dup cluster — [[TextSim.dedupMinhashOf]] verified pairs
+    *                        (Jaccard ≥ 0.8) over the survivors →
+    *                        [[Cluster.connectedComponents]] → keep each
+    *                        component's minimum doc_id. Banding bounds
+    *                        the candidate fan-out by construction — no
+    *                        DF-cap knob to outgrow at ×10 and beyond
+    *   3. quality gate     — the Gopher rules (reason = ok)
+    *   4. decontamination  — eval split + ≥2-shared-4-gram docs out
+    *   5. mixture sampling — per-source hash thresholds
+    *   6. sequence packing — per-source capacity bins
+    *
+    * One lazy plan end-to-end except the cluster stage's log-round
+    * star loop (bounded by O(log n) rounds on the LINKED subgraph
+    * only). Scale shape: stage 1 is one hash window; stage 2 is the
+    * banded pipeline (signatures linear in corpus, pairs bounded by
+    * banding) plus CC on near-dup mass; stages 3–6 as [[curateE2eOf]].
+    */
+  def curateFull(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame =
+    curateFullOf(Tables.load(spark, dir, "documents"), capacity)
+
+  /** [[curateFull]]'s core over any (doc_id, source, text) frame (the
+    * decade harnesses run it on generated corpora). */
+  def curateFullOf(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    // stage 1: canonical dedup over the raw corpus
+    val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    val canon = docs
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .drop("canon_md5", "rn")
+    // stage 2: banded-minhash near-dup clustering among the survivors;
+    // each component keeps its minimum doc_id (label-blocked docs that
+    // never banded together stay — banding completeness at the 0.8 bar
+    // is the dedup_minhash_recall contract)
+    val pairs = TextSim.dedupMinhashOf(canon, threshold = 0.8)
+    val labels = Cluster.connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val reps = canon.join(labels, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+      .drop("cluster")
+    // stages 3-6: exactly curateE2eOf's algebra over the representatives
+    val kept = withQualitySignals(
+        reps.withColumn("toks", TextSim.tokens(col("text"))))
+      .filter(col("reason") === "ok")
+      .withColumn("n_tokens", col("n_words"))
+      .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")
+    val contaminated = TextSim.decontaminateOf(docs)
+      .select("doc_id").distinct()
+    val clean = kept
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val mixed = clean.filter(
+      md5(col("doc_id").cast("string")) < Sampling.mixtureThreshold)
+    Sampling.packBins(mixed, capacity)
+      .orderBy("source", "doc_id")
+  }
+
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus

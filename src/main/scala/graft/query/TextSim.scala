@@ -505,12 +505,21 @@ object TextSim {
     * No SQL oracle (hash functions differ across engines) — rows-only. */
   def dedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.3, nHashes: Int = 32, bands: Int = 8)
+      : DataFrame =
+    dedupMinhashOf(Tables.load(spark, dir, "documents"),
+      threshold, nHashes, bands)
+
+  /** DataFrame-parameterized core of [[dedupMinhash]] — the composed
+    * curation pipeline ([[TextQuality.curateFullOf]]) runs it over the
+    * canonical-dedup survivors rather than the raw table. */
+  def dedupMinhashOf(docs: DataFrame,
+      threshold: Double = 0.3, nHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
     val rows = nHashes / bands
     // hash each shingle string ONCE; the 32 minhash streams then hash the
     // 8-byte value instead of re-hashing a ~25-byte string 32 times (same
     // independence, ~4× less hashing work per shingle)
-    val sh = shingleSets(spark, dir)
+    val sh = shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val minhashes = (0 until nHashes).map(i =>
       min(xxhash64(col("sh_h"), lit(i))).as(s"h$i"))

@@ -12,7 +12,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 class PlanAuditSpec extends SparkSuite {
 
   private val expensive = Set(
-    "dedup_cluster", "similarity_ivf", "text_tfidf", "join_bucketed",
+    "dedup_cluster", "dedup_cluster_minhash", "curate_full",
+    "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control",
     "ingest_e2e_diff", "scan_zorder",
     // runs the corpus-total count on construction (the tfidf pattern)
@@ -29,7 +30,8 @@ class PlanAuditSpec extends SparkSuite {
     "stream_topk_window", "stream_session_tracker",
     "stream_heavy_hitters",
     // builds/loads the persisted IVF index on construction
-    "similarity_ivf_recall", "similarity_ivf_recall_q")
+    "similarity_ivf_recall", "similarity_ivf_recall_q",
+    "similarity_ivf_delta", "similarity_ivf_delta_recall_q")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf

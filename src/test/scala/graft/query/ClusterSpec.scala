@@ -31,6 +31,23 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("minhash-edge clustering == ngram-edge clustering at the 0.8 bar") {
+    // at test SFs the DF cap never binds and banding is contract-
+    // complete (dedup_minhash_recall), so the two edge sources derive
+    // the SAME >=0.8 pair set — the labelings must coincide exactly;
+    // a divergence means banding dropped a pair or verify drifted
+    val viaMinhash = Cluster.dedupClusterMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val viaNgram = Cluster.dedupClusterOf(spark, dir,
+        TextSim.dedupNgram(spark, dir, threshold = 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(viaMinhash === viaNgram)
+    assert(viaMinhash.exists(!_._4),
+      "fixture produced no multi-doc cluster at 0.8 — vacuous check")
+  }
+
   test("adversarial 1000-node chain collapses in O(log n) star rounds") {
     import spark.implicits._
     // a path graph is the worst case for naive label propagation
