@@ -44,9 +44,20 @@ object Bench {
     // (and the tracked artifact) remains the default
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // calibration_fixed_work: a CONSTANT-WORK, data-independent pure-
+    // Catalyst key (range → xxhash64 → sum, fully codegen'd, no I/O)
+    // recorded with the same warmup+3-pass-median protocol. It
+    // measures the BOX, not the engine: its cross-run ratio IS the
+    // run-level shift bench_compare.py previously had to infer from
+    // the key field, so the regression gate can normalize by a
+    // measured quantity as the raw margin narrows. Always included.
+    val calibration: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0L, 3L << 30, 1L, 32)
+        .selectExpr("sum(xxhash64(id)) AS h")
     val benched = SparkEntry.queries.view
-      .filterKeys(k => !excluded(k) && only.forall(_(k))).toMap
-    require(benched.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no keys")
+      .filterKeys(k => !excluded(k) && only.forall(_(k))).toMap +
+      ("calibration_fixed_work" -> calibration)
+    require(benched.size > 1, "SPARK_GRAFT_BENCH_ONLY matched no keys")
     // untimed warmup pass: compiles every plan's codegen + fills caches
     benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

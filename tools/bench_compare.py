@@ -40,6 +40,13 @@ import sys
 
 CROSS_RUN_NOISE = 1.5  # measured per-key cross-run noise ceiling
 ABS_SLACK = 0.1  # seconds; additive scheduler jitter on tiny keys
+# Constant-work, data-independent key recorded by graft.Bench (round
+# 13): its cross-run ratio measures the box-state shift DIRECTLY, so
+# normalization no longer has to infer it from the key field (which a
+# broad genuine regression could masquerade as). Excluded from totals
+# and from regression candidacy; falls back to the field-inferred
+# shift when either artifact predates it.
+CAL_KEY = "calibration_fixed_work"
 
 
 def load(path: str) -> dict:
@@ -101,15 +108,30 @@ def main() -> None:
         print(f"WARNING: provider changed ({old_prov} -> {new_prov}) — "
               "streaming drive timings are NOT comparable across "
               "providers; re-baseline or rerun with the old provider")
-    old_total = sum(old["queries"][k] for k in common)
-    new_total = sum(new["queries"][k] for k in common)
-    shift = new_total / old_total
-    print(f"common keys: {len(common)}  "
+    field = [k for k in common if k != CAL_KEY]
+    old_total = sum(old["queries"][k] for k in field)
+    new_total = sum(new["queries"][k] for k in field)
+    field_shift = new_total / old_total
+    print(f"common keys: {len(field)}  "
           f"totals: {old_total:.1f}s -> {new_total:.1f}s  "
-          f"run-level shift x{shift:.2f}")
+          f"field-inferred shift x{field_shift:.2f}")
+    if CAL_KEY in old["queries"] and CAL_KEY in new["queries"] \
+            and old["queries"][CAL_KEY] > 0 and new["queries"][CAL_KEY] > 0:
+        shift = new["queries"][CAL_KEY] / old["queries"][CAL_KEY]
+        print(f"measured box shift x{shift:.2f} (calibration key "
+              f"{old['queries'][CAL_KEY]:.2f}s -> "
+              f"{new['queries'][CAL_KEY]:.2f}s) — used for normalization")
+        if shift > 0 and abs(field_shift / shift - 1) > 0.5:
+            print("WARNING: field shift and measured box shift disagree "
+                  "by >50% — a broad real regression (or speedup) is "
+                  "moving the field, not the box")
+    else:
+        shift = field_shift
+        print("no calibration key in both artifacts — "
+              "normalizing by the field-inferred shift")
 
     candidates = []
-    for k in common:
+    for k in field:
         norm = new["queries"][k] / shift  # at the old run's box state
         old_med = old["queries"][k]
         band = old.get("passes", {}).get(k)
