@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
+import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -139,6 +139,9 @@ object SparkEntry {
     // Misra–Gries heavy hitters: the deterministic completeness
     // guarantee under the hash gate — see Sketches.heavyHitters
     "agg_heavy_hitters" -> ((s: SparkSession, d: String) => Sketches.heavyHitters(s, d)),
+    // Count-Min point-frequency bounds via the BUILT-IN mergeable
+    // count_min_sketch aggregate — see Sketches.countMinBound
+    "agg_countmin_bound" -> ((s: SparkSession, d: String) => Sketches.countMinBound(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -218,6 +221,11 @@ object SparkEntry {
     // the weekly-delivery regime applied to ANN: delta assigned to
     // frozen centroids, appended O(delta) — see Ivf.ensureDeltaIndex
     "similarity_ivf_delta" -> ((s: SparkSession, d: String) => Ivf.similarityIvfDelta(s, d)),
+    // the weekly-delivery regime applied to near-dup dedup: the banded
+    // index persisted, the delta appended O(delta), the query probing
+    // only delta buckets — see MinhashIndex (EXACT maintenance, full
+    // hash gate at the 0.8 banding-complete bar)
+    "dedup_minhash_delta" -> ((s: SparkSession, d: String) => MinhashIndex.dedupMinhashDelta(s, d)),
     // --- contract keys: the approximate families' bound/recall/
     // completeness contracts as hash-gated booleans (see Contracts) ---
     "agg_approx_distinct_bound" -> (Contracts.approxDistinctBound _),
@@ -815,6 +823,17 @@ object SparkEntry {
         |tot AS (SELECT sum(c) AS n FROM f)
         |SELECT item, CAST(c AS BIGINT) AS exact_cnt, TRUE AS caught
         |FROM f, tot WHERE 9 * c > n ORDER BY item""".stripMargin,
+    // Count-Min bounds: the oracle re-derives the exact counts of the
+    // same fixed stream; the two guarantee flags are checked in-engine
+    // (counters only increase; est within ceil(eps*n)) and literal
+    // TRUE here — the agg_heavy_hitters pattern
+    "agg_countmin_bound" ->
+      """WITH s AS (SELECT doc_id, 'z' || CAST(64 // r AS VARCHAR) AS item
+        |  FROM documents CROSS JOIN range(1, 65) t(r)),
+        |f AS (SELECT item, count(*) AS c FROM s GROUP BY item)
+        |SELECT item, CAST(c AS BIGINT) AS exact_cnt,
+        |  TRUE AS overcount_only, TRUE AS within_eps
+        |FROM f ORDER BY item""".stripMargin,
     // second principal direction: the power-iter chain, then division-
     // free deflation (q*rr - (q.r)*r), an integer-derived sign-
     // symmetric shift back into range, and two more matvec passes —
@@ -1476,6 +1495,26 @@ object SparkEntry {
         |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
         |SELECT m.doc_id, m.cluster, s.cluster_size, m.doc_id = m.cluster AS is_canonical
         |FROM m JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
+    // incremental-index delta dedup: exact-Jaccard >= 0.8 pairs whose
+    // newer side is in the delta (newest ~20% of doc_ids — the same
+    // cutoff rule as the engine, integer-division parity via //); the
+    // banding-completeness license is dedup_cluster_minhash's
+    "dedup_minhash_delta" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
+        |WHERE d2 >= cut.c
+        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos

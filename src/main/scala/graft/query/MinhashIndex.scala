@@ -1,0 +1,127 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Incrementally-maintained MinHash-LSH dedup index — the weekly-
+  * delivery regime (the reference's own cadence, README.md:19-20)
+  * applied to NEAR-DUP DEDUP; the dedup counterpart of the
+  * incrementally-maintained ANN index ([[Ivf.ensureDeltaIndex]]).
+  *
+  * A 100 TB curation pipeline cannot re-shingle its corpus on every
+  * delivery: [[TextSim.dedupMinhash]] is the right ONE-SHOT operator,
+  * but its signature stage is O(corpus) per run. This index persists
+  * the two artifacts banding actually needs — the band-bucket table
+  * (doc_id, band, bh) and the shingle-hash postings (doc_id, sh_h) —
+  * via [[graft.ingest.SnapshotStore]]. A delivery appends only the
+  * DELTA docs' rows as one O(delta) manifest commit (Iceberg-style
+  * fast append: base files are never rewritten, the new manifest just
+  * references one more dir), and the delta-dedup query joins only the
+  * delta's buckets — the small probe side — against the full index.
+  * Query cost is O(delta + candidates), independent of corpus size on
+  * the signature side.
+  *
+  * Unlike the IVF delta (frozen centroids ⇒ a drift bound and a
+  * retrain rule), minhash maintenance is EXACT forever: signatures and
+  * band buckets are per-doc aggregations, so an incrementally-built
+  * index is bit-identical to a from-scratch rebuild at any number of
+  * deliveries — no retrain trigger exists because there is nothing to
+  * drift ([[TextSim.bandBucketsOf]]'s per-doc grain is the proof
+  * obligation, pinned by MinhashIndexSpec's equivalence test).
+  *
+  * Default threshold 0.8 — the regime where 8×4 banding is measured
+  * complete on the fixtures (per-pair collision probability
+  * 1−(1−j⁴)⁸ ≥ 0.985 at j = 0.8, exactly 1 for identical docs; the
+  * hash-green `dedup_minhash_recall` contract pins catch = ALL at
+  * every driver SF). Completeness over the full corpus implies
+  * completeness over the delta-touching subset, which is what lets
+  * `dedup_minhash_delta` run under the FULL DuckDB hash gate (oracle:
+  * exact-Jaccard ≥ 0.8 pairs with the newer side in the delta) rather
+  * than rows-only.
+  */
+object MinhashIndex {
+
+  private val indexMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
+
+  /** The delta split point: the newest ~20% of doc_ids model the
+    * un-indexed weekly delivery (deterministic, data-derived — the
+    * same rule as [[Ivf]]'s embedding delta). */
+  private def deltaCutoff(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+
+  /** Versions the on-disk shape; bumping it orphans old indexes
+    * instead of misreading them. Tag includes the corpus fingerprint:
+    * a regenerated fixture at the same path must miss the old index. */
+  private val LayoutVersion = "M1"
+  private def indexTag(spark: SparkSession, dir: String, nHashes: Int,
+      bands: Int): String =
+    graft.core.Caches.md5Tag(
+      s"$dir|$nHashes|$bands|$LayoutVersion|" +
+      Tables.fingerprint(spark, dir, "documents"))
+
+  /** Build-or-load the incrementally-maintained index: base docs'
+    * buckets+postings committed as v0, the delta's appended as one
+    * O(delta) manifest commit each. Returns (buckets, postings) over
+    * base∪delta. Recovery-safe like the IVF delta: an incomplete store
+    * (< 2 versions on either side) rebuilds via overwrite — which
+    * RESETS the dir chain — so a crashed builder can never
+    * double-append the delta. Disk-persistent across JVMs, memoized
+    * within a session. */
+  def ensureIndex(spark: SparkSession, dir: String, nHashes: Int = 32,
+      bands: Int = 8): (DataFrame, DataFrame) = {
+    val tag = indexTag(spark, dir, nHashes, bands)
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val bStore = new graft.ingest.SnapshotStore(
+          s"target/graft-minhash/$tag/buckets")
+        val pStore = new graft.ingest.SnapshotStore(
+          s"target/graft-minhash/$tag/postings")
+        val complete = bStore.versions(spark).size >= 2 &&
+          pStore.versions(spark).size >= 2
+        if (!complete) {
+          val docs = Tables.load(spark, dir, "documents")
+          val cut = deltaCutoff(docs)
+          val baseSh =
+            TextSim.shingleHashesOf(docs.filter(col("doc_id") < cut))
+          val deltaSh =
+            TextSim.shingleHashesOf(docs.filter(col("doc_id") >= cut))
+          try {
+            bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
+            pStore.overwrite(baseSh)
+            // the delivery: one O(delta) append per store
+            bStore.append(TextSim.bandBucketsOf(deltaSh, nHashes, bands))
+            pStore.append(deltaSh)
+          } catch { case _: java.io.IOException => () } // lost race: a
+          // concurrent builder committed the identical index
+        }
+        (bStore.read(spark).get, pStore.read(spark).get)
+      })
+    }
+  }
+
+  /** The near-dup pairs a delivery INTRODUCES: every exact-Jaccard ≥
+    * `threshold` pair whose newer side is in the delta (delta ids are
+    * the corpus maximum, so d1 < d2 puts the delta doc at d2 —
+    * delta-vs-base and delta-vs-delta pairs, never base-vs-base).
+    * Candidates come from the delta's band buckets joined against the
+    * FULL persisted bucket table; verification joins the persisted
+    * postings — no document is re-shingled at query time. Same output
+    * contract as [[TextSim.dedupMinhash]]: (d1, d2, jaccard). */
+  def dedupMinhashDelta(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8)
+      : DataFrame = {
+    val (buckets, postings) = ensureIndex(spark, dir, nHashes, bands)
+    val cut = deltaCutoff(Tables.load(spark, dir, "documents"))
+    val cand = buckets.filter(col("doc_id") >= cut).as("y")
+      .join(buckets.as("x"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    TextSim.verifyJaccard(cand, postings, threshold)
+  }
+}

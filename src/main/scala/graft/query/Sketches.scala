@@ -50,4 +50,47 @@ object Sketches {
         .orderBy("item")
     } finally s.unpersist()
   }
+
+  /** Count-Min point-frequency bounds (Cormode–Muthukrishnan '05) via
+    * Spark's BUILT-IN mergeable `count_min_sketch` aggregate — the
+    * Spark-first complement to the custom MG aggregate: where MG
+    * answers "which items are heavy", CM answers "how often did THIS
+    * item occur" for any item, in w·d counters merged map-side by
+    * matrix addition.
+    *
+    * The driver key exposes the guarantee, not the raw counters (which
+    * are hash-layout-internal, like MG's sub-bar survivors): for every
+    * distinct item of the fixed [[stream]], its EXACT count plus two
+    * in-engine-checked bounds — `overcount_only` (est ≥ exact, a
+    * deterministic CM property: counters only ever increase) and
+    * `within_eps` (est ≤ exact + ⌈eps·n⌉, the CM error theorem, w.p.
+    * ≥ confidence per item; deterministic on the fixture under the
+    * fixed seed — at eps = 0.001 the 2000-column rows make collisions
+    * among 15 items vanishingly rare, so the sketch is exact here).
+    * Oracle re-derives the exact side with both flags literal TRUE.
+    * The sketch and the per-item probes are model scalars (w·d longs;
+    * 15 items). */
+  def countMinBound(spark: SparkSession, dir: String,
+      eps: Double = 0.001, conf: Double = 0.99, seed: Int = 7)
+      : DataFrame = {
+    val s = stream(spark, dir).cache()
+    try {
+      val bytes = s.agg(count_min_sketch(col("item"),
+          lit(eps), lit(conf), lit(seed)).as("cm"))
+        .first().getAs[Array[Byte]](0)
+      val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val exact = s.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      val items = exact.select("item").collect().map(_.getString(0))
+      val slack = math.ceil(eps * cm.totalCount()).toLong
+      import spark.implicits._
+      val est = items.toSeq.map(i => (i, cm.estimateCount(i)))
+        .toDF("item", "est")
+      exact.join(broadcast(est), "item")
+        .select(col("item"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("overcount_only"),
+          (col("est") <= col("exact_cnt") + lit(slack)).as("within_eps"))
+        .orderBy("item")
+    } finally s.unpersist()
+  }
 }

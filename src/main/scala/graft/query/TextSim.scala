@@ -515,12 +515,35 @@ object TextSim {
   def dedupMinhashOf(docs: DataFrame,
       threshold: Double = 0.3, nHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
-    val rows = nHashes / bands
-    // hash each shingle string ONCE; the 32 minhash streams then hash the
-    // 8-byte value instead of re-hashing a ~25-byte string 32 times (same
-    // independence, ~4× less hashing work per shingle)
-    val sh = shingleSetsOf(docs)
+    val sh = shingleHashesOf(docs)
+    val buckets = bandBucketsOf(sh, nHashes, bands)
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** (doc_id, sh_h): each doc's distinct shingles hashed ONCE — the 32
+    * minhash streams then hash the 8-byte value instead of re-hashing a
+    * ~25-byte string 32 times (same independence, ~4× less hashing work
+    * per shingle). This is also the POSTING table the incremental index
+    * persists ([[MinhashIndex]]): per-doc rows, so a filtered doc set
+    * yields exactly the full set's rows for those docs. */
+  private[query] def shingleHashesOf(docs: DataFrame): DataFrame =
+    shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+
+  /** (doc_id, band, bh): LSH band buckets of each doc's nHashes-slot
+    * minhash signature (bands × rows banding). Per-doc aggregation —
+    * signatures of a doc subset equal the full corpus run's, which is
+    * what makes incremental index maintenance EXACT (no drift, unlike
+    * frozen-centroid IVF). */
+  private[query] def bandBucketsOf(sh: DataFrame,
+      nHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = nHashes / bands
     val minhashes = (0 until nHashes).map(i =>
       min(xxhash64(col("sh_h"), lit(i))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
@@ -529,16 +552,17 @@ object TextSim {
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
           .as("bh"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
-    // exact-verify candidates
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (d1 < d2) against a
+    * posting table (doc_id, sh_h): emits (d1, d2, jaccard ≥ threshold),
+    * rounded for engine parity, totally ordered. Candidate side is the
+    * small one — two hash joins against the postings, then a pair-grain
+    * aggregation. */
+  private[query] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))

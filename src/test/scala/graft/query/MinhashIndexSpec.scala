@@ -1,0 +1,62 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, TestSpark}
+
+/** Incremental MinHash-LSH index maintenance (dedup_minhash_delta):
+  * the weekly-delivery regime applied to near-dup dedup. Unlike the
+  * IVF delta (frozen centroids ⇒ drift bound), minhash maintenance is
+  * EXACT — signatures are per-doc aggregations — so the incrementally-
+  * built index must reproduce the from-scratch batch operator
+  * bit-for-bit, with the delivery costing one O(delta) manifest append
+  * per store. */
+class MinhashIndexSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  private def cutoff: Long = graft.core.Tables
+    .load(spark, dir, "documents")
+    .agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+
+  test("delta dedup == the batch operator restricted to delta pairs") {
+    val cut = cutoff
+    val batch = TextSim.dedupMinhash(spark, dir, threshold = 0.8)
+      .filter(col("d2") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val delta = MinhashIndex.dedupMinhashDelta(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(delta === batch,
+      "incrementally-indexed delta pairs diverge from the batch operator")
+    assert(delta.nonEmpty, "fixture yields no delta pairs — vacuous test")
+  }
+
+  test("no base-vs-base pair leaks into the delta result") {
+    val cut = cutoff
+    val leaked = MinhashIndex.dedupMinhashDelta(spark, dir)
+      .filter(col("d2") < cut).count()
+    assert(leaked === 0L)
+  }
+
+  test("delivery is O(delta): both stores read base dirs PLUS a delta dir") {
+    val (buckets, postings) = MinhashIndex.ensureIndex(spark, dir)
+    for ((df, name) <- Seq((buckets, "buckets"), (postings, "postings"))) {
+      val dirs = df.inputFiles
+        .map(f => f.substring(0, f.lastIndexOf('/')))
+        .map(d => d.replaceAll(".*/(v-\\d+)-[^/]*.*", "$1")).distinct
+      assert(dirs.length >= 2,
+        s"$name live manifest reads from ${dirs.mkString(",")} — append " +
+          "rewrote the base instead of referencing it")
+    }
+  }
+
+  test("persisted postings equal a fresh shingle pass (index is exact)") {
+    val (_, postings) = MinhashIndex.ensureIndex(spark, dir)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val fresh = TextSim.shingleHashesOf(docs)
+    assert(postings.count() === fresh.count())
+    assert(postings.except(fresh).count() === 0L)
+  }
+}
