@@ -168,6 +168,9 @@ object SparkEntry {
     "stream_topk_window" -> (streaming.TopKDrive.topk _),
     // the MG sketch inside streaming window state — see HeavyHitterDrive
     "stream_heavy_hitters" -> ((s: SparkSession, d: String) => streaming.HeavyHitterDrive.heavy(s, d)),
+    // online near-dup detection: MinHash-LSH dedup as a per-bucket
+    // state machine, batch-equal by construction — see MinhashStream
+    "stream_dedup_minhash" -> ((s: SparkSession, d: String) => streaming.MinhashStream.dedup(s, d)),
     "stream_session_tracker" -> (streaming.TrackerDrive.sessions _),
     "doc_tokens_pos" -> (TextSim.docTokensPos _),
     "corpus_melt" -> ((s: SparkSession, d: String) => TextQuality.corpusMelt(s, d)),
@@ -747,6 +750,24 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     // hour windows align to epoch in both engines; tiebreak mirrors the
     // bounded-heap aggregate's contract (score desc, id asc)
+    // online minhash dedup: the streaming machine's union-over-buckets
+    // pair set equals the batch operator's, so the oracle is the full
+    // exact-Jaccard >= 0.8 sweep (dedup_cluster_minhash's
+    // banding-completeness license at the 0.8 bar)
+    "stream_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     // per-window MG completeness: exact heavy hitters re-derived by
     // the oracle, caught pinned literal TRUE (the MG theorem, per
     // window group — state-store codec corruption flips the hash)

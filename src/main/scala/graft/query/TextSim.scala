@@ -532,7 +532,7 @@ object TextSim {
     * per shingle). This is also the POSTING table the incremental index
     * persists ([[MinhashIndex]]): per-doc rows, so a filtered doc set
     * yields exactly the full set's rows for those docs. */
-  private[query] def shingleHashesOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame =
     shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
 
@@ -541,7 +541,7 @@ object TextSim {
     * signatures of a doc subset equal the full corpus run's, which is
     * what makes incremental index maintenance EXACT (no drift, unlike
     * frozen-centroid IVF). */
-  private[query] def bandBucketsOf(sh: DataFrame,
+  private[graft] def bandBucketsOf(sh: DataFrame,
       nHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = nHashes / bands
     val minhashes = (0 until nHashes).map(i =>
@@ -561,7 +561,7 @@ object TextSim {
     * rounded for engine parity, totally ordered. Candidate side is the
     * small one — two hash joins against the postings, then a pair-grain
     * aggregation. */
-  private[query] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cand

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.query.TextSim
+
+/** Online MinHash-LSH dedup (stream_dedup_minhash): the per-bucket
+  * state machine must equal the batch operator's verified pair set —
+  * arrival order and micro-batch boundaries move WHEN a pair surfaces,
+  * never WHETHER — and the bucket posting lists (a List[(id, shingle
+  * array)] state codec) must survive a checkpoint restart on both
+  * state-store providers. */
+class MinhashStreamSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchPairs = TextSim.dedupMinhash(spark, dir, threshold = 0.8)
+
+  test("multi-batch drive equals the batch operator's pair set") {
+    val got = MinhashStream.dedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = batchPairs
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "fixture yields no 0.8-pairs — vacuous test")
+    assert(got === want, "streaming pair set diverges from batch")
+  }
+
+  private val providers: Seq[(String, Option[String])] = Seq(
+    "hdfs store" -> None,
+    "rocksdb store" -> Some("org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider"))
+
+  for ((label, provider) <- providers)
+    test(s"bucket postings survive a restart ($label)") {
+      // straddle cut from the DATA: the first verified pair's older doc
+      // is delivered before the restart, its newer partner after — the
+      // pair emits only if the older doc's posting survived the stop
+      val pairs = batchPairs.orderBy("d1", "d2").limit(1).collect()
+      assert(pairs.nonEmpty, "fixture precondition: need a 0.8-pair")
+      val cut = pairs(0).getLong(1) // deliver doc_id < cut first
+      assert(pairs(0).getLong(0) < cut, "pair cannot straddle the cut")
+
+      val rows = MinhashStream.bandedDocs(spark, dir)
+      DriveSupport.withWorkspace("graft-restart-mh") { ws =>
+        DriveSupport.withStreamConfs(spark, provider = provider) {
+          import spark.implicits._
+          val inDir = ws.resolve("arrivals").toString
+          rows.filter(col("doc_id") < cut).coalesce(1).write.parquet(inDir)
+          val buf = new ConcurrentLinkedQueue[Row]
+          val ckpt = ws.resolve("ckpt").toString
+          def run(deliver: => Unit): Unit = {
+            val stream = spark.readStream.schema(rows.schema)
+              .parquet(inDir).as[MinhashStream.BandArrival]
+            val q = MinhashStream.machine(stream, 0.8).toDF()
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", ckpt)
+              .foreachBatch {
+                (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+                  DriveSupport.bufferBatch(buf, b)
+              }.start()
+            try { q.processAllAvailable(); deliver;
+              q.processAllAvailable() } finally q.stop()
+          }
+          run(())
+          // incarnation #2 from the same checkpoint: the rest arrives
+          rows.filter(col("doc_id") >= cut).coalesce(1)
+            .write.mode("append").parquet(inDir)
+          run(())
+          val got = spark.createDataFrame(
+              new java.util.ArrayList[Row](buf),
+              rows.sparkSession.emptyDataset[MinhashStream.DupHit].schema)
+            .distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getDouble(2))).toSet
+          val want = batchPairs.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          assert(got === want,
+            s"$label: post-restart pair set diverges from batch")
+        }
+      }
+    }
+}
