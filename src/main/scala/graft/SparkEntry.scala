@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
+import graft.query.{BloomJoin, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,6 +124,10 @@ object SparkEntry {
     "join_asof" -> (Temporal.purchaseAsofView _),
     "join_interval" -> (Temporal.intervalJoin _),
     "join_bucketed" -> (Bucketed.joinBucketed _),
+    // explicit bloom runtime filter: fact rows dropped at the scan,
+    // before the join shuffle — see BloomJoin (result == plain join,
+    // no false negatives)
+    "join_bloom_reduced" -> (BloomJoin.joinBloomReduced _),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -814,6 +818,15 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // bloom semi-join reduction: the oracle is the PLAIN join — bloom
+    // filters have no false negatives and the exact join drops false
+    // positives, so the reduced plan must be row-identical
+    "join_bloom_reduced" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,

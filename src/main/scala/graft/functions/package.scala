@@ -40,6 +40,28 @@ package object functions {
   def heavy_hitters_sketch(item: Column, k: Int): Column =
     toCol(MisraGriesItems(expr(item), k).toAggregateExpression())
 
+  /** Bloom-filter aggregate over xxhash64(key) — Catalyst's
+    * `BloomFilterAggregate`, the building block of Spark's own runtime
+    * row-level filtering (InjectRuntimeFilter), exposed as a column
+    * aggregate so a plan can build the filter EXPLICITLY where the
+    * optimizer's trigger conditions don't fire. Returns the serialized
+    * filter (binary); pair with [[bloom_might_contain]]. */
+  def bloom_filter_agg(key: Column, expectedItems: Long): Column =
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expr(key))), expectedItems).toAggregateExpression())
+
+  /** Membership probe against a serialized bloom filter (must be a
+    * literal/foldable — collect the filter as a model scalar first).
+    * NO false negatives: filtering a join's probe side with this
+    * never changes the join result, only its shuffle size. */
+  def bloom_might_contain(filter: Column, key: Column): Column =
+    toCol(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expr(filter),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expr(key)))))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
