@@ -186,6 +186,9 @@ object SparkEntry {
     // the curation pipeline on the SCALE PATH: + banded-minhash near-dup
     // cluster stage — see TextQuality.curateFull
     "curate_full" -> ((s: SparkSession, d: String) => TextQuality.curateFull(s, d)),
+    // the weekly delivery curated incrementally against the persisted
+    // minhash index — see TextQuality.curateDelta
+    "curate_delta" -> ((s: SparkSession, d: String) => TextQuality.curateDelta(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -1392,6 +1395,62 @@ object SparkEntry {
         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
         |reps AS (SELECT d.* FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
         |  WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM reps
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
+        |    AND round(CAST(list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) <= 0.12),
+        |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh4 WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |m AS (SELECT * FROM q
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |        WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |        ELSE 'c0' END),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
+    // the delivery curated incrementally: canonical first-wins over
+    // the full corpus, near-dup pairs restricted to the delta's newer
+    // side (the index's online policy — the newer member yields), then
+    // curate_full's stages 3-6 over the delivery survivors only
+    "curate_delta" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |c AS (SELECT *, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |    THEN md5(text)
+        |    ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |  FROM t),
+        |dk AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn FROM c)
+        |  WHERE rn = 1 AND doc_id >= (SELECT c FROM cut)),
+        |sh3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |drop2 AS (SELECT DISTINCT d2 AS doc_id
+        |  FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE d2 >= (SELECT c FROM cut)
+        |    AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |reps AS (SELECT * FROM dk WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
         |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
         |  FROM reps
         |  WHERE len(toks) >= 20

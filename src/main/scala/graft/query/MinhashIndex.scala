@@ -48,7 +48,7 @@ object MinhashIndex {
   /** The delta split point: the newest ~20% of doc_ids model the
     * un-indexed weekly delivery (deterministic, data-derived — the
     * same rule as [[Ivf]]'s embedding delta). */
-  private def deltaCutoff(docs: DataFrame): Long =
+  private[query] def deltaCutoff(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
 
   /** Versions the on-disk shape; bumping it orphans old indexes

@@ -228,6 +228,59 @@ object TextQuality {
       .orderBy("source", "doc_id")
   }
 
+  /** The weekly delivery curated INCREMENTALLY (curate_delta): the
+    * delta docs (newest ~20% of doc_ids, [[MinhashIndex.deltaCutoff]])
+    * flow through the whole curation pipeline WITHOUT re-processing
+    * the base corpus —
+    *   1. canonical first-wins: a delta doc is dropped if its
+    *      canonical form already exists anywhere older (one hash scan;
+    *      at scale the canon postings persist beside the minhash index
+    *      and this stage is a delta-vs-store anti-join);
+    *   2. near-dup: a delta doc is dropped if the PERSISTED banded
+    *      index reports any ≥ 0.8 pair with an older doc
+    *      ([[MinhashIndex.dedupMinhashDelta]] — the online dedup
+    *      policy: the newer member yields, no base re-clustering);
+    *   3–6. quality gate, eval-split decontamination, mixture
+    *      sampling, sequence packing — [[curateFullOf]]'s algebra over
+    *      the delivery's survivors only, producing the delivery's own
+    *      packed training shard.
+    * Per-delivery cost is O(delta + candidates) on the dedup side —
+    * the reference's weekly cadence composed end-to-end on the
+    * incremental path. */
+  def curateDelta(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = MinhashIndex.deltaCutoff(docs)
+    // stage 1: canonical rank over the FULL corpus, first-wins — kept
+    // delta ids only (the rank-1 check needs the group, not the base
+    // rows, so the base side never leaves the hash shuffle)
+    val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    val canonKept = docs
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("doc_id") >= cut)
+      .drop("canon_md5", "rn")
+    // stage 2: the index's verified delta pairs; the newer side yields
+    val dupNewer = MinhashIndex.dedupMinhashDelta(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    val reps = canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
+    // stages 3-6: curateFullOf's algebra over the delivery survivors
+    val kept = withQualitySignals(
+        reps.withColumn("toks", TextSim.tokens(col("text"))))
+      .filter(col("reason") === "ok")
+      .withColumn("n_tokens", col("n_words"))
+      .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")
+    val contaminated = TextSim.decontaminateOf(docs)
+      .select("doc_id").distinct()
+    val clean = kept
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val mixed = clean.filter(
+      md5(col("doc_id").cast("string")) < Sampling.mixtureThreshold)
+    Sampling.packBins(mixed, capacity)
+      .orderBy("source", "doc_id")
+  }
+
   /** TF-IDF keyword extraction: top 5 terms per document.
     *
     * tf = in-document term count, df = document frequency, N = corpus
