@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Apply the PERF.md round-9 regression rule to two bench.json artifacts.
 
-A key is a REGRESSION CANDIDATE when its new median (normalized by the
-run-level total shift — box state moves every key together) exceeds
-ALL of: the old artifact's recorded band max, 1.5x the old median, and
-the old median + 0.1 s.
+A key is a REGRESSION CANDIDATE when its new RAW median exceeds
+shift x max(old band max, 1.5 x old median) + 0.1 s, where shift is
+the run-level box shift (box state moves every key together, so the
+multiplicative noise terms scale with it) while the additive term
+stays in RAW seconds — scheduler jitter is a fixed cost of the box's
+scheduler, not of the key, so it must not shrink when the box runs
+fast (shift < 1 would otherwise cut the calibrated slack under tiny
+keys' documented swing) nor inflate when it runs slow.
 Calibration (PERF.md round-9 bench notes): on two identical-code runs
 40 minutes apart, 35/122 keys exceed the bare band (max normalized
 ratio 1.28) — the three-pass band measures WITHIN-run noise, while
@@ -132,20 +136,21 @@ def main() -> None:
 
     candidates = []
     for k in field:
-        norm = new["queries"][k] / shift  # at the old run's box state
+        raw = new["queries"][k]
         old_med = old["queries"][k]
         band = old.get("passes", {}).get(k)
         hi = max(band) if band else 0.0
-        gate = max(hi, CROSS_RUN_NOISE * old_med, old_med + ABS_SLACK)
-        if norm > gate:
+        # multiplicative noise terms scale with the box; the additive
+        # scheduler-jitter slack is box-independent and stays RAW
+        gate = shift * max(hi, CROSS_RUN_NOISE * old_med) + ABS_SLACK
+        if raw > gate:
             band_s = (f"band max {hi:.3f}" if band else "no band")
-            candidates.append((norm / gate, k,
-                               f"norm median {norm:.3f}s above gate "
-                               f"{gate:.3f}s ({band_s}, "
-                               f"{CROSS_RUN_NOISE}x median "
-                               f"{CROSS_RUN_NOISE * old_med:.3f}, "
-                               f"median+{ABS_SLACK} "
-                               f"{old_med + ABS_SLACK:.3f})"))
+            candidates.append((raw / gate, k,
+                               f"raw median {raw:.3f}s above gate "
+                               f"{gate:.3f}s = x{shift:.2f} shift * "
+                               f"max({band_s}, {CROSS_RUN_NOISE}x median "
+                               f"{CROSS_RUN_NOISE * old_med:.3f}) "
+                               f"+ {ABS_SLACK}"))
 
     if candidates:
         print(f"{len(candidates)} regression candidate(s):")
