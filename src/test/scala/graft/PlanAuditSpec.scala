@@ -28,10 +28,17 @@ class PlanAuditSpec extends SparkSuite {
     "stream_ivj_inner", "stream_ivj_left", "stream_ivj_full",
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
     "stream_topk_window", "stream_session_tracker",
-    "stream_heavy_hitters",
+    "stream_heavy_hitters", "stream_dedup_minhash",
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q",
-    "similarity_ivf_delta", "similarity_ivf_delta_recall_q")
+    "similarity_ivf_delta", "similarity_ivf_delta_recall_q",
+    // builds/loads the persisted minhash index on construction
+    // (dedup_minhash_delta; curate_delta composes it)
+    "dedup_minhash_delta", "curate_delta",
+    // collects the CM sketch + probe items on construction
+    "agg_countmin_bound",
+    // collects the bloom filter (dim count + aggregate) on construction
+    "join_bloom_reduced")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
   // similarity_topk is the deliberate brute-force baseline (10 broadcast
   // query probes × corpus scan, non-equi condition); similarity_ivf
