@@ -66,31 +66,45 @@ class MinhashIndexSpec extends SparkSuite {
     // on disk). The completeness check (>= 2 versions on BOTH stores)
     // must rebuild from scratch via chain-resetting overwrites, so the
     // recovered index equals the clean one — not a base-only index,
-    // and not a double-appended delta.
-    val want = MinhashIndex.dedupMinhashDelta(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    val (buckets, _) = MinhashIndex.ensureIndex(spark, dir)
-    val someFile = new java.io.File(buckets.inputFiles.head
-      .stripPrefix("file:"))
-    // store root = .../<tag>/buckets/<version-dir>/part-...
-    val bucketsRoot = someFile.getParentFile.getParentFile
-    val manifests = bucketsRoot.listFiles()
-      .filter(_.getName.startsWith("MANIFEST-")).sortBy(_.getName)
-    assert(manifests.length >= 2, "precondition: append chain missing")
-    assert(manifests.last.delete(), "could not stage the crash state")
-    // the local FS keeps a checksum sidecar per file; a raw delete
-    // must take it too or the rebuilt manifest reads as corrupt
-    new java.io.File(bucketsRoot, s".${manifests.last.getName}.crc")
-      .delete()
-    // a NEW session: the per-session memo must not mask the disk state
-    val s2 = spark.newSession()
-    val got = MinhashIndex.dedupMinhashDelta(s2, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(got === want, "post-crash rebuild diverges from a clean build")
-    val rebuilt = bucketsRoot.listFiles()
-      .filter(_.getName.startsWith("MANIFEST-"))
-    assert(rebuilt.length >= 2, "rebuild did not re-commit the append")
+    // and not a double-appended delta. HERMETIC: staged on a private
+    // copy of the corpus (own dir → own index tag/store), because the
+    // chain-resetting rebuild GCs version dirs that other suites'
+    // memoized plans over the SHARED fixture index still reference —
+    // the documented bounded-retention tradeoff, not a defect.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhix")
+      .toString
+    try {
+      graft.core.Tables.load(spark, dir, "documents")
+        .write.parquet(s"$tmp/documents.parquet")
+      val want = MinhashIndex.dedupMinhashDelta(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(want.nonEmpty, "vacuous: no delta pairs on the staged copy")
+      val (buckets, _) = MinhashIndex.ensureIndex(spark, tmp)
+      val someFile = new java.io.File(buckets.inputFiles.head
+        .stripPrefix("file:"))
+      // store root = .../<tag>/buckets/<version-dir>/part-...
+      val bucketsRoot = someFile.getParentFile.getParentFile
+      val manifests = bucketsRoot.listFiles()
+        .filter(_.getName.startsWith("MANIFEST-")).sortBy(_.getName)
+      assert(manifests.length >= 2, "precondition: append chain missing")
+      assert(manifests.last.delete(), "could not stage the crash state")
+      // the local FS keeps a checksum sidecar per file; a raw delete
+      // must take it too or the rebuilt manifest reads as corrupt
+      new java.io.File(bucketsRoot, s".${manifests.last.getName}.crc")
+        .delete()
+      // a NEW session: the per-session memo must not mask disk state
+      val s2 = spark.newSession()
+      val got = MinhashIndex.dedupMinhashDelta(s2, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === want,
+        "post-crash rebuild diverges from a clean build")
+      val rebuilt = bucketsRoot.listFiles()
+        .filter(_.getName.startsWith("MANIFEST-"))
+      assert(rebuilt.length >= 2, "rebuild did not re-commit the append")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
   }
 }

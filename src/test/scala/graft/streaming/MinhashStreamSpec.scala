@@ -31,6 +31,39 @@ class MinhashStreamSpec extends SparkSuite {
     assert(got === want, "streaming pair set diverges from batch")
   }
 
+  test("state IS the index: one state row per distinct band bucket") {
+    // the machine's scale law is the inverse of the windowed drives'
+    // (no watermark plateau — a dedup service's state is the product):
+    // after draining, the state store must hold EXACTLY the persisted
+    // index's bucket table, one row per distinct (band, bh) group —
+    // neither dropped buckets (lost dedup coverage) nor extras
+    val rows = MinhashStream.bandedDocs(spark, dir)
+    val wantGroups = rows.select("band", "bh").distinct().count()
+    DriveSupport.withWorkspace("graft-mh-state") { ws =>
+      DriveSupport.withStreamConfs(spark) {
+        import spark.implicits._
+        val inDir = ws.resolve("arrivals").toString
+        rows.repartitionByRange(4, col("doc_id")).write.parquet(inDir)
+        val stream = spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = MinhashStream.machine(
+            stream.as[MinhashStream.BandArrival], 0.8).toDF()
+          .writeStream.format("memory")
+          .queryName(DriveSupport.sinkName("mh_state"))
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .outputMode("append").start()
+        DriveSupport.draining(q) {
+          q.processAllAvailable()
+          val st = q.lastProgress.stateOperators
+          assert(st.nonEmpty, "no state operator in the progress")
+          assert(st.head.numRowsTotal === wantGroups,
+            s"state rows ${st.head.numRowsTotal} != index bucket " +
+              s"groups $wantGroups")
+        }
+      }
+    }
+  }
+
   private val providers: Seq[(String, Option[String])] = Seq(
     "hdfs store" -> None,
     "rocksdb store" -> Some("org.apache.spark.sql.execution.streaming." +
