@@ -53,4 +53,26 @@ class BloomJoinSpec extends SparkSuite {
       .count()
     assert(lost === 0L, s"$lost matching rows lost by the bloom filter")
   }
+
+  test("plan shape: might_contain filters the fact scan BELOW the join") {
+    // the operator's claim is WHERE the rows are dropped — at the
+    // scan, before any join/exchange. Find the Filter carrying
+    // might_contain over the fact side and assert no join sits under
+    // it (AQE-aware traversal; a filter that migrated above the join
+    // would pass the result-equality test while shipping 100% of the
+    // fact rows)
+    val plan = BloomJoin.joinBloomReduced(spark, dir)
+      .queryExecution.executedPlan
+    val nodes = graft.PlanNodes.all(plan)
+    val factFilters = nodes.filter(n =>
+      n.nodeName == "Filter" &&
+        n.toString.contains("might_contain") &&
+        n.toString.contains("l_orderkey"))
+    assert(factFilters.nonEmpty, "no might_contain filter on the fact side")
+    val joinsBelow = factFilters.flatMap(f =>
+      graft.PlanNodes.all(f).filter(n =>
+        n.nodeName.toLowerCase.contains("join")))
+    assert(joinsBelow.isEmpty,
+      "the bloom filter sits above a join — rows shuffle before dropping")
+  }
 }
