@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
+import graft.query.{BloomJoin, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -146,6 +146,11 @@ object SparkEntry {
     // Count-Min point-frequency bounds via the BUILT-IN mergeable
     // count_min_sketch aggregate — see Sketches.countMinBound
     "agg_countmin_bound" -> ((s: SparkSession, d: String) => Sketches.countMinBound(s, d)),
+    // mergeable HLL distinct rollup (daily sketches unioned to totals)
+    // with the ±5% bound under the hash gate — see Sketches.hllUnionBound
+    "agg_hll_union_bound" -> ((s: SparkSession, d: String) => Sketches.hllUnionBound(s, d)),
+    // one-scan all-columns table profile — see Profile.profileTable
+    "profile_table" -> ((s: SparkSession, d: String) => Profile.profileTable(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -189,6 +194,12 @@ object SparkEntry {
     // the weekly delivery curated incrementally against the persisted
     // minhash index — see TextQuality.curateDelta
     "curate_delta" -> ((s: SparkSession, d: String) => TextQuality.curateDelta(s, d)),
+    // per-document drop-stage lineage for the curation pipeline — see
+    // TextQuality.curateAudit
+    "curate_audit" -> ((s: SparkSession, d: String) => TextQuality.curateAudit(s, d)),
+    // learned-quality-filter inference: hashed features + broadcast
+    // model + one sum — see TextQuality.qualityModelScore
+    "quality_model_score" -> ((s: SparkSession, d: String) => TextQuality.qualityModelScore(s, d)),
     // --- text analysis / dedup / similarity (B14–B16 + extensions) ---
     "text_tokens" -> (TextSim.textTokens _),
     "text_stats" -> (TextSim.textStats _),
@@ -871,6 +882,48 @@ object SparkEntry {
         |SELECT item, CAST(c AS BIGINT) AS exact_cnt,
         |  TRUE AS overcount_only, TRUE AS within_eps
         |FROM f ORDER BY item""".stripMargin,
+    // HLL union rollup: the oracle re-derives the exact distinct side
+    // and the merged-sketch count; the ±5% union-estimate bound is
+    // checked in-engine and literal TRUE here (the agg_countmin_bound
+    // pattern — register arrays are library-internal, the guarantee is
+    // the contract surface)
+    "agg_hll_union_bound" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // one-scan table profile: typed min/max rendered post-aggregation
+    // (timestamps through the shared second-grain UTC format), widths
+    // from exact integer sums
+    "profile_table" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |    round(CAST(sum(len(CAST(o_orderkey AS VARCHAR))) AS DOUBLE) / count(o_orderkey), 6) AS al1,
+        |  CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |    round(CAST(sum(len(CAST(o_custkey AS VARCHAR))) AS DOUBLE) / count(o_custkey), 6) AS al2,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+        |    round(CAST(sum(len(o_orderstatus)) AS DOUBLE) / count(o_orderstatus), 6) AS al3,
+        |  CAST(count(o_totalprice) AS BIGINT) AS nn4, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+        |    CAST(min(o_totalprice) AS VARCHAR) AS mn4, CAST(max(o_totalprice) AS VARCHAR) AS mx4,
+        |    round(CAST(sum(len(CAST(o_totalprice AS VARCHAR))) AS DOUBLE) / count(o_totalprice), 6) AS al4,
+        |  CAST(count(o_orderdate) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5, strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+        |    round(CAST(sum(len(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))) AS DOUBLE) / count(o_orderdate), 6) AS al5,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS mn6, CAST(max(o_orderpriority) AS VARCHAR) AS mx6,
+        |    round(CAST(sum(len(o_orderpriority)) AS DOUBLE) / count(o_orderpriority), 6) AS al6
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_len FROM (
+        |  SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val, al1 AS avg_len FROM a
+        |  UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2, al2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3, mn3, mx3, al3 FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4, al4 FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5, al5 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, mn6, mx6, al6 FROM a)
+        |ORDER BY col_name""".stripMargin,
     // second principal direction: the power-iter chain, then division-
     // free deflation (q*rr - (q.r)*r), an integer-derived sign-
     // symmetric shift back into range, and two more matvec passes —
@@ -1493,6 +1546,56 @@ object SparkEntry {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    // drop-stage lineage: the oracle replays each stage's rule from its
+    // own standalone oracle (quality reasons, canon rank among
+    // survivors, the %50 split, shingle contamination, mixture
+    // thresholds) and labels by the same first-hit-wins CASE
+    "curate_audit" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, text, toks,
+        |    CASE WHEN len(toks) < 20 THEN 'too_short'
+        |      WHEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) < 0.45 THEN 'low_diversity'
+        |      WHEN round(CAST(list_max(list_transform(list_distinct(toks),
+        |        tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) > 0.12 THEN 'repetitive'
+        |      ELSE 'ok' END AS reason
+        |  FROM t),
+        |s AS (SELECT doc_id, row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn
+        |  FROM (SELECT doc_id, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |      THEN md5(text)
+        |      ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |    FROM r WHERE reason = 'ok')),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |lab AS (SELECT r.doc_id, r.source,
+        |    CASE WHEN r.reason <> 'ok' THEN r.reason
+        |      WHEN s.rn > 1 THEN 'duplicate'
+        |      WHEN r.doc_id % 50 = 0 THEN 'eval_split'
+        |      WHEN r.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |      WHEN md5(CAST(r.doc_id AS VARCHAR)) >=
+        |        CASE CAST(regexp_extract(r.source, '([0-9]+)', 1) AS INT) % 4
+        |          WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |          ELSE 'c0' END THEN 'mixture_sampled_out'
+        |      ELSE 'kept' END AS stage
+        |  FROM r LEFT JOIN s ON r.doc_id = s.doc_id)
+        |SELECT doc_id, source, stage, stage = 'kept' AS kept
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    // model-scoring inference: the oracle replays the hashed-feature
+    // lookup and integer sum bit-for-bit (md5 leading byte = bucket)
+    "quality_model_score" ->
+      """WITH model AS (SELECT printf('%02x', i) AS bucket, CAST(i % 7 - 3 AS BIGINT) AS weight FROM range(256) t(i)),
+        |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
+        |f AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket FROM tk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(weight) AS BIGINT) AS score, sum(weight) > 0 AS keep
+        |FROM f JOIN model USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),

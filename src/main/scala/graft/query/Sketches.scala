@@ -93,4 +93,48 @@ object Sketches {
         .orderBy("item")
     } finally s.unpersist()
   }
+
+  /** Mergeable distinct-count rollup via Spark's built-in Apache
+    * DataSketches HLL aggregates (`hll_sketch_agg` / `hll_union_agg`) —
+    * the third sketch citizen: MG answers "which items are heavy", CM
+    * answers "how often did this item occur", HLL answers "how many
+    * DISTINCT" in a fixed-size, union-mergeable register array.
+    *
+    * The operator computes per-(event_type, day) user sketches, then
+    * rolls them up to per-type totals with `hll_union_agg` — the
+    * re-aggregation pattern that matters at 100 TB: daily partials are
+    * sketched ONCE at ingest grain and every coarser rollup (week,
+    * month, all-time, cross-datacenter) is a union over kilobyte-sized
+    * register arrays, never a second scan of raw rows. A plain
+    * `count(DISTINCT)` rollup cannot reuse daily results (distinct is
+    * not summable); the sketch union is.
+    *
+    * The driver key exposes the guarantee, not the register internals
+    * (which are library-layout-specific, like MG's sub-bar survivors
+    * and CM's counter matrix): per event_type, the EXACT distinct user
+    * count, the number of daily sketches merged, and a `within_5pct`
+    * flag that the union-of-dailies estimate lands within ±5% of exact
+    * — deterministic on the fixture (the sketch is a pure function of
+    * the value set; at lgK = 12 the relative error is ~1.6% RSE, and
+    * the fixture's per-type cardinalities sit far inside the sparse-
+    * exact regime). Oracle re-derives the exact side with the flag
+    * literal TRUE — the agg_countmin_bound pattern. */
+  def hllUnionBound(spark: SparkSession, dir: String,
+      lgK: Int = 12): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+    val rolled = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).cast("long").as("n_days"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(rolled, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
 }

@@ -490,4 +490,102 @@ object TextQuality {
           .as("redacted_md5"))
       .orderBy("doc_id")
   }
+
+  /** Curation drop-lineage audit — for EVERY document, the first
+    * pipeline stage that removed it (or `kept`): the provenance record
+    * a 100 TB curation run has to emit, because "the corpus shrank 40%"
+    * is not actionable until it decomposes into quality / duplicate /
+    * eval-split / contamination / sampling shares, per document and per
+    * source. Mirrors [[curateE2e]]'s stage ORDER and rule definitions
+    * exactly — the reason columns come from the same
+    * [[withQualitySignals]] / [[TextSim.canonicalMd5]] /
+    * [[TextSim.decontaminateOf]] / [[Sampling.mixtureThreshold]]
+    * definitions the pipeline itself runs, so the audit cannot drift
+    * from the pipeline it explains.
+    *
+    * Stage labels, in pipeline order (first hit wins):
+    * `too_short` / `low_diversity` / `repetitive` (the quality gate's
+    * own reason), `duplicate` (a later canon-group member among quality
+    * survivors), `eval_split` (the held-out doc_id % 50 split),
+    * `contaminated` (shares ≥2 4-gram shingles with an eval doc),
+    * `mixture_sampled_out` (the per-source mixing rate), `kept`.
+    *
+    * Scale shape: identical to the pipeline it audits — one
+    * hash-partitioned window over (canon_md5) for the duplicate rank,
+    * one broadcast join against the benchmark-sized contaminated-id
+    * set; everything else is scan-side column algebra. The audit of a
+    * 100 TB corpus costs one extra join-back over the curation run
+    * itself. */
+  def curateAudit(spark: SparkSession, dir: String): DataFrame =
+    curateAuditOf(Tables.load(spark, dir, "documents"))
+
+  /** [[curateAudit]]'s core over any (doc_id, source, text) frame. The
+    * fixture corpus leaves the `duplicate` branch idle at small SFs
+    * (canonical twins there are template docs the quality gate rejects
+    * first); CurateAuditSpec drives EVERY branch on a constructed
+    * corpus. */
+  def curateAuditOf(docs: DataFrame): DataFrame = {
+    val sig = withQualitySignals(
+        docs.withColumn("toks", TextSim.tokens(col("text"))))
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+    // duplicate rank among QUALITY SURVIVORS only (the pipeline dedups
+    // after the gate); non-survivors re-acquire null rn via the
+    // join-back and are labeled by their own gate reason first
+    val surv = sig.filter(col("reason") === "ok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)))
+      .select("doc_id", "rn")
+    val contaminated = TextSim.decontaminateOf(docs)
+      .select("doc_id").distinct()
+      .withColumn("is_cont", lit(true))
+    sig.select("doc_id", "source", "reason")
+      .join(surv, Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("reason") =!= "ok", col("reason"))
+          .when(col("rn") > 1, "duplicate")
+          .when(col("doc_id") % 50 === 0, "eval_split")
+          .when(col("is_cont").isNotNull, "contaminated")
+          .when(md5(col("doc_id").cast("string")) >=
+            Sampling.mixtureThreshold, "mixture_sampled_out")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("stage"),
+        (col("stage") === "kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Learned-quality-filter INFERENCE as pure columnar algebra — the
+    * fastText/DCLM-style model-scoring stage that ranks documents by a
+    * trained linear classifier over hashed bag-of-words features
+    * (hashing trick, Weinberger et al. '09): token → feature bucket via
+    * a hash, score = Σ weight(bucket) over token OCCURRENCES, keep ⇔
+    * score > 0. The model here is a fixed 256-bucket integer weight
+    * table derived deterministically from the bucket id (a stand-in
+    * for trained parameters — integer weights keep the score
+    * cross-engine exact); swapping in real trained weights is replacing
+    * one broadcast table, the plan does not change.
+    *
+    * Scale shape: the canonical inference plan — explode tokens
+    * scan-side, BROADCAST the kilobyte-sized model (a model join must
+    * never shuffle the corpus), one map-side-combinable sum per doc.
+    * One shuffle on doc_id at 100 TB; the model rides to every executor
+    * once. Bucketing via md5's leading byte is the engine-portable
+    * stand-in for the tokenizer's real hash — the oracle twin replays
+    * it bit-for-bit. */
+  def qualityModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val model = spark.range(0, 256)
+      .select(lpad(lower(hex(col("id"))), 2, "0").as("bucket"),
+        ((col("id") % 7) - 3).cast("long").as("weight"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextSim.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum("weight").as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("score") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
 }

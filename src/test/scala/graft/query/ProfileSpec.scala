@@ -1,0 +1,70 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, TestSpark}
+
+/** Unit checks for the one-scan table profile beyond the DuckDB
+  * hash-compare: stats tie out against direct per-column aggregates, and
+  * the null-handling paths the no-null fixture cannot exercise are
+  * driven on a constructed frame. */
+class ProfileSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("profile_table: one row per column; stats tie out against direct aggregates") {
+    val t = graft.core.Tables.load(spark, dir, "orders")
+    val out = Profile.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === t.schema.fieldNames.toSet)
+    val n = t.count()
+    out.values.foreach { r =>
+      assert(r.getLong(1) === n, s"${r.getString(0)} n_rows")
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} n_nulls on no-null fixture")
+    }
+    assert(out("o_orderstatus").getLong(3) ===
+      t.select(countDistinct(col("o_orderstatus"))).first().getLong(0))
+    assert(out("o_orderkey").getString(4) ===
+      t.agg(min("o_orderkey")).first().getLong(0).toString)
+    assert(out("o_orderkey").getString(5) ===
+      t.agg(max("o_orderkey")).first().getLong(0).toString)
+    // timestamps render at the shared second-grain UTC format
+    assert(out("o_orderdate").getString(4)
+      .matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+    assert(out("o_orderdate").getDouble(6) === 19.0)
+  }
+
+  test("profileOf: nulls counted, min/max ignore them and order TYPED, not lexicographically") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(9L), Some("b")), (Some(10L), None),
+      (None, Some("a")), (Some(2L), Some("c")))
+      .toDF("k", "s")
+    val out = Profile.profileOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) === 4L)
+    assert(k.getLong(2) === 1L)
+    assert(k.getLong(3) === 3L)
+    // numeric order: min 2, max 10 — a string-ordered profile would
+    // report min "10" / max "9"
+    assert(k.getString(4) === "2")
+    assert(k.getString(5) === "10")
+    // mean width over NON-NULL values only: (1 + 2 + 1) / 3
+    assert(math.abs(k.getDouble(6) - 1.333333) < 1e-9)
+    val s = out("s")
+    assert(s.getLong(2) === 1L)
+    assert(s.getLong(3) === 3L)
+    assert(s.getString(4) === "a" && s.getString(5) === "c")
+  }
+
+  test("profile is ONE job over one scan (no per-column driver loop)") {
+    val t = graft.core.Tables.load(spark, dir, "orders")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Profile.profileOf(t).collect()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // a per-column implementation would run ≥ one job per column (6+);
+    // the single-agg plan runs a small constant count (AQE stages)
+    assert(after - before <= 3, s"profile ran ${after - before} jobs")
+  }
+}
