@@ -151,6 +151,12 @@ object SparkEntry {
     "agg_hll_union_bound" -> ((s: SparkSession, d: String) => Sketches.hllUnionBound(s, d)),
     // one-scan all-columns table profile — see Profile.profileTable
     "profile_table" -> ((s: SparkSession, d: String) => Profile.profileTable(s, d)),
+    // the profile maintained incrementally: per-delivery partials
+    // merged, distinct via HLL union — see Profile.profileMerge
+    "profile_merge" -> ((s: SparkSession, d: String) => Profile.profileMerge(s, d)),
+    // tokenizer-vocabulary coverage cut (integer-exact membership) —
+    // see TextQuality.vocabCoverage
+    "vocab_coverage" -> ((s: SparkSession, d: String) => TextQuality.vocabCoverage(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -924,6 +930,52 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5, al5 FROM a
         |  UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, mn6, mx6, al6 FROM a)
         |ORDER BY col_name""".stripMargin,
+    // merged-partial profile: every exact column re-derived from the
+    // full table (merge-algebra bugs diverge the hash); the HLL
+    // distinct-estimate bound is in-engine, literal TRUE here
+    "profile_merge" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |    round(CAST(sum(len(CAST(o_orderkey AS VARCHAR))) AS DOUBLE) / count(o_orderkey), 6) AS al1,
+        |  CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |    round(CAST(sum(len(CAST(o_custkey AS VARCHAR))) AS DOUBLE) / count(o_custkey), 6) AS al2,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+        |    round(CAST(sum(len(o_orderstatus)) AS DOUBLE) / count(o_orderstatus), 6) AS al3,
+        |  CAST(count(o_totalprice) AS BIGINT) AS nn4, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+        |    CAST(min(o_totalprice) AS VARCHAR) AS mn4, CAST(max(o_totalprice) AS VARCHAR) AS mx4,
+        |    round(CAST(sum(len(CAST(o_totalprice AS VARCHAR))) AS DOUBLE) / count(o_totalprice), 6) AS al4,
+        |  CAST(count(o_orderdate) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5, strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+        |    round(CAST(sum(len(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))) AS DOUBLE) / count(o_orderdate), 6) AS al5,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS mn6, CAST(max(o_orderpriority) AS VARCHAR) AS mx6,
+        |    round(CAST(sum(len(o_orderpriority)) AS DOUBLE) / count(o_orderpriority), 6) AS al6
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_len, TRUE AS distinct_est_ok FROM (
+        |  SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val, al1 AS avg_len FROM a
+        |  UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2, al2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3, mn3, mx3, al3 FROM a
+        |  UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4, al4 FROM a
+        |  UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, mn5, mx5, al5 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, mn6, mx6, al6 FROM a)
+        |ORDER BY col_name""".stripMargin,
+    // vocabulary coverage: integer-exact membership ((cum-cnt)*100 <
+    // covPct*total), rank/cumulative windows on the collapsed vocab
+    "vocab_coverage" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |w AS (SELECT token, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS vocab_rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+        |    sum(cnt) OVER () AS total
+        |  FROM c)
+        |SELECT token, cnt, vocab_rank,
+        |  round(CAST(cum_cnt AS DOUBLE) / total, 6) AS cum_share,
+        |  (cum_cnt - cnt) * 100 < 90 * total AS in_vocab
+        |FROM w ORDER BY vocab_rank""".stripMargin,
     // second principal direction: the power-iter chain, then division-
     // free deflation (q*rr - (q.r)*r), an integer-derived sign-
     // symmetric shift back into range, and two more matvec passes —

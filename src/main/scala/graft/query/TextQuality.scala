@@ -554,6 +554,50 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-vocabulary coverage — the corpus statistic a BPE/vocab
+    * training run starts from: every distinct token with its count,
+    * frequency rank, cumulative corpus share, and whether it makes the
+    * coverage-cut vocabulary (the smallest frequency-ranked prefix
+    * covering ≥ `covPct`% of all token occurrences; the boundary token
+    * that crosses the cut is IN — standard vocab-truncation semantics).
+    *
+    * The membership test is PURE INTEGER — `(cum - cnt) * 100 <
+    * covPct * total` (strictly-before-this-token coverage below the
+    * bar) — so the flag is exact in both engines; only the reported
+    * `cum_share` is a rounded ratio.
+    *
+    * Scale shape: the corpus-sized work is the map-side-combinable
+    * token count (one shuffle, occurrence rows collapse to VOCABULARY
+    * grain). The global rank/cumulative windows then run on the
+    * collapsed vocab — model-sized by construction (a vocabulary is a
+    * global object; ~10⁵–10⁶ rows at any corpus size), the same
+    * bounded-model-side reasoning as the IVF centroid table. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      covPct: Int = 90): DataFrame =
+    vocabCoverageOf(docsTok(spark, dir), covPct)
+
+  /** [[vocabCoverage]]'s core over any frame carrying `toks`. */
+  def vocabCoverageOf(docs: DataFrame, covPct: Int = 90): DataFrame = {
+    val counts = docs
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val order = Window.orderBy(col("cnt").desc, col("token").asc)
+    val cum = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("vocab_rank", row_number().over(order).cast("long"))
+      .withColumn("cum_cnt", sum("cnt").over(cum))
+      .withColumn("total", sum("cnt").over(all))
+      .select(col("token"), col("cnt"), col("vocab_rank"),
+        round(col("cum_cnt").cast("double") / col("total"), 6)
+          .as("cum_share"),
+        ((col("cum_cnt") - col("cnt")) * 100 <
+          col("total") * covPct).as("in_vocab"))
+      .orderBy("vocab_rank")
+  }
+
   /** Learned-quality-filter INFERENCE as pure columnar algebra — the
     * fastText/DCLM-style model-scoring stage that ranks documents by a
     * trained linear classifier over hashed bag-of-words features

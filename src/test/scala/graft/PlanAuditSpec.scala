@@ -48,8 +48,12 @@ class PlanAuditSpec extends SparkSuite {
   // similarity_lsh_recall joins against the similarity_topk truth side;
   // dedup_simhash_complete's ground truth IS an all-pairs signature
   // sweep (the operator under audit stays bucketed).
+  // profile_merge joins TWO single-row aggregates (merged partials ×
+  // the full-scan exact-distinct verification side) on a constant key
+  // the optimizer folds away — a 1-row × 1-row broadcast, model-sized
+  // by construction.
   private val bnljAllowed = Set("similarity_topk", "similarity_ivf",
-    "similarity_lsh_recall", "dedup_simhash_complete")
+    "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge")
 
   // AQE-aware traversal lives in [[PlanNodes]] — shared by every
   // plan-shape suite so no assertion can go vacuously green again.

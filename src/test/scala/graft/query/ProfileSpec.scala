@@ -58,6 +58,47 @@ class ProfileSpec extends SparkSuite {
     assert(s.getString(4) === "a" && s.getString(5) === "c")
   }
 
+  test("profile_merge: merged partials reproduce the full-scan profile exactly; sketch bound green") {
+    val full = Profile.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val merged = Profile.profileMerge(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(merged.keySet === full.keySet)
+    merged.foreach { case (name, m) =>
+      val f = full(name)
+      // every mergeable stat is EXACT: counts, nulls, typed min/max,
+      // width sums — identical to the one-scan profile
+      assert(m.getLong(1) === f.getLong(1), s"$name n_rows")
+      assert(m.getLong(2) === f.getLong(2), s"$name n_nulls")
+      assert(m.getLong(3) === f.getLong(3), s"$name n_distinct (exact side)")
+      assert(m.getString(4) === f.getString(4), s"$name min_val")
+      assert(m.getString(5) === f.getString(5), s"$name max_val")
+      assert(math.abs(m.getDouble(6) - f.getDouble(6)) < 1e-9, s"$name avg_len")
+      assert(m.getBoolean(7), s"$name distinct_est_ok")
+    }
+  }
+
+  test("profileMergeOf: merge algebra survives skewed slices (all nulls in one, a lone min in another)") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Long])](
+      // slice 0: the lone global minimum
+      (0L, Some(-100L)),
+      // slice 1: all null
+      (1L, None), (3L, None),
+      // slice 2: ordinary values incl. the global max
+      (2L, Some(7L)), (4L, Some(50L)), (6L, Some(7L)))
+      .toDF("id", "v")
+    val out = Profile.profileMergeOf(df, pmod(col("id"), lit(3)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getLong(1) === 6L)      // n_rows
+    assert(v.getLong(2) === 2L)      // n_nulls (the all-null slice)
+    assert(v.getLong(3) === 3L)      // exact distinct: -100, 7, 50
+    assert(v.getString(4) === "-100")
+    assert(v.getString(5) === "50")
+    assert(v.getBoolean(7), "sketch union must be exact at this cardinality")
+  }
+
   test("profile is ONE job over one scan (no per-column driver loop)") {
     val t = graft.core.Tables.load(spark, dir, "orders")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
