@@ -117,11 +117,18 @@ object Cluster {
     * signatures), and the hash-green `dedup_minhash_recall` contract
     * pins catch = ALL at every driver SF — which is what lets this
     * key run under the full DuckDB hash gate (oracle: closure over
-    * the exact-Jaccard ≥ 0.8 pair set) rather than rows-only. */
+    * the exact-Jaccard ≥ 0.8 pair set) rather than rows-only.
+    *
+    * Candidate stage is the STAR-BOUNDED form
+    * ([[TextSim.dedupMinhashStar]]): clustering consumes connectivity,
+    * not the pair set, so degenerate buckets emit O(B) spanning edges
+    * instead of O(B²) pairs — identical output at fixture bucket
+    * sizes, linear instead of quadratic on a boilerplate-heavy corpus
+    * (DegenerateBucketSpec plants a 10k-doc bucket and counts). */
   def dedupClusterMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxRounds: Int = 30): DataFrame =
     dedupClusterOf(spark, dir,
-      TextSim.dedupMinhash(spark, dir, threshold), maxRounds)
+      TextSim.dedupMinhashStar(spark, dir, threshold), maxRounds)
 
   /** Edge-source-parameterized core: transitive closure over `pairs`
     * (columns d1, d2), singletons projected from the full corpus. */

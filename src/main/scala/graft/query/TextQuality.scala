@@ -205,7 +205,9 @@ object TextQuality {
     // each component keeps its minimum doc_id (label-blocked docs that
     // never banded together stay — banding completeness at the 0.8 bar
     // is the dedup_minhash_recall contract)
-    val pairs = TextSim.dedupMinhashOf(canon, threshold = 0.8)
+    // star-bounded candidates: the closure consumes connectivity only,
+    // so degenerate buckets cost O(B) edges, not O(B²) pairs
+    val pairs = TextSim.dedupMinhashStarOf(canon, threshold = 0.8)
     val labels = Cluster.connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val reps = canon.join(labels, Seq("doc_id"), "left")

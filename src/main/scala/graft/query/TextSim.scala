@@ -526,6 +526,73 @@ object TextSim {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Spanning candidate pairs from band buckets with BOUNDED in-bucket
+    * expansion — the CLUSTER-consumer form of banding's candidate
+    * stage. [[dedupMinhashOf]]'s all-i<j expansion is the right
+    * contract when the OUTPUT is the pair set, but it is O(B²) inside
+    * one (band, bucket): a boilerplate-heavy crawl corpus can land B ≈
+    * 10⁴⁺ near-identical docs in one bucket and emit B²/2 candidates —
+    * the one genuine scale-killer in the dedup family. Connectivity
+    * (what transitive-closure clustering consumes) only needs a
+    * SPANNING set per bucket, so here buckets above `allPairCap` emit
+    * STAR edges rooted at the bucket-minimum doc — O(B) per bucket —
+    * while buckets at-or-under the cap keep the exact all-pairs form
+    * (so at fixture scale, where the observed max bucket is single-
+    * digit, the pair set — and every downstream hash — is unchanged).
+    *
+    * Accepted trade-off, documented not hidden: in a degenerate bucket
+    * whose minimum is a CHANCE collider (verifies against nothing),
+    * star edges can miss connectivity that all-pairs would find. In
+    * the ≥ 0.8 near-identical regime that clustering targets, bucket
+    * mass comes from genuinely near-identical docs (a 4-row band
+    * collision at j < 0.3 has probability < 1 %), and every true pair
+    * has 8 bands — i.e. up to 8 buckets — to land a star edge; the
+    * `dedup_minhash_recall` contract pins catch = ALL on the driver
+    * fixtures. Window-min/count (not collect_list) on purpose: a
+    * degenerate bucket must never materialize as ONE array cell — the
+    * window sorter spills; a 10⁷-doc array row would OOM the executor.
+    */
+  private[graft] def starCandidates(buckets: DataFrame,
+      allPairCap: Int = 32): DataFrame = {
+    val w = Window.partitionBy("band", "bh")
+    val ann = buckets
+      .withColumn("mn", min("doc_id").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2)
+    val small = ann.filter(col("cnt") <= allPairCap)
+      .select("band", "bh", "doc_id")
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val starPairs = ann.filter(col("cnt") > allPairCap)
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("d1"), col("doc_id").as("d2"))
+    smallPairs.union(starPairs).distinct()
+  }
+
+  /** [[dedupMinhashOf]] with star-bounded candidate expansion
+    * ([[starCandidates]]) — the form every transitive-closure consumer
+    * ([[Cluster.dedupClusterMinhash]], [[TextQuality.curateFullOf]])
+    * routes through. Identical banding + exact-Jaccard verify; only
+    * the in-bucket candidate combinatorics differ, and only for
+    * buckets above `allPairCap`. */
+  def dedupMinhashStarOf(docs: DataFrame, threshold: Double = 0.8,
+      nHashes: Int = 32, bands: Int = 8, allPairCap: Int = 32)
+      : DataFrame = {
+    val sh = shingleHashesOf(docs)
+    verifyJaccard(
+      starCandidates(bandBucketsOf(sh, nHashes, bands), allPairCap),
+      sh, threshold)
+  }
+
+  /** Table-loading wrapper of [[dedupMinhashStarOf]]. */
+  def dedupMinhashStar(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,
+      allPairCap: Int = 32): DataFrame =
+    dedupMinhashStarOf(Tables.load(spark, dir, "documents"),
+      threshold, nHashes, bands, allPairCap)
+
   /** (doc_id, sh_h): each doc's distinct shingles hashed ONCE — the 32
     * minhash streams then hash the 8-byte value instead of re-hashing a
     * ~25-byte string 32 times (same independence, ~4× less hashing work
