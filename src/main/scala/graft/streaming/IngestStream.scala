@@ -271,10 +271,19 @@ object IngestStream {
     // form: only the delivery shuffles, the bucketed snapshot is read
     // in place (the 100 TB merge shape).
     val store = productsStore(cfg)
-    val snapshot = store.read(spark).getOrElse(emptyProducts(spark))
-    val merged = Upsert.mergeFieldsJoin(snapshot, Ingest.valid(prepared),
-      key = "code", version = Seq(col("file_id")))
-    store.overwrite(merged)
+    store.read(spark) match {
+      case Some(snapshot) if store.bucket.isDefined =>
+        // bucket-grain copy-on-write: write only the delivery-touched
+        // buckets, inherit the rest — O(delta) write volume, the
+        // Mongo-parity cost (data_processor.py:95-113)
+        Upsert.commitDeltaCow(store, snapshot, Ingest.valid(prepared),
+          key = "code", version = Seq(col("file_id")))
+      case other =>
+        val snapshot = other.getOrElse(emptyProducts(spark))
+        store.overwrite(Upsert.mergeFieldsJoin(snapshot,
+          Ingest.valid(prepared), key = "code",
+          version = Seq(col("file_id"))))
+    }
 
     // terminal control rows: counters for healthy files, `failed` for
     // poison files (total unknown ⇒ 0, matching the reference which never

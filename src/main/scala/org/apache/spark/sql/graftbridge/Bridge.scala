@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Bucket id encoded in a bucketed-table file name (the `_00003`
+    * name suffix) — parsed by Spark's own rule so the copy-on-write
+    * snapshot commit can never disagree with the reader about which
+    * bucket a file belongs to. BucketingUtils is private[sql]. */
+  def bucketId(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName)
 }
