@@ -70,6 +70,10 @@ object IngestStream {
     * @param productsBuckets bucket count for the products snapshot
     *                     (None = plain parquet layout — lets the crash
     *                     suite prove the replay seam on BOTH layouts)
+    * @param arraySplitBytes JSON-array deliveries above this size are
+    *                     stream-split into JSONL shards before the
+    *                     distributed parse ([[graft.ingest.ArraySplitter]])
+    *                     so no file parses in one task; 256 MiB default
     * @param afterBatchCommit TEST SEAM (the beforePublish analogue):
     *                     runs inside foreachBatch AFTER the batch's
     *                     snapshot-store commits, BEFORE the function
@@ -85,6 +89,7 @@ object IngestStream {
       archiveDir: Option[String] = None,
       maxFilesPerTrigger: Int = 16,
       productsBuckets: Option[Int] = Some(8),
+      arraySplitBytes: Long = 256L << 20,
       afterBatchCommit: Long => Unit = _ => ())
 
   /** Products snapshot is BUCKETED on the merge key: each weekly merge
@@ -137,6 +142,48 @@ object IngestStream {
   def processBatch(spark: SparkSession, cfg: Config,
       files: Seq[(String, java.sql.Timestamp)], batchId: Long): Unit = {
     if (files.isEmpty) return
+    // scratch for landing-side array splitting; shards live exactly as
+    // long as the batch (every consumer action completes inside it)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-split")
+    try doProcessBatch(spark, cfg, files, batchId, scratch)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** A delivery path as a local filesystem path (the discovery stream
+    * hands URIs; direct test drives hand plain paths). */
+  private def localPath(p: String): java.nio.file.Path =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p))
+    else java.nio.file.Paths.get(p)
+
+  /** The batch's read paths after landing-side splitting: any JSON-array
+    * delivery above the split threshold is stream-split into JSONL
+    * shards (constant memory, [[graft.ingest.ArraySplitter]]) so no
+    * file parses in ONE task — the r13 audit's oversized-delivery gap;
+    * the reference runs the identical sequential pass in its
+    * FileSplitter worker (file_splitter.py:117-118). A malformed
+    * oversized file aborts its split and falls back to the original
+    * single-task path, preserving whole-file poison (A17). */
+  private def splitPaths(files: Seq[String], scratch: java.nio.file.Path,
+      thresholdBytes: Long): Seq[String] =
+    files.flatMap { p =>
+      val isArray = !p.endsWith(".jsonl") && !p.endsWith(".ndjson") &&
+        !p.endsWith(".csv")
+      val lp = localPath(p)
+      if (isArray && java.nio.file.Files.size(lp) > thresholdBytes)
+        graft.ingest.ArraySplitter.split(lp, scratch)
+          .map(_.map(_.toString)).getOrElse(Seq(p))
+      else Seq(p)
+    }
+
+  private def doProcessBatch(spark: SparkSession, cfg: Config,
+      files: Seq[(String, java.sql.Timestamp)], batchId: Long,
+      scratch: java.nio.file.Path): Unit = {
     import spark.implicits._
 
     val fileMeta = files.toDF("location", "uploaded_at")
@@ -159,9 +206,18 @@ object IngestStream {
 
     // distributed parse of this batch's files; cached because it feeds
     // the quarantine check, the upsert AND the counters (and Spark
-    // requires a cache to filter on _corrupt_record alone).
-    val raw = Ingest.readDeliveries(spark, files.map(_._1))
-      .withColumn("_file_id", baseName(col("_source_file")))
+    // requires a cache to filter on _corrupt_record alone). Shard
+    // names map back to their delivery's file_id (suffix strip), so
+    // control identity, poison grain and version ordering are
+    // split-invariant — including A17: a corrupt record in an
+    // array-derived shard keys a file_id WITHOUT a .jsonl suffix, so
+    // the poison rule below fails the whole delivery, exactly as the
+    // unsplit multiLine parse would.
+    val raw = Ingest.readDeliveries(spark,
+        splitPaths(files.map(_._1), scratch, cfg.arraySplitBytes))
+      .withColumn("_file_id",
+        regexp_replace(baseName(col("_source_file")),
+          graft.ingest.ArraySplitter.ShardSuffixRe, ""))
       .cache()
     val hasCorrupt = raw.columns.contains("_corrupt_record")
 
@@ -264,7 +320,9 @@ object IngestStream {
       "left_anti")
 
     val prepared = Ingest.prepare(healthy.drop("_file_id"))
-      .withColumn("file_id", baseName(col("file_id")))
+      .withColumn("file_id",
+        regexp_replace(baseName(col("file_id")),
+          graft.ingest.ArraySplitter.ShardSuffixRe, ""))
 
     // upsert valid records into the products snapshot; later file names
     // (timestamp-prefixed by the reference's upload naming) win. Join
