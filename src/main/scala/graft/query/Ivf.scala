@@ -270,7 +270,7 @@ object Ivf {
           s"target/graft-ivf/$tag/centroids")
         val cellStore = new graft.ingest.SnapshotStore(
           s"target/graft-ivf/$tag/cells", partition = Some("cid"))
-        val complete = centStore.exists(spark) &&
+        def complete = centStore.exists(spark) &&
           cellStore.versions(spark).size >= 2
         if (!complete) {
           val e = Tables.load(spark, dir, "embeddings")
@@ -285,6 +285,13 @@ object Ivf {
               assign(e.filter(col("vec_id") >= cutoff), cent))
           } catch { case _: java.io.IOException => () } // lost race:
           // a concurrent builder committed the identical index
+          // the swallow is only legitimate if the OTHER builder
+          // finished: an incomplete store here is a genuine I/O
+          // failure, and memoizing a base-only index would silently
+          // serve pre-delivery results — fail loudly instead
+          if (!complete) throw new IllegalStateException(
+            s"IVF delta index build incomplete under target/graft-ivf/$tag" +
+            " — concurrent builder did not commit and this build failed")
         }
         (centStore.read(spark).get, cellStore.read(spark).get)
       })

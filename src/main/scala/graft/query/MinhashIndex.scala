@@ -12,9 +12,10 @@ import graft.core.Tables
   * A 100 TB curation pipeline cannot re-shingle its corpus on every
   * delivery: [[TextSim.dedupMinhash]] is the right ONE-SHOT operator,
   * but its signature stage is O(corpus) per run. This index persists
-  * the two artifacts banding actually needs — the band-bucket table
-  * (doc_id, band, bh) and the shingle-hash postings (doc_id, sh_h) —
-  * via [[graft.ingest.SnapshotStore]]. A delivery appends only the
+  * the artifacts incremental curation actually needs — the band-bucket
+  * table (doc_id, band, bh), the shingle-hash postings (doc_id, sh_h)
+  * and the canonical-md5 postings (doc_id, canon_md5; curate_delta's
+  * stage-1 store) — via [[graft.ingest.SnapshotStore]]. A delivery appends only the
   * DELTA docs' rows as one O(delta) manifest commit (Iceberg-style
   * fast append: base files are never rewritten, the new manifest just
   * references one more dir), and the delta-dedup query joins only the
@@ -43,7 +44,7 @@ import graft.core.Tables
 object MinhashIndex {
 
   private val indexMemo = new graft.core.Caches.PerSession[
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]]
 
   /** The delta split point: the newest ~20% of doc_ids model the
     * un-indexed weekly delivery (deterministic, data-derived — the
@@ -53,8 +54,9 @@ object MinhashIndex {
 
   /** Versions the on-disk shape; bumping it orphans old indexes
     * instead of misreading them. Tag includes the corpus fingerprint:
-    * a regenerated fixture at the same path must miss the old index. */
-  private val LayoutVersion = "M1"
+    * a regenerated fixture at the same path must miss the old index.
+    * M2 added the canonical-md5 posting store (curate_delta stage 1). */
+  private val LayoutVersion = "M2"
   private def indexTag(spark: SparkSession, dir: String, nHashes: Int,
       bands: Int): String =
     graft.core.Caches.md5Tag(
@@ -62,46 +64,69 @@ object MinhashIndex {
       Tables.fingerprint(spark, dir, "documents"))
 
   /** Build-or-load the incrementally-maintained index: base docs'
-    * buckets+postings committed as v0, the delta's appended as one
-    * O(delta) manifest commit each. Returns (buckets, postings) over
-    * base∪delta. Recovery-safe like the IVF delta: an incomplete store
+    * buckets+postings+canon committed as v0, the delta's appended as
+    * one O(delta) manifest commit each. Returns (buckets, postings,
+    * canon) over base∪delta. Recovery-safe like the IVF delta: an
+    * incomplete store
     * (< 2 versions on either side) rebuilds via overwrite — which
     * RESETS the dir chain — so a crashed builder can never
     * double-append the delta. Disk-persistent across JVMs, memoized
     * within a session. */
   def ensureIndex(spark: SparkSession, dir: String, nHashes: Int = 32,
-      bands: Int = 8): (DataFrame, DataFrame) = {
+      bands: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val tag = indexTag(spark, dir, nHashes, bands)
-    val memo = indexMemo.get(spark)(
-      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
+    val memo = indexMemo.get(spark)(scala.collection.mutable.Map
+      .empty[String, (DataFrame, DataFrame, DataFrame)])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
         val bStore = new graft.ingest.SnapshotStore(
           s"target/graft-minhash/$tag/buckets")
         val pStore = new graft.ingest.SnapshotStore(
           s"target/graft-minhash/$tag/postings")
-        val complete = bStore.versions(spark).size >= 2 &&
-          pStore.versions(spark).size >= 2
+        val cStore = new graft.ingest.SnapshotStore(
+          s"target/graft-minhash/$tag/canon")
+        def complete = Seq(bStore, pStore, cStore)
+          .forall(_.versions(spark).size >= 2)
         if (!complete) {
           val docs = Tables.load(spark, dir, "documents")
           val cut = deltaCutoff(docs)
-          val baseSh =
-            TextSim.shingleHashesOf(docs.filter(col("doc_id") < cut))
-          val deltaSh =
-            TextSim.shingleHashesOf(docs.filter(col("doc_id") >= cut))
+          val base = docs.filter(col("doc_id") < cut)
+          val delta = docs.filter(col("doc_id") >= cut)
+          def canonOf(d: DataFrame) = d.select(col("doc_id"),
+            TextSim.canonicalMd5(col("text")).as("canon_md5"))
+          val baseSh = TextSim.shingleHashesOf(base)
+          val deltaSh = TextSim.shingleHashesOf(delta)
           try {
             bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
             pStore.overwrite(baseSh)
+            cStore.overwrite(canonOf(base))
             // the delivery: one O(delta) append per store
             bStore.append(TextSim.bandBucketsOf(deltaSh, nHashes, bands))
             pStore.append(deltaSh)
+            cStore.append(canonOf(delta))
           } catch { case _: java.io.IOException => () } // lost race: a
           // concurrent builder committed the identical index
+          // a swallowed lost-race is only legitimate if the OTHER
+          // builder actually finished — an incomplete store here means
+          // a genuine I/O failure (or a builder died mid-sequence);
+          // memoizing a base-only index would silently drop delta
+          // pairs, so fail loudly instead
+          if (!complete) throw new IllegalStateException(
+            s"minhash index build incomplete under target/graft-minhash/$tag " +
+            "— concurrent builder did not commit and this build failed")
         }
-        (bStore.read(spark).get, pStore.read(spark).get)
+        (bStore.read(spark).get, pStore.read(spark).get,
+          cStore.read(spark).get)
       })
     }
   }
+
+  /** The persisted (doc_id, canon_md5) postings — curate_delta's
+    * stage-1 store: a delivery's canonical first-wins check becomes a
+    * delta-vs-store anti-join instead of a full-corpus
+    * re-canonicalization ([[TextQuality.curateDelta]]). */
+  def canonPostings(spark: SparkSession, dir: String): DataFrame =
+    ensureIndex(spark, dir)._3
 
   /** The near-dup pairs a delivery INTRODUCES: every exact-Jaccard ≥
     * `threshold` pair whose newer side is in the delta (delta ids are
@@ -114,7 +139,7 @@ object MinhashIndex {
   def dedupMinhashDelta(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
-    val (buckets, postings) = ensureIndex(spark, dir, nHashes, bands)
+    val (buckets, postings, _) = ensureIndex(spark, dir, nHashes, bands)
     val cut = deltaCutoff(Tables.load(spark, dir, "documents"))
     val cand = buckets.filter(col("doc_id") >= cut).as("y")
       .join(buckets.as("x"),

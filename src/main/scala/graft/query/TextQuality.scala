@@ -235,9 +235,11 @@ object TextQuality {
     * flow through the whole curation pipeline WITHOUT re-processing
     * the base corpus —
     *   1. canonical first-wins: a delta doc is dropped if its
-    *      canonical form already exists anywhere older (one hash scan;
-    *      at scale the canon postings persist beside the minhash index
-    *      and this stage is a delta-vs-store anti-join);
+    *      canonical form already exists anywhere older — a delta-vs-
+    *      store check against the PERSISTED canon postings maintained
+    *      beside the minhash index ([[canonKeptDelta]]: only the
+    *      delivery's text is canonicalized, the corpus side is a
+    *      broadcast-probed two-column posting scan);
     *   2. near-dup: a delta doc is dropped if the PERSISTED banded
     *      index reports any ≥ 0.8 pair with an older doc
     *      ([[MinhashIndex.dedupMinhashDelta]] — the online dedup
@@ -253,15 +255,7 @@ object TextQuality {
       capacity: Int = 2048): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val cut = MinhashIndex.deltaCutoff(docs)
-    // stage 1: canonical rank over the FULL corpus, first-wins — kept
-    // delta ids only (the rank-1 check needs the group, not the base
-    // rows, so the base side never leaves the hash shuffle)
-    val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
-    val canonKept = docs
-      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
-      .withColumn("rn", row_number().over(wDedup))
-      .filter(col("rn") === 1 && col("doc_id") >= cut)
-      .drop("canon_md5", "rn")
+    val canonKept = canonKeptDelta(spark, dir, docs, cut)
     // stage 2: the index's verified delta pairs; the newer side yields
     val dupNewer = MinhashIndex.dedupMinhashDelta(spark, dir)
       .select(col("d2").as("doc_id")).distinct()
@@ -281,6 +275,34 @@ object TextQuality {
       md5(col("doc_id").cast("string")) < Sampling.mixtureThreshold)
     Sampling.packBins(mixed, capacity)
       .orderBy("source", "doc_id")
+  }
+
+  /** curate_delta's stage 1 — canonical first-wins over the DELIVERY
+    * against the PERSISTED canon postings
+    * ([[MinhashIndex.canonPostings]]: (doc_id, canon_md5), maintained
+    * beside the minhash index as O(delta) appends). Only the delta's
+    * text is canonicalized; the corpus side is a broadcast-probed scan
+    * of the two-column posting store — no full-corpus text read, no
+    * store-side shuffle (the delivery's distinct canon keys broadcast,
+    * the store streams through the join, and the per-canon min runs on
+    * the matched sliver only). A delta doc is kept iff it IS the
+    * store's first (min doc_id) holder of its canonical form — exactly
+    * the full-corpus rank-1 condition, since the store spans
+    * base∪delta (CurateDeltaSpec ties the two forms; the plan audit
+    * pins the no-full-text-scan shape). */
+  private[graft] def canonKeptDelta(spark: SparkSession, dir: String,
+      docs: DataFrame, cut: Long): DataFrame = {
+    val deltaCanon = docs.filter(col("doc_id") >= cut)
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+    val store = MinhashIndex.canonPostings(spark, dir)
+    val first = store
+      .join(broadcast(deltaCanon.select("canon_md5").distinct()),
+        Seq("canon_md5"))
+      .groupBy("canon_md5").agg(min("doc_id").as("__first_id"))
+    deltaCanon.join(first, Seq("canon_md5"), "left")
+      .filter(col("__first_id").isNull ||
+        col("__first_id") === col("doc_id"))
+      .drop("canon_md5", "__first_id")
   }
 
   /** TF-IDF keyword extraction: top 5 terms per document.

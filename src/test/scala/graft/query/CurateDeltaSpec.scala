@@ -34,6 +34,52 @@ class CurateDeltaSpec extends SparkSuite {
       col("bin_offset") >= 2048).count() === 0L)
   }
 
+  test("stage 1 via the persisted canon store == full-corpus rank-1") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = MinhashIndex.deltaCutoff(docs)
+    val viaStore = TextQuality.canonKeptDelta(spark, dir, docs, cut)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val w = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
+    val viaRank = docs
+      .withColumn("canon_md5", TextSim.canonicalMd5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("doc_id") >= cut)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaStore === viaRank)
+    assert(viaStore.nonEmpty, "vacuous: empty delta")
+  }
+
+  test("plan: stage 1 reads no full-corpus text — documents scans are " +
+      "delta-pruned, the corpus side is the canon posting store") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = MinhashIndex.deltaCutoff(docs)
+    val stage1 = TextQuality.canonKeptDelta(spark, dir, docs, cut)
+    stage1.collect()
+    val scans = graft.PlanNodes.all(stage1)
+      .collect { case f: FileSourceScanExec => f }
+    val (docScans, storeScans) = scans.partition(
+      _.metadata.get("Location").exists(_.contains("documents.parquet")))
+    assert(docScans.nonEmpty && storeScans.nonEmpty,
+      s"expected both scan kinds, got ${scans.map(_.metadata.get("Location"))}")
+    // every documents scan carries the delta pushdown — the base
+    // corpus' text is never read at query time
+    docScans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains(s"GreaterThanOrEqual(doc_id,$cut)"),
+        s"documents scan not delta-pruned: $pushed")
+    }
+    // the store side reads only the 2-column canon postings
+    storeScans.foreach { s =>
+      assert(s.metadata.get("Location").exists(_.contains("canon")),
+        s"unexpected store scan: ${s.metadata.get("Location")}")
+      val schema = s.metadata.getOrElse("ReadSchema", "")
+      assert(!schema.contains("text"),
+        s"canon store scan reads text?! $schema")
+    }
+  }
+
   test("planted corpus: each dedup stage uniquely drops its doc") {
     import spark.implicits._
     def toks(tag: String) =

@@ -41,7 +41,7 @@ class MinhashIndexSpec extends SparkSuite {
   }
 
   test("delivery is O(delta): both stores read base dirs PLUS a delta dir") {
-    val (buckets, postings) = MinhashIndex.ensureIndex(spark, dir)
+    val (buckets, postings, _) = MinhashIndex.ensureIndex(spark, dir)
     for ((df, name) <- Seq((buckets, "buckets"), (postings, "postings"))) {
       val dirs = df.inputFiles
         .map(f => f.substring(0, f.lastIndexOf('/')))
@@ -53,7 +53,7 @@ class MinhashIndexSpec extends SparkSuite {
   }
 
   test("persisted postings equal a fresh shingle pass (index is exact)") {
-    val (_, postings) = MinhashIndex.ensureIndex(spark, dir)
+    val (_, postings, _) = MinhashIndex.ensureIndex(spark, dir)
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val fresh = TextSim.shingleHashesOf(docs)
     assert(postings.count() === fresh.count())
@@ -80,7 +80,7 @@ class MinhashIndexSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       assert(want.nonEmpty, "vacuous: no delta pairs on the staged copy")
-      val (buckets, _) = MinhashIndex.ensureIndex(spark, tmp)
+      val (buckets, _, _) = MinhashIndex.ensureIndex(spark, tmp)
       val someFile = new java.io.File(buckets.inputFiles.head
         .stripPrefix("file:"))
       // store root = .../<tag>/buckets/<version-dir>/part-...
