@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -157,6 +157,11 @@ object SparkEntry {
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
     "vocab_coverage" -> ((s: SparkSession, d: String) => TextQuality.vocabCoverage(s, d)),
+    // trained BPE tokenizer (Sennrich '16 merges as deterministic
+    // aggregations; vocab-grain encode) — see Bpe; rows-only, hash-
+    // gated via tokenize_bpe_contract (round-trip + bounds theorems)
+    "tokenize_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenizeBpe(s, d)),
+    "tokenize_bpe_contract" -> ((s: SparkSession, d: String) => Bpe.roundtripContract(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -312,13 +317,15 @@ object SparkEntry {
     "dedup_minhash_recall", "dedup_simhash_complete",
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
-    "dedup_embedding_ann_recall")
+    "dedup_embedding_ann_recall", "tokenize_bpe_contract")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, agg_approx_distinct, agg_percentile_approx
-    * (engine-specific hash/signature/centroid/sketch internals). Each
-    * of those families
+    * (engine-specific hash/signature/centroid/sketch internals), and
+    * tokenize_bpe (the merge table is a trained model — its
+    * round-trip/bounds theorems gate it via tokenize_bpe_contract).
+    * Each of those families
     * IS hash-gated through its companion contract key
     * ([[graft.query.Contracts]]): a boolean bound/recall/completeness
     * assertion whose oracle is literal TRUE on an oracle-reproducible
@@ -331,6 +338,12 @@ object SparkEntry {
     "agg_percentile_approx_bound" ->
       """SELECT event_type, TRUE AS p50_in_band, TRUE AS p90_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // round-trip (decode∘encode = normalized text) and symbol-count
+    // bounds are theorems of a correct BPE trainer+encoder — the
+    // literal-TRUE oracle makes any regression a hash failure
+    "tokenize_bpe_contract" ->
+      """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
     // so the oracle ALSO value-checks the emitted jaccard column; the
     // banding contract itself is the literal-TRUE caught column
