@@ -291,7 +291,12 @@ object SparkEntry {
     "multimodal_video" -> ((s: SparkSession, d: String) => Multimodal.videoRoundtrip(s, d)),
     // REAL ISO-BMFF (MP4) demux + motion-JPEG keyframe decode — see
     // Multimodal.mp4Roundtrip and multimodal.Mp4
-    "multimodal_video_mp4" -> ((s: SparkSession, d: String) => Multimodal.mp4Roundtrip(s, d)))
+    "multimodal_video_mp4" -> ((s: SparkSession, d: String) => Multimodal.mp4Roundtrip(s, d)),
+    // perceptual-hash (dHash) image dedup through the REAL container
+    // roundtrip: re-encoded/resized/brightened twins share one hash —
+    // see multimodal.Phash (chunk-LSH candidates, exact Hamming verify)
+    "dedup_phash" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Phash.dedupPhash(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -344,6 +349,35 @@ object SparkEntry {
     "tokenize_bpe_contract" ->
       """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS bounds_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the integer-algebra twin of dedup_phash: the oracle recomputes
+    // each document's 64-bit dHash from the SHARED pixel formula alone
+    // (groups of 5 share an anchor raster; resize/brighten/re-encode
+    // leave the gradient bits invariant in exact integer arithmetic,
+    // so the base raster's hash IS every variant's hash) and sweeps
+    // all pairs; the Spark side must recover the same hashes through a
+    // genuine PNG/BMP/GIF encode→sniff→decode roundtrip
+    "dedup_phash" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |px AS (SELECT doc_id, anchor,
+        |    list_transform(range(0, 288), i ->
+        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
+        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
+        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
+        |  FROM g),
+        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
+        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
+        |  ) AS grid FROM px),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
     // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
     // so the oracle ALSO value-checks the emitted jaccard column; the
     // banding contract itself is the literal-TRUE caught column

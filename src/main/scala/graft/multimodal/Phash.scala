@@ -1,0 +1,155 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Perceptual-hash IMAGE dedup (`dedup_phash`) — the multimodal and
+  * dedup surfaces joined: find images that are the same PICTURE under
+  * byte-level differences (re-encoded into another container, resized,
+  * brightness-shifted) that defeat exact/canonical dedup outright.
+  *
+  * Hash: 64-bit dHash (difference hash — the public
+  * gradient-perceptual-hash construction): pool the decoded raster to
+  * a 9×8 grid by exact integer block averaging, then bit (y,x) = 1
+  * iff grid[y][x+1] > grid[y][x]. Gradients are invariant to the
+  * planted transformations IN EXACT INTEGER ARITHMETIC:
+  *   - re-encode (PNG↔BMP↔GIF): lossless for 8-bit grayscale, raster
+  *     identical;
+  *   - 2× nearest-neighbor upscale: a 4×4 block of duplicated 2×2
+  *     pixels sums to 4× the base block, and 4S/16 = S/4 exactly —
+  *     the pooled grid is bit-identical;
+  *   - global brightness +40: every grid cell shifts by +40, every
+  *     `>` comparison is unchanged (base pixels live in [0,200), so
+  *     +40 cannot clip).
+  * So all five variants of a group share one hash, and the DuckDB
+  * oracle can recompute it from the shared pixel FORMULA alone — the
+  * integer-algebra twin — while the Spark side must recover it through
+  * a genuine container encode→sniff→decode roundtrip ([[Multimodal.RealCodec]]).
+  *
+  * Scale shape: per-row codec work in `mapPartitions` (the sanctioned
+  * tool — no Catalyst expression decodes PNG), then the SAME 4×16-bit
+  * chunk-LSH candidate stage as SimHash (pigeonhole: hamming ≤ 3 ⇒
+  * some chunk equal — candidates are bucketed, never all-pairs), exact
+  * Hamming verify via xor+bit_count. Degenerate chunk buckets are
+  * bounded by true duplicate mass, same argument as the text family.
+  */
+object Phash {
+
+  /** Base raster dims; 9×8 grid ⇒ 2×2 blocks exactly. */
+  val W = 18
+  val H = 16
+
+  /** Shared pixel formula, mirrored in the oracle. Range [0,200) so
+    * the +40 brightness variant cannot clip. Quadratic terms with
+    * anchor-dependent coefficients on purpose: a purely ADDITIVE
+    * formula (the synthPixel shape) makes every anchor's raster a
+    * constant-offset sibling of every other's — gradients identical
+    * except at the mod wrap, i.e. the whole corpus is one near-dup
+    * cluster. With the x²/y²/xy coefficients keyed to the anchor, the
+    * measured cross-anchor Hamming floor is 8 over 10k anchors (one
+    * decade past sf0.1's), far above the ≤ 3 dedup bar. */
+  def basePixel(anchor: Long, i: Int): Int = {
+    val x = i % W
+    val y = i / W
+    ((anchor * 31 + x.toLong * x * (anchor % 41 + 2) +
+      y.toLong * y * (anchor % 43 + 3) +
+      x.toLong * y * (anchor % 97 + 1)) % 200).toInt
+  }
+
+  /** The planted variant of one document: groups of 5 share an anchor
+    * raster; v = doc_id % 5 selects the byte-level disguise. */
+  private[multimodal] def variantImage(docId: Long)
+      : (Int, Int, Array[Int], String) = {
+    val anchor = docId - docId % 5
+    val base = Array.tabulate(W * H)(i => basePixel(anchor, i))
+    (docId % 5).toInt match {
+      case 0 => (W, H, base, "png")
+      case 1 => (W, H, base, "bmp") // re-encoded
+      case 2 => (W, H, base, "gif") // re-encoded
+      case 3 => // 2x nearest-neighbor upscale ("resized twin")
+        val up = Array.tabulate(W * 2 * H * 2) { i =>
+          val x = (i % (W * 2)) / 2
+          val y = (i / (W * 2)) / 2
+          base(y * W + x)
+        }
+        (W * 2, H * 2, up, "png")
+      case _ => (W, H, base.map(_ + 40), "png") // brightened
+    }
+  }
+
+  /** 64-bit dHash of a decoded raster whose dims are exact multiples
+    * of the 9×8 grid. */
+  private[multimodal] def dHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val bw = w / 9
+    val bh = h / 8
+    require(bw * 9 == w && bh * 8 == h, s"dims ${w}x$h not grid-exact")
+    val grid = Array.tabulate(8, 9) { (gy, gx) =>
+      var s = 0
+      var dy = 0
+      while (dy < bh) {
+        var dx = 0
+        while (dx < bw) {
+          s += px((gy * bh + dy) * w + gx * bw + dx)
+          dx += 1
+        }
+        dy += 1
+      }
+      s / (bw * bh)
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8))
+        hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** (doc_id, phash) through the REAL container roundtrip. */
+  private[multimodal] def phashes(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px, fmt) = variantImage(id)
+        val bytes = Multimodal.RealCodec.encode(fmt, w, h, px)
+        require(Multimodal.RealCodec.canDecode(bytes),
+          s"doc $id: unsniffable $fmt")
+        val (dw, dh, dec) = Multimodal.RealCodec.decode(bytes).getOrElse(
+          sys.error(s"doc $id: JDK failed to decode its own $fmt"))
+        (id, dHash64(dw, dh, dec))
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** dedup_phash: near-duplicate IMAGE pairs (d1 < d2, hamming ≤
+    * `maxHamming`) — chunk-LSH candidates, exact verify. Oracle: the
+    * integer-algebra twin recomputes every hash from the pixel formula
+    * and sweeps all pairs (verification-scale on the oracle side only;
+    * the operator stays bucketed). */
+  def dedupPhash(spark: SparkSession, dir: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val sigs = phashes(spark, dir)
+    val chunks = sigs.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+            shiftright(col("phash"), k * 16).bitwiseAND(0xFFFFL)
+              .as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("phash"), col("c.k"), col("c.chunk"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming").cast("long")
+        .as("hamming"))
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import graft.{SparkSuite, TestSpark}
+
+/** Perceptual-hash image dedup ([[Phash]]): the planted twins —
+  * re-encoded (PNG/BMP/GIF), 2×-resized, brightness-shifted — must all
+  * be recalled (hamming 0 against their anchor), the invariance
+  * theorems hold in raw pixel space, and the pair set is exactly the
+  * within-group closure on the fixture. */
+class PhashSpec extends SparkSuite {
+
+  private val dir = TestSpark.sfDir
+
+  test("invariance theorems: resize and brighten preserve dHash exactly") {
+    (0L until 40L by 5L).foreach { anchor =>
+      val base = Array.tabulate(Phash.W * Phash.H)(i =>
+        Phash.basePixel(anchor, i))
+      val hBase = Phash.dHash64(Phash.W, Phash.H, base)
+      // 2x nearest-neighbor upscale
+      val up = Array.tabulate(Phash.W * 2 * Phash.H * 2) { i =>
+        val x = (i % (Phash.W * 2)) / 2
+        val y = (i / (Phash.W * 2)) / 2
+        base(y * Phash.W + x)
+      }
+      assert(Phash.dHash64(Phash.W * 2, Phash.H * 2, up) === hBase,
+        s"anchor $anchor: upscale changed the hash")
+      assert(Phash.dHash64(Phash.W, Phash.H, base.map(_ + 40)) === hBase,
+        s"anchor $anchor: brightness shift changed the hash")
+    }
+  }
+
+  test("recall: every planted twin pairs with its anchor at hamming 0") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Phash.dedupPhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // within-group closure: for every complete group of 5, all 10
+    // pairs must be present with hamming 0 (recall = 100%)
+    val groups = docs.groupBy(id => id - id % 5).filter(_._2.size == 5)
+    assert(groups.nonEmpty)
+    groups.foreach { case (_, members) =>
+      val ms = members.toSeq.sorted
+      for (i <- ms.indices; j <- (i + 1) until ms.size)
+        assert(pairSet.contains((ms(i), ms(j))),
+          s"missed twin pair (${ms(i)}, ${ms(j)})")
+    }
+    pairs.filter(p => p._1 - p._1 % 5 == p._2 - p._2 % 5)
+      .foreach { case (d1, d2, h) =>
+        assert(h === 0L, s"in-group pair ($d1,$d2) at hamming $h") }
+    // precision on this fixture: distinct anchors produce distant
+    // hashes — no cross-group pair sneaks under the bar
+    val cross = pairs.filter(p => p._1 - p._1 % 5 != p._2 - p._2 % 5)
+    assert(cross.isEmpty, s"cross-group collisions: ${cross.take(5).toSeq}")
+  }
+
+  test("the container roundtrip is load-bearing: hashes survive " +
+      "re-encoding through all three lossless containers") {
+    import spark.implicits._
+    val hashes = Phash.phashes(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    hashes.keys.groupBy(id => id - id % 5).foreach { case (a, ids) =>
+      val hs = ids.map(hashes).toSet
+      assert(hs.size === 1,
+        s"group $a: variants hash apart — ${ids.map(hashes)}")
+    }
+  }
+}
