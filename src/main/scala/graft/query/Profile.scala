@@ -167,4 +167,87 @@ object Profile {
       .select("p.*")
       .orderBy("col_name")
   }
+
+  /** Profile DRIFT detection — the operator the observability surface
+    * exists for: compare each delivery's partial profile against its
+    * predecessors and flag, per column,
+    *   - `null_shift`: the null RATE moved by more than 5 points vs
+    *     the previous delivery (exact integer cross-multiplication,
+    *     no float compare: |nulls·n' − nulls'·n| · 20 > n · n');
+    *   - `range_escape`: the delivery's typed min/max leaves the
+    *     running historical envelope (a value class never seen
+    *     before — schema drift's most common symptom);
+    *   - `card_jump`: distinct cardinality doubled or halved vs the
+    *     previous delivery (an id-explosion or a constant-collapse).
+    * First delivery: all flags false (no predecessor). Comparisons run
+    * on TYPED values (numeric/timestamp order, not string order);
+    * rendering to the cross-engine string form happens only on output.
+    *
+    * Driver key: deliveries = order YEARS (the natural weekly-delivery
+    * analogue the fixture offers) — the date column's envelope genuinely
+    * escapes every delivery, so the key exercises a true positive; the
+    * planted ProfileSpec corpus drives each flag independently.
+    *
+    * Scale shape: per-delivery partials are the same one-scan
+    * aggregates [[profileMergeOf]] persists (at 100 TB the NEW
+    * delivery is scanned, prior partials are read back); the
+    * delivery-over-delivery windows run UNPARTITIONED on purpose —
+    * delivery grain is model grain (a handful of rows), the same
+    * single-partition window every profile key ends on. */
+  def profileDrift(spark: SparkSession, dir: String,
+      table: String = "orders"): DataFrame = {
+    val t = Tables.load(spark, dir, table)
+    profileDriftOf(t, year(col("o_orderdate")).cast("long"))
+  }
+
+  /** [[profileDrift]]'s core over any frame and delivery key. */
+  def profileDriftOf(t: DataFrame, delivery: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fields = t.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"${f.name}__nn"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        min(c).as(s"${f.name}__mn"),
+        max(c).as(s"${f.name}__mx"))
+    }
+    val per = t.groupBy(delivery.as("delivery"))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val ord = Window.orderBy("delivery")
+    val hist = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val withWins = fields.foldLeft(
+        per.withColumn("__ln", lag("__n", 1).over(ord))) { (df, f) =>
+      df.withColumn(s"${f.name}__lnn",
+          lag(s"${f.name}__nn", 1).over(ord))
+        .withColumn(s"${f.name}__lnd",
+          lag(s"${f.name}__nd", 1).over(ord))
+        .withColumn(s"${f.name}__pmn",
+          min(col(s"${f.name}__mn")).over(hist))
+        .withColumn(s"${f.name}__pmx",
+          max(col(s"${f.name}__mx")).over(hist))
+    }
+    val rows = fields.map { f =>
+      val n = col("__n"); val ln = col("__ln")
+      val nn = col(s"${f.name}__nn"); val lnn = col(s"${f.name}__lnn")
+      val nd = col(s"${f.name}__nd"); val lnd = col(s"${f.name}__lnd")
+      val nulls = n - nn
+      val lNulls = ln - lnn
+      val nullShift = when(ln.isNull, lit(false))
+        .otherwise(abs(nulls * ln - lNulls * n) * 20 > n * ln)
+      val rangeEscape = when(col(s"${f.name}__pmn").isNull, lit(false))
+        .otherwise(col(s"${f.name}__mn") < col(s"${f.name}__pmn") ||
+          col(s"${f.name}__mx") > col(s"${f.name}__pmx"))
+      val cardJump = when(lnd.isNull, lit(false))
+        .otherwise(nd > lnd * 2 || nd * 2 < lnd)
+      struct(col("delivery"), lit(f.name).as("col_name"),
+        n.as("n_rows"), nulls.as("n_nulls"), nd.as("n_distinct"),
+        render(col(s"${f.name}__mn"), f.dataType).as("min_val"),
+        render(col(s"${f.name}__mx"), f.dataType).as("max_val"),
+        nullShift.as("null_shift"), rangeEscape.as("range_escape"),
+        cardJump.as("card_jump"))
+    }
+    withWins.select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+      .orderBy("delivery", "col_name")
+  }
 }

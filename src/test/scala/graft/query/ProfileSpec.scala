@@ -99,6 +99,44 @@ class ProfileSpec extends SparkSuite {
     assert(v.getBoolean(7), "sketch union must be exact at this cardinality")
   }
 
+  test("planted drift: each flag fires exactly where planted") {
+    import spark.implicits._
+    // three deliveries; delivery 3 plants all three drift classes in
+    // separate columns so attribution is unambiguous
+    val rows =
+      // delivery 1: baseline — ids 0-9, v in [10,20], all distinct k
+      (0L until 10L).map(i => (1L, i, Some(10L + i), s"k$i")) ++
+      // delivery 2: same shape (no drift anywhere)
+      (0L until 10L).map(i => (2L, 100L + i, Some(10L + i), s"k$i")) ++
+      // delivery 3: v gains nulls (null_shift) and one out-of-envelope
+      // value (range_escape); s collapses to ONE value (card_jump)
+      // (v keeps 5 distinct non-null values — half of 10, NOT under
+      // the strict 2x jump bar — so card_jump stays attributed to s)
+      ((0L until 10L).map(i => (3L, 200L + i,
+        if (i < 5) None else if (i == 9) Some(999L) else Some(15L + i),
+        "const")))
+    val df = rows.toDF("d", "id", "v", "s")
+    val flags = Profile.profileDriftOf(df, col("d"))
+      .filter(col("col_name") =!= "d")
+      .select("delivery", "col_name", "null_shift", "range_escape",
+        "card_jump")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    // delivery 1: no predecessor — all false
+    Seq("id", "v", "s").foreach { c =>
+      assert(flags((1L, c)) === ((false, false, false)), s"d1 $c") }
+    // delivery 2: id's range escapes (100-109 vs 0-9); v, s quiet
+    assert(flags((2L, "id")) === ((false, true, false)))
+    assert(flags((2L, "v")) === ((false, false, false)))
+    assert(flags((2L, "s")) === ((false, false, false)))
+    // delivery 3: v = null_shift (0% -> 50%) + range_escape (999);
+    // s = card_jump (10 -> 1); id keeps escaping
+    assert(flags((3L, "v")) === ((true, true, false)))
+    assert(flags((3L, "s"))._3 === true, "cardinality collapse missed")
+    assert(flags((3L, "id")) === ((false, true, false)))
+  }
+
   test("profile is ONE job over one scan (no per-column driver loop)") {
     val t = graft.core.Tables.load(spark, dir, "orders")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
