@@ -586,21 +586,38 @@ class SnapshotStore(val path: String,
         throw new java.io.IOException(
           s"snapshot commit lost race for $dst", e)
     }
-    // GC: keep every dir the live and previous manifests reference
-    // (an append chain shares dirs across manifests — reference-kept,
-    // never age-kept); drop everything older (catalog entries of GC'd
-    // bucketed versions go with their dirs — including a racing
-    // loser's orphan dir + entry).
+    // GC, three dir classes with different safety arguments:
+    //  - SUPERSEDED dirs (referenced only by the manifests this commit
+    //    retires) — past the one-commit retention window, deleted now;
+    //  - dirs referenced by any manifest STILL PRESENT — re-listed
+    //    AFTER our rename, so a concurrent committer that published
+    //    between our snapshot of the manifests and now protects its
+    //    dirs (an append chain shares dirs across manifests —
+    //    reference-kept, never age-kept);
+    //  - everything else is either a crashed committer's orphan or a
+    //    CONCURRENT committer's written-but-not-yet-published dir —
+    //    indistinguishable from outside, so it is AGE-GATED like the
+    //    tmp-manifest sweep (deleting a moments-old dir could yank the
+    //    data out from under a manifest about to publish; a stale one
+    //    is unambiguously dead). Catalog entries of deleted bucketed
+    //    versions go with their dirs.
     val keep = (committed.takeRight(1).flatMap(_._2) :+ version).toSet
+    val superseded = committed.dropRight(1).flatMap(_._2).toSet -- keep
     committed.dropRight(1).foreach { case (s, _) =>
       f.delete(new Path(s"$path/MANIFEST-$s"), false)
     }
+    val referenced = manifests(spark).flatMap(_._2).toSet ++ keep
+    def dropDir(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      if (bucket.isDefined)
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(st.getPath.getName)}")
+      f.delete(st.getPath, true)
+    }
     f.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v-") && !keep.contains(n)) {
-        if (bucket.isDefined)
-          spark.sql(s"DROP TABLE IF EXISTS ${tableName(n)}")
-        f.delete(st.getPath, true)
+      if (n.startsWith("v-") && !referenced.contains(n)) {
+        if (superseded.contains(n)) dropDir(st)
+        else if (st.getModificationTime <
+            System.currentTimeMillis() - staleTmpMs) dropDir(st)
       } else if (n.startsWith(".manifest-tmp") &&
           st.getModificationTime < System.currentTimeMillis() - staleTmpMs) {
         // a committer killed between tmp write and rename leaves its tmp

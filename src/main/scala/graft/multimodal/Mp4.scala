@@ -137,11 +137,14 @@ object Mp4 {
     while (i + 8 <= end) {
       val size32 = u32(p, i)
       val typ = new String(p, i + 4, 4, US_ASCII)
-      // size==1 ⇒ 64-bit largesize follows the TYPE field
+      // size==1 ⇒ 64-bit largesize follows the TYPE field;
+      // size==0 ⇒ box extends to the END of the enclosing range
+      // (ISO/IEC 14496-12 §4.2 — legal, and common for a final mdat)
       val (size, hdr) =
         if (size32 == 1 && i + 16 <= end)
           (ByteBuffer.wrap(p, i + 8, 8).order(ByteOrder.BIG_ENDIAN)
             .getLong(), 16)
+        else if (size32 == 0) ((end - i).toLong, 8)
         else (size32, 8)
       if (size < hdr || i + size > end) return out.toSeq // torn
       out += B(typ, i + hdr, i + size.toInt)

@@ -79,15 +79,20 @@ object MinhashStream {
       // doc_id order within the batch: emission order deterministic
       // (the SET emitted is order-free regardless — (min, max) keying)
       it.toSeq.sortBy(_.doc_id).foreach { r =>
-        members.foreach { case (id, sh) =>
-          if (id != r.doc_id) {
+        // at-least-once regime: a replayed/duplicate delivery of a doc
+        // already in the bucket is a no-op — re-inserting would double
+        // its postings and re-emit its pairs (the drive's batch-side
+        // distinct would hide the re-emission, but the STATE bloat
+        // would be real and permanent)
+        if (!members.exists(_._1 == r.doc_id)) {
+          members.foreach { case (id, sh) =>
             val j = jaccard(sh, r.sh)
             if (j >= threshold)
               out += DupHit(math.min(id, r.doc_id),
                 math.max(id, r.doc_id), j)
           }
+          members = (r.doc_id, r.sh) :: members
         }
-        members = (r.doc_id, r.sh) :: members
       }
       state.update(members)
       out.iterator

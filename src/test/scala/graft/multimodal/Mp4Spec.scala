@@ -52,6 +52,28 @@ class Mp4Spec extends AnyFunSuite {
     Mp4.parse(broken)
   }
 
+  test("size==0 final box (extends-to-EOF, ISO 14496-12 §4.2) demuxes") {
+    val frames = (0 until 3).map(jpeg(_, 8, 8))
+    val mp4 = Mp4.mux(8, 8, frames)
+    // this muxer writes mdat-then-moov, so the FINAL top-level box is
+    // moov — rewrite ITS size field to the legal extends-to-EOF 0 form
+    // (same parser path a streaming muxer's final mdat would hit)
+    val idx = (0 to mp4.length - 8).findLast(i =>
+      mp4(i + 4) == 'm' && mp4(i + 5) == 'o' && mp4(i + 6) == 'o' &&
+        mp4(i + 7) == 'v' &&
+        i + java.nio.ByteBuffer.wrap(mp4, i, 4).getInt == mp4.length)
+      .getOrElse(fail("test precondition: no EOF-terminal moov found"))
+    val eof = mp4.clone()
+    (0 until 4).foreach(j => eof(idx + j) = 0)
+    val t = Mp4.parse(eof).getOrElse(
+      fail("size==0 final mdat fell to None despite a parseable moov"))
+    assert(t.nSamples === 3)
+    (0 until 3).foreach { i =>
+      assert(t.sample(eof, i).toSeq === frames(i).toSeq,
+        s"sample $i drifted under the size==0 mdat form")
+    }
+  }
+
   test("decodeAny dispatches MP4 to the first keyframe's pixels") {
     val w = 10; val h = 8
     val px0 = Array.tabulate(w * h)(i => (i * 13 + 5) % 256)

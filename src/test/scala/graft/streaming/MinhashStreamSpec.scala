@@ -64,6 +64,61 @@ class MinhashStreamSpec extends SparkSuite {
     }
   }
 
+  test("duplicate delivery is a state no-op: no double postings, " +
+      "no re-emission") {
+    // the at-least-once regime: the SAME arrivals delivered twice must
+    // leave the bucket state unchanged (no doubled member lists) and
+    // emit each pair set once per delivery at most — a double-insert
+    // would both bloat state permanently and re-verify every pair
+    val rows = MinhashStream.bandedDocs(spark, dir)
+    val wantGroups = rows.select("band", "bh").distinct().count()
+
+    // one drive helper: stream `nCopies` identical delivery files
+    // through a fresh machine, return (stateRows, rawEmissions, pairs)
+    def drive(nCopies: Int): (Long, Long, Set[(Long, Long, Double)]) =
+      DriveSupport.withWorkspace(s"graft-mh-replay$nCopies") { ws =>
+        DriveSupport.withStreamConfs(spark) {
+          import spark.implicits._
+          val inDir = ws.resolve("arrivals").toString
+          rows.coalesce(1).write.parquet(inDir)
+          val one = spark.read.parquet(inDir)
+          (1 until nCopies).foreach(_ =>
+            one.coalesce(1).write.mode("append").parquet(inDir))
+          val stream = spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+          val name = DriveSupport.sinkName(s"mh_replay$nCopies")
+          val q = MinhashStream.machine(
+              stream.as[MinhashStream.BandArrival], 0.8).toDF()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ws.resolve("ckpt").toString)
+            .outputMode("append").start()
+          DriveSupport.draining(q) {
+            q.processAllAvailable()
+            val st = q.lastProgress.stateOperators.head.numRowsTotal
+            val raw = spark.table(name).count()
+            val pairs = spark.table(name)
+              .select("d1", "d2", "jaccard").distinct().collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              .toSet
+            (st, raw, pairs)
+          }
+        }
+      }
+
+    val (st1, raw1, pairs1) = drive(1)
+    val (st2, raw2, pairs2) = drive(2)
+    assert(st1 === wantGroups && st2 === wantGroups,
+      s"bucket count drifted: $st1 / $st2 != $wantGroups")
+    // the replayed file contributes ZERO emissions (in-band multi-
+    // emission of one delivery is fine and identical in both drives)
+    assert(raw2 === raw1,
+      s"replay re-emitted pairs: $raw2 raw vs $raw1 baseline")
+    assert(pairs1 === pairs2)
+    val want = batchPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs2 === want)
+  }
+
   private val providers: Seq[(String, Option[String])] = Seq(
     "hdfs store" -> None,
     "rocksdb store" -> Some("org.apache.spark.sql.execution.streaming." +

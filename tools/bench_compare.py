@@ -125,6 +125,20 @@ def main() -> None:
         print(f"measured box shift x{shift:.2f} (calibration key "
               f"{old['queries'][CAL_KEY]:.2f}s -> "
               f"{new['queries'][CAL_KEY]:.2f}s) — used for normalization")
+        # sanity clamp: the shift comes from ONE key's ratio, so a lone
+        # slow pass on that key alone would scale EVERY gate with it; a
+        # real box-state swing beyond 2x in either direction has never
+        # been observed (PERF.md r9-r13 record 0.63-1.58), so anything
+        # outside [0.5, 2.0] is a perturbed calibration sample, not the
+        # box. Clamping (not falling back to the field shift, which a
+        # broad genuine regression inflates to mask itself) keeps the
+        # gate conservative under a bad sample.
+        if not 0.5 <= shift <= 2.0:
+            clamped = min(max(shift, 0.5), 2.0)
+            print(f"WARNING: measured shift x{shift:.2f} outside the "
+                  f"sane band [0.5, 2.0] — calibration sample suspect, "
+                  f"clamped to x{clamped:.2f}")
+            shift = clamped
         if shift > 0 and abs(field_shift / shift - 1) > 0.5:
             print("WARNING: field shift and measured box shift disagree "
                   "by >50% — a broad real regression (or speedup) is "
