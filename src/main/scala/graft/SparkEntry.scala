@@ -133,6 +133,9 @@ object SparkEntry {
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
+    // DSIR importance weights: hashed-unigram log-ratio vs the target
+    // slice — see Sampling.sampleImportance
+    "sample_importance" -> ((s: SparkSession, d: String) => Sampling.sampleImportance(s, d)),
     "embed_quantize" -> (TextSim.embedQuantize _),
     // exact-integer power iteration toward the dominant embedding
     // direction — see PowerIter.embedPowerIter
@@ -244,6 +247,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s: SparkSession, d: String) => TextSim.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => TextSim.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => TextSim.dedupEmbedding(s, d)),
+    // SemDeDup: one-cell-per-doc centroid partition, keep-first inside
+    // the cell — see TextSim.dedupSemantic
+    "dedup_semantic" -> ((s: SparkSession, d: String) => TextSim.dedupSemantic(s, d)),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     // the scale path: banded-minhash candidate edges (fan-out bounded
@@ -915,6 +921,34 @@ object SparkEntry {
         |SELECT doc_id, source, mix_threshold FROM t
         |WHERE md5(CAST(doc_id AS VARCHAR)) < mix_threshold
         |ORDER BY doc_id""".stripMargin,
+    // DSIR twin: identical md5-prefix bucketing, add-one-smoothed
+    // log-ratios, and the sorted-list sequential fold (list_reduce over
+    // a 0.0-prepended sorted list == Spark's aggregate over sort_array)
+    "sample_importance" ->
+      """WITH occ AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |        FROM documents)),
+        |counts AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS cp
+        |  FROM occ GROUP BY bucket),
+        |tot AS (SELECT sum(ct) AS t, sum(cp) AS p FROM counts),
+        |lr AS (SELECT bucket,
+        |    ln(CAST(ct + 1 AS DOUBLE) / CAST(t + 64 AS DOUBLE)) -
+        |    ln(CAST(cp + 1 AS DOUBLE) / CAST(p + 64 AS DOUBLE)) AS lr
+        |  FROM counts, tot),
+        |agg AS (
+        |  SELECT o.doc_id, list_sort(list(l.lr)) AS lrs
+        |  FROM occ o JOIN lr l USING (bucket) WHERE o.doc_id % 50 <> 0
+        |  GROUP BY o.doc_id)
+        |SELECT doc_id, CAST(len(lrs) AS BIGINT) AS n_tokens,
+        |  round(w, 4) AS logw, round(w / len(lrs), 4) AS avg_lr,
+        |  round(w / len(lrs), 4) >= -0.09 AS keep
+        |FROM (SELECT doc_id, lrs,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lrs), (a, x) -> a + x) AS w
+        |  FROM agg) ORDER BY doc_id""".stripMargin,
     // Misra-Gries completeness: the oracle re-derives the exact heavy
     // hitters of the deterministic ramp stream (pure integer compare,
     // 9c > n) and asserts caught literally TRUE — the MG theorem
@@ -1895,6 +1929,22 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+    // SemDeDup twin: same deterministic seeding (vec_id < 8), same
+    // rounded-cosine argmax with cid tie-break, same keep-first rule
+    "dedup_semantic" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 4) AS ccos
+        |  FROM embeddings e CROSS JOIN cents c),
+        |best AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        |    FROM assigned) WHERE rn = 1)
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+        |  EXISTS(SELECT 1 FROM best b WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35) AS is_dup
+        |FROM best a ORDER BY vec_id""".stripMargin,
     "similarity_topk" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -69,6 +69,65 @@ object Sampling {
       .otherwise("c0")       // ≈ 75%
   }
 
+  /** Importance resampling weights (DSIR — Xie et al. '23,
+    * arXiv:2302.03169): score every training document by how much its
+    * hashed-n-gram feature profile leans toward a TARGET distribution
+    * vs the raw-corpus proposal, the public method for selecting
+    * pretraining data that "looks like" a trusted target set. Target =
+    * the doc_id % 50 == 0 slice (the [[TextSim.decontaminate]] eval-set
+    * convention, standing in for an external target corpus); features =
+    * unigrams hashed into `b` buckets (md5-prefix bucketing — the
+    * engine-portable hash every dedup key here uses); per-bucket
+    * add-one-smoothed log-ratios; a document's log importance weight is
+    * the sum of its token occurrences' bucket log-ratios. `keep` flags
+    * the per-token-normalized weight (length bias removed) against a
+    * threshold placed inside the synthetic corpus' observed
+    * distribution so both branches are exercised (the
+    * [[TextQuality.qualityFilter]] convention; production DSIR samples
+    * a budget with Gumbel noise — a seeded per-row column, same plan
+    * shape).
+    *
+    * Cross-engine determinism: the per-doc sum folds over the SORTED
+    * log-ratio list via the sequential `aggregate` HOF — the
+    * [[TextQuality.textSurprisal]] convention (float addition is
+    * order-sensitive; sorting fixes the order on both engines).
+    *
+    * Shape at scale: one token explode + a 64-group aggregation for the
+    * bucket table (kilobytes — broadcast), then one doc-grain
+    * aggregation. Same cost class as tfidf: everything partitions by
+    * doc or bucket, nothing pairwise, no shuffle wider than the
+    * doc-grain combine. */
+  def sampleImportance(spark: SparkSession, dir: String, b: Int = 64)
+      : DataFrame = {
+    val isEval = col("doc_id") % 50 === 0
+    val occ = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextSim.tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10)
+          .cast("long") % b).as("bucket"))
+    val counts = occ.groupBy("bucket").agg(
+      sum(when(isEval, 1L).otherwise(0L)).as("ct"),
+      sum(when(isEval, 0L).otherwise(1L)).as("cp"))
+    // corpus totals: model scalars (the tfidf `n` convention)
+    val tot = counts.agg(sum("ct"), sum("cp")).first()
+    val (t, p) = (tot.getLong(0), tot.getLong(1))
+    val lr = counts.select(col("bucket"),
+      (log((col("ct") + 1).cast("double") / (t + b).toDouble) -
+        log((col("cp") + 1).cast("double") / (p + b).toDouble)).as("lr"))
+    occ.filter(!isEval)
+      .join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("lr"))).as("lrs"))
+      .withColumn("w", expr("aggregate(lrs, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + x)"))
+      .select(col("doc_id"), size(col("lrs")).cast("long").as("n_tokens"),
+        round(col("w"), 4).as("logw"),
+        round(col("w") / size(col("lrs")), 4).as("avg_lr"))
+      .withColumn("keep", col("avg_lr") >= -0.09)
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (concat-and-split): lay documents end to end in
     * doc_id order and cut fixed token-capacity bins — the standard
     * LLM-pretraining batch-shaping step. Partitioned per `source` shard

@@ -688,6 +688,59 @@ object TextSim {
       .orderBy("v1", "v2")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. '23, arXiv:2303.09540):
+    * partition the corpus into k centroid cells, then mark as duplicate
+    * any document whose cosine to an EARLIER in-cell document clears the
+    * threshold — keep-first-seen, the policy every dedup key here uses.
+    * Distinct from [[dedupEmbeddingAnn]]: cells are semantic Voronoi
+    * regions (every doc lands in exactly ONE cell, so the candidate set
+    * is a partition, not overlapping LSH buckets), which is what lets
+    * the paper prune aggressively inside semantically-coherent regions.
+    *
+    * Determinism/oracle parity: centroids are the embeddings of the k
+    * lowest vec_ids (deterministic seeding — Lloyd iterations would put
+    * float accumulation order into the centroids and break cross-engine
+    * parity; with real k-means the plan shape below is unchanged,
+    * centroids are still a broadcast model). Assignment ranks on the
+    * ROUNDED cosine with cid as tie-break, the [[textTfidf]] rounded-
+    * ranking convention. Output is doc-grain (vec_id, cluster, is_dup).
+    *
+    * Shape at scale: assignment is a broadcast nested-loop over k
+    * model rows — one corpus scan, no shuffle (the [[Ivf]] assignment
+    * shape); the dup check shuffles once on the cell id and joins
+    * earlier-vs-later INSIDE cells only. In-cell pair work is O(C²) per
+    * cell by the paper's own construction; the control is k ∝ corpus
+    * (cells stay ~corpus/k docs), exactly how SemDeDup runs at scale
+    * (the paper uses 50k clusters on LAION). */
+  def dedupSemantic(spark: SparkSession, dir: String, k: Int = 8,
+      threshold: Double = 0.35): DataFrame =
+    dedupSemanticOf(Tables.load(spark, dir, "embeddings"), k, threshold)
+
+  /** [[dedupSemantic]]'s core over any (vec_id, embedding) frame. */
+  def dedupSemanticOf(e: DataFrame, k: Int = 8,
+      threshold: Double = 0.35): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val rn = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(cosine_sim(col("embedding"), col("cvec")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val dup = best.as("a").join(best.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("b.vec_id") < col("a.vec_id") &&
+          round(cosine_sim(col("a.embedding"), col("b.embedding")), 4)
+            >= threshold)
+      .select(col("a.vec_id")).distinct()
+    best.join(dup.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        coalesce(col("hit"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup WITHOUT label blocking — the fallback
     * [[dedupEmbedding]] needs when no blocking key exists or labels are
     * skewed: candidates come from multi-table hyperplane LSH buckets

@@ -252,4 +252,74 @@ class TextSimSpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("dedup_semantic: planted cells, keep-first inside a cell, " +
+      "exact copy flagged, determinism under repartition") {
+    import spark.implicits._
+    // seeds (k=2): 0 → x-axis cell, 1 → y-axis cell. 2/3/4 are near-
+    // dups of an EARLIER doc in their cell; 5/6 share cell 0 but clear
+    // no 0.35 cosine to anything earlier — kept
+    val docs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f, 0f),   // cell 0, cos≈0.99 to 0
+      3L -> Array(1f, 0f, 0f, 0f),       // exact copy of 0
+      4L -> Array(0f, 1f, 0.05f, 0f),    // cell 1, cos≈0.999 to 1
+      5L -> Array(0.3f, 0f, 0.95f, 0f),  // cell 0, max cos to earlier ≈0.30
+      6L -> Array(0.3f, 0.1f, 0f, 0.95f) // cell 0, max cos to earlier ≈0.31
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextSim.dedupSemanticOf(df, k = 2, threshold = 0.35).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val out = run(docs)
+    assert(out.map(_._1).toSeq === (0L to 6L), "one row per doc, ordered")
+    val cell = out.map(t => t._1 -> t._2).toMap
+    assert(Seq(0L, 2L, 3L, 5L, 6L).forall(cell(_) === 0L))
+    assert(Seq(1L, 4L).forall(cell(_) === 1L))
+    val dup = out.filter(_._3).map(_._1).toSet
+    assert(dup === Set(2L, 3L, 4L), s"got $dup")
+    assert(run(docs.repartition(7)).toSeq === out.toSeq,
+      "partitioning leaked into the output")
+  }
+
+  test("dedup_semantic fixture: a partition of the corpus, dup mass " +
+      "present, first seed never a dup") {
+    val out = TextSim.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(out.length.toLong === n, "every vector lands in exactly one cell")
+    assert(out.map(_._2).distinct.sorted.toSeq === (0L to 7L),
+      "all 8 seeded cells non-empty on the fixture")
+    // vec 0 seeds cell 0 and precedes everything — can never be a dup
+    assert(!out.find(_._1 === 0L).get._3)
+    val dupRate = out.count(_._3).toDouble / n
+    assert(dupRate > 0 && dupRate < 0.9, s"degenerate dup rate $dupRate")
+  }
+
+  test("sample_importance: eval slice excluded, token counts tie out, " +
+      "keep consistent with the normalized weight, deterministic") {
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    val out = Sampling.sampleImportance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 % 50 != 0), "target slice must not be scored")
+    val wantTok = graft.core.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        fsize(TextSim.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, n, w, a, k) =>
+      assert(n === wantTok(id), s"doc $id token count drifted")
+      assert(math.abs(a - w / n) < 2e-4,
+        s"doc $id avg_lr inconsistent with logw")
+      assert(k === (a >= -0.09), s"doc $id keep flag inconsistent")
+    }
+    // every non-eval doc with >= 1 token is scored
+    assert(out.length === wantTok.count(_._2 > 0))
+    val again = Sampling.sampleImportance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(again.toSeq === out.toSeq, "weights not deterministic")
+  }
 }
