@@ -28,16 +28,17 @@ object Scale {
     // documents.parquet must invalidate the cache even when lineitem's
     // name/len/mtime are unchanged
     val tag = graft.core.Caches.md5Tag(
-      Seq("lineitem", "orders", "documents")
+      Seq("lineitem", "orders", "documents", "embeddings")
         .map(t => Tables.fingerprint(spark, sfDir, t))
         .mkString(s"$sfDir|", "|", ""))
     val path = s"target/graft-scale/$tag/f$factor"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // check ALL THREE markers: a crash between writes must trigger a
+    // check ALL markers: a crash between writes must trigger a
     // rebuild, not serve a torn dataset forever
-    val complete = Seq("lineitem", "orders", "documents").forall(t =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
+    val complete = Seq("lineitem", "orders", "documents", "embeddings")
+      .forall(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
     if (!complete) {
       val li = Tables.load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -65,6 +66,16 @@ object Scale {
           docs.withColumn("doc_id", col("doc_id") + lit(i * dStride)))
         .reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$path/documents")
+      // embeddings: same crawl-duplication regime as documents — each
+      // replica keeps its VECTOR (only vec_id shifts), so semantic
+      // dedup must collapse factor-many byte-identical copies
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val eStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      (0 until factor).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * eStride)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$path/embeddings")
     }
     path
   }
@@ -126,7 +137,23 @@ object Scale {
       // this way.
       "lev_after_canon" -> (() =>
         graft.query.TextSim.dedupLevenshteinOf(
-          canonSurvivors(spark.read.parquet(s"$path/documents"))).count()))
+          canonSurvivors(spark.read.parquet(s"$path/documents"))).count()),
+      // DSIR importance weights: explode + 64-group bucket table +
+      // doc-grain fold — should stay linear in total token count
+      "dsir" -> (() => graft.query.Sampling
+        .sampleImportanceOf(spark.read.parquet(s"$path/documents"))
+        .count()),
+      // SemDeDup with the paper's own scale control, k ∝ corpus: cell
+      // population stays ~constant while cell COUNT grows with the
+      // factor, so in-cell pair work (O(C²) per cell) stays linear in
+      // total rows. Assignment is N×k broadcast cosines — the term to
+      // watch in the curve (the paper amortizes it with real k-means +
+      // nearest-centroid pruning; here it is the honest brute form).
+      "semdedup_kprop" -> (() => {
+        val emb = spark.read.parquet(s"$path/embeddings")
+        val f = (emb.count() / 500L).toInt max 1
+        graft.query.TextSim.dedupSemanticOf(emb, k = 8 * f).count()
+      }))
   }
 
   private def canonSurvivors(docs: DataFrame): DataFrame =

@@ -98,9 +98,15 @@ object Sampling {
     * doc or bucket, nothing pairwise, no shuffle wider than the
     * doc-grain combine. */
   def sampleImportance(spark: SparkSession, dir: String, b: Int = 64)
-      : DataFrame = {
+      : DataFrame =
+    sampleImportanceOf(Tables.load(spark, dir, "documents"), b)
+
+  /** [[sampleImportance]]'s core over any (doc_id, text) frame (the
+    * scaled-copy harness [[graft.Scale]] runs it on replicated
+    * corpora). */
+  def sampleImportanceOf(docs: DataFrame, b: Int = 64): DataFrame = {
     val isEval = col("doc_id") % 50 === 0
-    val occ = Tables.load(spark, dir, "documents")
+    val occ = docs
       .select(col("doc_id"),
         explode(TextSim.tokens(col("text"))).as("token"))
       .select(col("doc_id"),

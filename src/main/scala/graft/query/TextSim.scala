@@ -716,19 +716,25 @@ object TextSim {
       threshold: Double = 0.35): DataFrame =
     dedupSemanticOf(Tables.load(spark, dir, "embeddings"), k, threshold)
 
-  /** [[dedupSemantic]]'s core over any (vec_id, embedding) frame. */
+  /** [[dedupSemantic]]'s core over any (vec_id, embedding) frame.
+    * Assignment is the [[Ivf]] max_by shape — map-side partial argmax,
+    * so only one (cid, embedding) row per vector reaches the shuffle
+    * (a row_number window here would shuffle the full corpus×k
+    * expansion to sort each vec_id group). Argmax ranks on the ROUNDED
+    * cosine with lowest-cid tie-break, mirroring the oracle's ORDER BY
+    * exactly. */
   def dedupSemanticOf(e: DataFrame, k: Int = 8,
       threshold: Double = 0.35): DataFrame = {
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val rn = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
     val best = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(cosine_sim(col("embedding"), col("cvec")), 4).as("ccos"))
-      .withColumn("rn", row_number().over(rn))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .withColumn("ccos",
+        round(cosine_sim(col("embedding"), col("cvec")), 4))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("ccos"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cid"))
     val dup = best.as("a").join(best.as("b"),
         col("a.cid") === col("b.cid") &&
           col("b.vec_id") < col("a.vec_id") &&
