@@ -38,6 +38,20 @@ object Tables {
     loaded.get(spark)(new java.util.concurrent.ConcurrentHashMap())
       .computeIfAbsent((dir, name), _ => load0(spark, dir, name))
 
+  /** Fan a narrow scan out to the session's parallelism. A small table
+    * in one parquet split runs every scan-side heavy stage (shingling,
+    * tokenizing, hashing, the countDistinct expand) in ONE task — the
+    * split count, not the core count, bounds parallelism. The guard
+    * makes this a no-op (and no extra exchange) on a properly-split
+    * table, so at scale it costs nothing; on the local fixture it buys
+    * the full core count for the per-row stage. Apply at `(spark, dir)`
+    * ENTRY wrappers only — never inside a composed/audited pipeline
+    * core, where an unconditional exchange would break plan pins. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def load0(spark: SparkSession, dir: String, name: String)
       : DataFrame = {
     // µs-typed parquet output: keeps our dumped timestamps byte-comparable

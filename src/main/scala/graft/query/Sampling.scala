@@ -99,7 +99,7 @@ object Sampling {
     * doc-grain combine. */
   def sampleImportance(spark: SparkSession, dir: String, b: Int = 64)
       : DataFrame =
-    sampleImportanceOf(Tables.load(spark, dir, "documents"), b)
+    sampleImportanceOf(Tables.fanOut(Tables.load(spark, dir, "documents")), b)
 
   /** [[sampleImportance]]'s core over any (doc_id, text) frame (the
     * scaled-copy harness [[graft.Scale]] runs it on replicated

@@ -238,7 +238,7 @@ object TextSim {
       .select(col("doc_id"), explode(shingles(col("toks"))).as("shingle"))
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    shingleSetsOf(Tables.load(spark, dir, "documents"))
+    shingleSetsOf(Tables.fanOut(Tables.load(spark, dir, "documents")))
 
   /** All ordered pairs within each row's sorted `arr` column — the
     * shared candidate-expansion core of [[dedupNgram]],
@@ -330,7 +330,8 @@ object TextSim {
     * collision check ([[textNoveltyOf]] convention). */
   def dedupSubstring(spark: SparkSession, dir: String, gramLen: Int = 5)
       : DataFrame =
-    dedupSubstringOf(Tables.load(spark, dir, "documents"), gramLen)
+    dedupSubstringOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
+      gramLen)
 
   /** DataFrame-parameterized core of [[dedupSubstring]] (specs plant
     * known duplicated spans through it). */
@@ -417,7 +418,8 @@ object TextSim {
     * both sides. */
   def textNovelty(spark: SparkSession, dir: String, commonDf: Int = 2)
       : DataFrame =
-    textNoveltyOf(Tables.load(spark, dir, "documents"), commonDf)
+    textNoveltyOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
+      commonDf)
 
   /** DataFrame-parameterized core of [[textNovelty]] (the Scale harness
     * runs it over replicated corpora). */
@@ -805,7 +807,8 @@ object TextSim {
     * check. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
       minOverlap: Int = 2): DataFrame =
-    decontaminateOf(Tables.load(spark, dir, "documents"), n, minOverlap)
+    decontaminateOf(Tables.fanOut(Tables.load(spark, dir, "documents")), n,
+      minOverlap)
 
   /** [[decontaminate]]'s core over any (doc_id, text) frame (the
     * scaled-copy harness [[graft.Scale]] runs it on replicated
