@@ -160,6 +160,7 @@ object SparkEntry {
     // delivery-over-delivery drift flags per column (null-rate shift,
     // range escape, cardinality jump) — see Profile.profileDrift
     "profile_drift" -> ((s: SparkSession, d: String) => Profile.profileDrift(s, d)),
+    "stream_profile_drift" -> (streaming.ProfileStream.drift _),
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
     "vocab_coverage" -> ((s: SparkSession, d: String) => TextQuality.vocabCoverage(s, d)),
@@ -310,6 +311,80 @@ object SparkEntry {
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
     * (`stream_session_window`) keys, which must agree row-for-row. */
+  private val profileDriftOracleSql =
+    """WITH s AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS delivery, * FROM orders),
+      |p AS (SELECT delivery, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1, min(o_orderkey) AS mn1, max(o_orderkey) AS mx1,
+      |  CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2, min(o_custkey) AS mn2, max(o_custkey) AS mx2,
+      |  CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3, min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+      |  CAST(count(o_totalprice) AS BIGINT) AS nn4, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4, min(o_totalprice) AS mn4, max(o_totalprice) AS mx4,
+      |  CAST(count(o_orderdate) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5, min(o_orderdate) AS mn5, max(o_orderdate) AS mx5,
+      |  CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6, min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+      |  FROM s GROUP BY delivery),
+      |w AS (SELECT p.*,
+      |lag(n) OVER (ORDER BY delivery) AS ln,
+      |  lag(nn1) OVER (ORDER BY delivery) AS lnn1, lag(nd1) OVER (ORDER BY delivery) AS lnd1,
+      |  min(mn1) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn1,
+      |  max(mx1) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx1,
+      |  lag(nn2) OVER (ORDER BY delivery) AS lnn2, lag(nd2) OVER (ORDER BY delivery) AS lnd2,
+      |  min(mn2) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn2,
+      |  max(mx2) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx2,
+      |  lag(nn3) OVER (ORDER BY delivery) AS lnn3, lag(nd3) OVER (ORDER BY delivery) AS lnd3,
+      |  min(mn3) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn3,
+      |  max(mx3) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx3,
+      |  lag(nn4) OVER (ORDER BY delivery) AS lnn4, lag(nd4) OVER (ORDER BY delivery) AS lnd4,
+      |  min(mn4) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn4,
+      |  max(mx4) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx4,
+      |  lag(nn5) OVER (ORDER BY delivery) AS lnn5, lag(nd5) OVER (ORDER BY delivery) AS lnd5,
+      |  min(mn5) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn5,
+      |  max(mx5) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx5,
+      |  lag(nn6) OVER (ORDER BY delivery) AS lnn6, lag(nd6) OVER (ORDER BY delivery) AS lnd6,
+      |  min(mn6) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn6,
+      |  max(mx6) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx6
+      |  FROM p)
+      |SELECT delivery, 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct,
+      |  CAST(mn1 AS VARCHAR) AS min_val, CAST(mx1 AS VARCHAR) AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn1) * ln - (ln - lnn1) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn1 IS NULL THEN FALSE ELSE (mn1 < pmn1 OR mx1 > pmx1) END AS range_escape,
+      |  CASE WHEN lnd1 IS NULL THEN FALSE ELSE (nd1 > lnd1 * 2 OR nd1 * 2 < lnd1) END AS card_jump
+      |FROM w
+      |UNION ALL
+      |SELECT delivery, 'o_custkey' AS col_name, n AS n_rows, n - nn2 AS n_nulls, nd2 AS n_distinct,
+      |  CAST(mn2 AS VARCHAR) AS min_val, CAST(mx2 AS VARCHAR) AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn2) * ln - (ln - lnn2) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn2 IS NULL THEN FALSE ELSE (mn2 < pmn2 OR mx2 > pmx2) END AS range_escape,
+      |  CASE WHEN lnd2 IS NULL THEN FALSE ELSE (nd2 > lnd2 * 2 OR nd2 * 2 < lnd2) END AS card_jump
+      |FROM w
+      |UNION ALL
+      |SELECT delivery, 'o_orderstatus' AS col_name, n AS n_rows, n - nn3 AS n_nulls, nd3 AS n_distinct,
+      |  CAST(mn3 AS VARCHAR) AS min_val, CAST(mx3 AS VARCHAR) AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn3) * ln - (ln - lnn3) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn3 IS NULL THEN FALSE ELSE (mn3 < pmn3 OR mx3 > pmx3) END AS range_escape,
+      |  CASE WHEN lnd3 IS NULL THEN FALSE ELSE (nd3 > lnd3 * 2 OR nd3 * 2 < lnd3) END AS card_jump
+      |FROM w
+      |UNION ALL
+      |SELECT delivery, 'o_totalprice' AS col_name, n AS n_rows, n - nn4 AS n_nulls, nd4 AS n_distinct,
+      |  CAST(mn4 AS VARCHAR) AS min_val, CAST(mx4 AS VARCHAR) AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn4) * ln - (ln - lnn4) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn4 IS NULL THEN FALSE ELSE (mn4 < pmn4 OR mx4 > pmx4) END AS range_escape,
+      |  CASE WHEN lnd4 IS NULL THEN FALSE ELSE (nd4 > lnd4 * 2 OR nd4 * 2 < lnd4) END AS card_jump
+      |FROM w
+      |UNION ALL
+      |SELECT delivery, 'o_orderdate' AS col_name, n AS n_rows, n - nn5 AS n_nulls, nd5 AS n_distinct,
+      |  strftime(mn5, '%Y-%m-%d %H:%M:%S') AS min_val, strftime(mx5, '%Y-%m-%d %H:%M:%S') AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn5) * ln - (ln - lnn5) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn5 IS NULL THEN FALSE ELSE (mn5 < pmn5 OR mx5 > pmx5) END AS range_escape,
+      |  CASE WHEN lnd5 IS NULL THEN FALSE ELSE (nd5 > lnd5 * 2 OR nd5 * 2 < lnd5) END AS card_jump
+      |FROM w
+      |UNION ALL
+      |SELECT delivery, 'o_orderpriority' AS col_name, n AS n_rows, n - nn6 AS n_nulls, nd6 AS n_distinct,
+      |  CAST(mn6 AS VARCHAR) AS min_val, CAST(mx6 AS VARCHAR) AS max_val,
+      |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn6) * ln - (ln - lnn6) * n) * 20 > n * ln END AS null_shift,
+      |  CASE WHEN pmn6 IS NULL THEN FALSE ELSE (mn6 < pmn6 OR mx6 > pmx6) END AS range_escape,
+      |  CASE WHEN lnd6 IS NULL THEN FALSE ELSE (nd6 > lnd6 * 2 OR nd6 * 2 < lnd6) END AS card_jump
+      |FROM w
+      |ORDER BY delivery, col_name""".stripMargin
+
   private val sessionOracleSql =
     """WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
       |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events),
@@ -988,79 +1063,10 @@ object SparkEntry {
     // per-column delivery-over-delivery drift flags: yearly
     // deliveries of orders; integer cross-multiplied null-rate
     // shift, typed range-envelope escape, 2x cardinality jump
-    "profile_drift" ->
-      """WITH s AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS delivery, * FROM orders),
-        |p AS (SELECT delivery, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1, min(o_orderkey) AS mn1, max(o_orderkey) AS mx1,
-        |  CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2, min(o_custkey) AS mn2, max(o_custkey) AS mx2,
-        |  CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3, min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
-        |  CAST(count(o_totalprice) AS BIGINT) AS nn4, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4, min(o_totalprice) AS mn4, max(o_totalprice) AS mx4,
-        |  CAST(count(o_orderdate) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5, min(o_orderdate) AS mn5, max(o_orderdate) AS mx5,
-        |  CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6, min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
-        |  FROM s GROUP BY delivery),
-        |w AS (SELECT p.*,
-        |lag(n) OVER (ORDER BY delivery) AS ln,
-        |  lag(nn1) OVER (ORDER BY delivery) AS lnn1, lag(nd1) OVER (ORDER BY delivery) AS lnd1,
-        |  min(mn1) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn1,
-        |  max(mx1) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx1,
-        |  lag(nn2) OVER (ORDER BY delivery) AS lnn2, lag(nd2) OVER (ORDER BY delivery) AS lnd2,
-        |  min(mn2) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn2,
-        |  max(mx2) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx2,
-        |  lag(nn3) OVER (ORDER BY delivery) AS lnn3, lag(nd3) OVER (ORDER BY delivery) AS lnd3,
-        |  min(mn3) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn3,
-        |  max(mx3) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx3,
-        |  lag(nn4) OVER (ORDER BY delivery) AS lnn4, lag(nd4) OVER (ORDER BY delivery) AS lnd4,
-        |  min(mn4) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn4,
-        |  max(mx4) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx4,
-        |  lag(nn5) OVER (ORDER BY delivery) AS lnn5, lag(nd5) OVER (ORDER BY delivery) AS lnd5,
-        |  min(mn5) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn5,
-        |  max(mx5) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx5,
-        |  lag(nn6) OVER (ORDER BY delivery) AS lnn6, lag(nd6) OVER (ORDER BY delivery) AS lnd6,
-        |  min(mn6) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmn6,
-        |  max(mx6) OVER (ORDER BY delivery ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx6
-        |  FROM p)
-        |SELECT delivery, 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct,
-        |  CAST(mn1 AS VARCHAR) AS min_val, CAST(mx1 AS VARCHAR) AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn1) * ln - (ln - lnn1) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn1 IS NULL THEN FALSE ELSE (mn1 < pmn1 OR mx1 > pmx1) END AS range_escape,
-        |  CASE WHEN lnd1 IS NULL THEN FALSE ELSE (nd1 > lnd1 * 2 OR nd1 * 2 < lnd1) END AS card_jump
-        |FROM w
-        |UNION ALL
-        |SELECT delivery, 'o_custkey' AS col_name, n AS n_rows, n - nn2 AS n_nulls, nd2 AS n_distinct,
-        |  CAST(mn2 AS VARCHAR) AS min_val, CAST(mx2 AS VARCHAR) AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn2) * ln - (ln - lnn2) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn2 IS NULL THEN FALSE ELSE (mn2 < pmn2 OR mx2 > pmx2) END AS range_escape,
-        |  CASE WHEN lnd2 IS NULL THEN FALSE ELSE (nd2 > lnd2 * 2 OR nd2 * 2 < lnd2) END AS card_jump
-        |FROM w
-        |UNION ALL
-        |SELECT delivery, 'o_orderstatus' AS col_name, n AS n_rows, n - nn3 AS n_nulls, nd3 AS n_distinct,
-        |  CAST(mn3 AS VARCHAR) AS min_val, CAST(mx3 AS VARCHAR) AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn3) * ln - (ln - lnn3) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn3 IS NULL THEN FALSE ELSE (mn3 < pmn3 OR mx3 > pmx3) END AS range_escape,
-        |  CASE WHEN lnd3 IS NULL THEN FALSE ELSE (nd3 > lnd3 * 2 OR nd3 * 2 < lnd3) END AS card_jump
-        |FROM w
-        |UNION ALL
-        |SELECT delivery, 'o_totalprice' AS col_name, n AS n_rows, n - nn4 AS n_nulls, nd4 AS n_distinct,
-        |  CAST(mn4 AS VARCHAR) AS min_val, CAST(mx4 AS VARCHAR) AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn4) * ln - (ln - lnn4) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn4 IS NULL THEN FALSE ELSE (mn4 < pmn4 OR mx4 > pmx4) END AS range_escape,
-        |  CASE WHEN lnd4 IS NULL THEN FALSE ELSE (nd4 > lnd4 * 2 OR nd4 * 2 < lnd4) END AS card_jump
-        |FROM w
-        |UNION ALL
-        |SELECT delivery, 'o_orderdate' AS col_name, n AS n_rows, n - nn5 AS n_nulls, nd5 AS n_distinct,
-        |  strftime(mn5, '%Y-%m-%d %H:%M:%S') AS min_val, strftime(mx5, '%Y-%m-%d %H:%M:%S') AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn5) * ln - (ln - lnn5) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn5 IS NULL THEN FALSE ELSE (mn5 < pmn5 OR mx5 > pmx5) END AS range_escape,
-        |  CASE WHEN lnd5 IS NULL THEN FALSE ELSE (nd5 > lnd5 * 2 OR nd5 * 2 < lnd5) END AS card_jump
-        |FROM w
-        |UNION ALL
-        |SELECT delivery, 'o_orderpriority' AS col_name, n AS n_rows, n - nn6 AS n_nulls, nd6 AS n_distinct,
-        |  CAST(mn6 AS VARCHAR) AS min_val, CAST(mx6 AS VARCHAR) AS max_val,
-        |  CASE WHEN ln IS NULL THEN FALSE ELSE abs((n - nn6) * ln - (ln - lnn6) * n) * 20 > n * ln END AS null_shift,
-        |  CASE WHEN pmn6 IS NULL THEN FALSE ELSE (mn6 < pmn6 OR mx6 > pmx6) END AS range_escape,
-        |  CASE WHEN lnd6 IS NULL THEN FALSE ELSE (nd6 > lnd6 * 2 OR nd6 * 2 < lnd6) END AS card_jump
-        |FROM w
-        |ORDER BY delivery, col_name""".stripMargin,
+    "profile_drift" -> profileDriftOracleSql,
+    // the streaming profiler must reproduce the batch drift output
+    // bit-for-bit: SAME oracle
+    "stream_profile_drift" -> profileDriftOracleSql,
     "profile_table" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,

@@ -35,7 +35,7 @@ object Profile {
     * string form. Timestamps get an explicit second-grain UTC format
     * (`strftime('%Y-%m-%d %H:%M:%S')` on the oracle side); other types
     * use the plain cast. */
-  private def render(c: Column, dt: DataType): Column = dt match {
+  private[graft] def render(c: Column, dt: DataType): Column = dt match {
     case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd HH:mm:ss")
     case _ => c.cast("string")
