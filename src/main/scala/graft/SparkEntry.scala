@@ -251,6 +251,10 @@ object SparkEntry {
     // SemDeDup: one-cell-per-doc centroid partition, keep-first inside
     // the cell — see TextSim.dedupSemantic
     "dedup_semantic" -> ((s: SparkSession, d: String) => TextSim.dedupSemantic(s, d)),
+    // the production form: real Lloyd k-means cells (rows-only; the
+    // recall contract below is its hash gate)
+    "dedup_semantic_kmeans" -> ((s: SparkSession, d: String) => TextSim.dedupSemanticKmeans(s, d)),
+    "dedup_semantic_recall" -> (Contracts.dedupSemanticRecall _),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     // the scale path: banded-minhash candidate edges (fan-out bounded
@@ -406,7 +410,8 @@ object SparkEntry {
     "dedup_minhash_recall", "dedup_simhash_complete",
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
-    "dedup_embedding_ann_recall", "tokenize_bpe_contract")
+    "dedup_embedding_ann_recall", "tokenize_bpe_contract",
+    "dedup_semantic_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
@@ -498,6 +503,9 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "dedup_embedding_ann_recall" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
+        |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
+    "dedup_semantic_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "lookup_code" ->

@@ -219,4 +219,31 @@ object Contracts {
         coalesce(col("__hit"), lit(false)).as("caught"))
       .orderBy("v1")
   }
+
+  /** K-means SemDeDup recall contract on PLANTED twins: augment the
+    * corpus with an exact copy of each vec_id < 50 (twin id = vec_id +
+    * 1000000) and require every twin to be FLAGGED a duplicate by the
+    * trained-centroid path. An identical vector gets the identical
+    * rounded-cosine argmax under ANY centroid model — same cell as its
+    * original by construction — and cos = 1.0 clears any sane
+    * threshold, so a missed twin can only mean the assignment →
+    * in-cell pairing → keep-first flag pipeline broke (the trained
+    * centroids themselves are deterministic but SQL-inexpressible,
+    * which is why the main key is rows-only and THIS key is the hash
+    * gate). */
+  def dedupSemanticRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val originals = e.filter(col("vec_id") < 50)
+    val twins = originals.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val flagged = TextSim.dedupSemanticKmeansOf(e.unionByName(twins))
+      .filter(col("is_dup"))
+      .select(col("vec_id").as("v2"), lit(true).as("__hit"))
+    originals
+      .select(col("vec_id").as("v1"), (col("vec_id") + 1000000L).as("v2"))
+      .join(flagged, Seq("v2"), "left")
+      .select(col("v1"), col("v2"),
+        coalesce(col("__hit"), lit(false)).as("caught"))
+      .orderBy("v1")
+  }
 }

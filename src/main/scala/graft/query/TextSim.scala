@@ -718,17 +718,45 @@ object TextSim {
       threshold: Double = 0.35): DataFrame =
     dedupSemanticOf(Tables.load(spark, dir, "embeddings"), k, threshold)
 
-  /** [[dedupSemantic]]'s core over any (vec_id, embedding) frame.
-    * Assignment is the [[Ivf]] max_by shape — map-side partial argmax,
-    * so only one (cid, embedding) row per vector reaches the shuffle
-    * (a row_number window here would shuffle the full corpus×k
-    * expansion to sort each vec_id group). Argmax ranks on the ROUNDED
-    * cosine with lowest-cid tie-break, mirroring the oracle's ORDER BY
-    * exactly. */
+  /** [[dedupSemantic]]'s core over any (vec_id, embedding) frame:
+    * deterministic lowest-vec_id seeding (the oracle-exact form). */
   def dedupSemanticOf(e: DataFrame, k: Int = 8,
-      threshold: Double = 0.35): DataFrame = {
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      threshold: Double = 0.35): DataFrame =
+    semanticCells(e,
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      threshold)
+
+  /** The PRODUCTION form of [[dedupSemantic]]: cells from real Lloyd
+    * k-means (the [[Ivf]] trainer — deterministic by its exact-decimal
+    * means, but iteration makes it SQL-inexpressible, so the key is
+    * rows-only and [[Contracts.dedupSemanticRecall]] hash-gates it on
+    * planted exact twins: an identical vector lands in the SAME cell
+    * under ANY centroid model, so a missed twin can only mean the
+    * assignment → cell-pair → flag pipeline broke). Trained cells track
+    * the data's actual density instead of the first k docs' happenstance
+    * — the SemDeDup paper's own configuration. */
+  def dedupSemanticKmeans(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, threshold: Double = 0.35): DataFrame =
+    dedupSemanticKmeansOf(Tables.load(spark, dir, "embeddings"),
+      k, iters, threshold)
+
+  /** [[dedupSemanticKmeans]]'s core over any (vec_id, embedding)
+    * frame (the recall contract runs it twin-augmented). */
+  def dedupSemanticKmeansOf(e: DataFrame, k: Int = 8, iters: Int = 3,
+      threshold: Double = 0.35): DataFrame =
+    semanticCells(e, Ivf.trainCentroids(e, k, iters, seed = 7L),
+      threshold)
+
+  /** Shared cell-dedup core: assign every vector to its best cell via
+    * the [[Ivf]] max_by shape — map-side partial argmax, so only one
+    * (cid, embedding) row per vector reaches the shuffle (a row_number
+    * window here would shuffle the full corpus×k expansion to sort
+    * each vec_id group). Argmax ranks on the ROUNDED cosine with
+    * lowest-cid tie-break, mirroring the oracle's ORDER BY exactly;
+    * then keep-first-seen inside each cell at the threshold. */
+  private def semanticCells(e: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
     val best = e.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(cosine_sim(col("embedding"), col("cvec")), 4))

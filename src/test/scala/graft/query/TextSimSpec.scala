@@ -296,6 +296,26 @@ class TextSimSpec extends SparkSuite {
     assert(dupRate > 0 && dupRate < 0.9, s"degenerate dup rate $dupRate")
   }
 
+  test("dedup_semantic_kmeans: still a partition, deterministic under " +
+      "repartition (exact-decimal Lloyd means), distinct from seeding") {
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextSim.dedupSemanticKmeansOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val out = run(e)
+    assert(out.length.toLong === e.count(), "one cell per vector")
+    assert(out.map(_._2).distinct.length === 8, "all 8 trained cells used")
+    // Lloyd rounds use exact-decimal means — the trained model, and so
+    // the whole output, must be bit-stable under input partitioning
+    assert(run(e.repartition(13)).toSeq === out.toSeq,
+      "partitioning leaked into the trained cells")
+    // non-vacuous: the trained cells actually moved off the seed cells
+    val seeded = TextSim.dedupSemanticOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.exists(t => seeded(t._1) !== t._2),
+      "k-means cells identical to seed cells — trainer not engaged")
+  }
+
   test("sample_importance: eval slice excluded, token counts tie out, " +
       "keep consistent with the normalized weight, deterministic") {
     import org.apache.spark.sql.functions.{col, size => fsize}
