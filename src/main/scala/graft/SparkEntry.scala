@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,6 +169,11 @@ object SparkEntry {
     // gated via tokenize_bpe_contract (round-trip + bounds theorems)
     "tokenize_bpe" -> ((s: SparkSession, d: String) => Bpe.tokenizeBpe(s, d)),
     "tokenize_bpe_contract" -> ((s: SparkSession, d: String) => Bpe.roundtripContract(s, d)),
+    // trained unigram-LM tokenizer (Kudo '18 EM + Viterbi; vocab-grain
+    // encode) — see Unigram; rows-only, hash-gated via
+    // tokenize_unigram_contract (tiling round-trip + bounds theorems)
+    "tokenize_unigram" -> ((s: SparkSession, d: String) => Unigram.tokenizeUnigram(s, d)),
+    "tokenize_unigram_contract" -> ((s: SparkSession, d: String) => Unigram.tilingContract(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
     // --- event-time windows (B17–B18) ---
@@ -310,7 +315,13 @@ object SparkEntry {
     // roundtrip: re-encoded/resized/brightened twins share one hash —
     // see multimodal.Phash (chunk-LSH candidates, exact Hamming verify)
     "dedup_phash" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.Phash.dedupPhash(s, d)))
+      graft.multimodal.Phash.dedupPhash(s, d)),
+    // audio-fingerprint dedup through the REAL WAV roundtrip:
+    // re-encoded-width/gain/DC-offset/upsampled twins share one
+    // Haitsma–Kalker-style hash — see multimodal.AudioFp (chunk-LSH
+    // candidates, exact Hamming verify)
+    "dedup_audio" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.AudioFp.dedupAudio(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -411,14 +422,15 @@ object SparkEntry {
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
     "dedup_embedding_ann_recall", "tokenize_bpe_contract",
-    "dedup_semantic_recall")
+    "tokenize_unigram_contract", "dedup_semantic_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, agg_approx_distinct, agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
-    * tokenize_bpe (the merge table is a trained model — its
-    * round-trip/bounds theorems gate it via tokenize_bpe_contract).
+    * tokenize_bpe and tokenize_unigram (the merge/piece tables are
+    * trained models — their round-trip/bounds theorems gate them via
+    * tokenize_bpe_contract / tokenize_unigram_contract).
     * Each of those families
     * IS hash-gated through its companion contract key
     * ([[graft.query.Contracts]]): a boolean bound/recall/completeness
@@ -436,6 +448,13 @@ object SparkEntry {
     // bounds are theorems of a correct BPE trainer+encoder — the
     // literal-TRUE oracle makes any regression a hash failure
     "tokenize_bpe_contract" ->
+      """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // tiling round-trip (pieces concatenate to the normalized text)
+    // and piece-count bounds are theorems of a correct unigram
+    // trainer+Viterbi encoder — the literal-TRUE oracle makes any
+    // regression a hash failure
+    "tokenize_unigram_contract" ->
       """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS bounds_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the integer-algebra twin of dedup_phash: the oracle recomputes
@@ -462,6 +481,35 @@ object SparkEntry {
         |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
         |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
         |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the integer-algebra twin of dedup_audio: the oracle recomputes
+    // each document's 64-bit Haitsma–Kalker-style fingerprint from the
+    // SHARED sample formula alone (groups of 5 share an anchor
+    // waveform; 8-bit re-encode / gain / DC offset / 2× upsample are
+    // all positive-linear maps whose double-difference signs are
+    // invariant in exact integer arithmetic, so the base waveform's
+    // hash IS every variant's hash) and sweeps all pairs; the Spark
+    // side must recover the same hashes through a genuine WAV
+    // encode→sniff→decode roundtrip (16-bit signed AND 8-bit unsigned
+    // PCM through the JDK's own WAVE reader)
+    "dedup_audio" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |ah AS (SELECT doc_id, (anchor * 2654435761) % 1000003 AS a1 FROM g),
+        |m AS (SELECT doc_id, list_transform(range(0, 340), i ->
+        |    (a1 + i * i * (a1 % 97 + 3) + i * (a1 % 89 + 7)
+        |     + (i * i * i) % 1009 * (a1 % 83 + 11)) % 121 - 60) AS m
+        |  FROM ah),
+        |s AS (SELECT doc_id, list_transform(range(0, 85), ci ->
+        |    m[ci * 4 + 1] + m[ci * 4 + 2] + m[ci * 4 + 3] + m[ci * 4 + 4]) AS s FROM m),
+        |d AS (SELECT doc_id, list_transform(range(0, 68), di ->
+        |    s[(di // 4) * 5 + (di % 4) + 1] - s[(di // 4) * 5 + (di % 4) + 2]) AS d FROM s),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN d[((b // 4) + 1) * 4 + (b % 4) + 1] > d[(b // 4) * 4 + (b % 4) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM d),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming

@@ -316,6 +316,37 @@ object Multimodal {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
+
+    /** Encode unsigned 8-bit PCM WAV (the WAV spec's 8-bit form is
+      * unsigned). `samples8` are the UNSIGNED byte values 0..255 the
+      * decoder will hand back verbatim — the caller owns the width
+      * reduction (e.g. `x/256 + 128` for 16-bit material whose samples
+      * are exact multiples of 256, which makes the re-encode lossless
+      * up to one linear map — the invariance [[AudioFp]] leans on). */
+    def encode8(sampleRate: Int, channels: Int, samples8: Array[Int])
+        : Array[Byte] = {
+      require(channels > 0 && samples8.length % channels == 0,
+        s"${samples8.length} samples not a whole number of $channels-channel frames")
+      val data = new Array[Byte](samples8.length)
+      var i = 0
+      while (i < samples8.length) {
+        val s = samples8(i)
+        require(s >= 0 && s <= 255, s"sample $s outside unsigned 8-bit range")
+        data(i) = (s & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, channels, channels, sampleRate.toFloat,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        (samples8.length / channels).toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
   }
 
   /** Codec dispatch by content sniffing: real container formats decode

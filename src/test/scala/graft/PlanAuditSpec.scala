@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
     "stream_topk_window", "stream_session_tracker",
     "stream_heavy_hitters", "stream_dedup_minhash",
+    "stream_profile_drift",
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q",
     "similarity_ivf_delta", "similarity_ivf_delta_recall_q",
@@ -52,8 +53,13 @@ class PlanAuditSpec extends SparkSuite {
   // the full-scan exact-distinct verification side) on a constant key
   // the optimizer folds away — a 1-row × 1-row broadcast, model-sized
   // by construction.
+  // The SemDeDup keys score embeddings against a broadcast centroid
+  // model (k rows, k ∝ corpus but model-sized by construction — the
+  // similarity_ivf precedent exactly); the recall contract inherits
+  // the shape.
   private val bnljAllowed = Set("similarity_topk", "similarity_ivf",
-    "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge")
+    "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge",
+    "dedup_semantic", "dedup_semantic_kmeans", "dedup_semantic_recall")
 
   // AQE-aware traversal lives in [[PlanNodes]] — shared by every
   // plan-shape suite so no assertion can go vacuously green again.
