@@ -232,6 +232,9 @@ object SparkEntry {
     // CCNet-style mean unigram surprisal (perplexity-filter signal) —
     // see TextQuality.textSurprisal
     "text_surprisal" -> (TextQuality.textSurprisal _),
+    // CCNet's conditional-LM filter signal: bigram perplexity with
+    // add-one smoothing — see TextQuality.textPerplexity
+    "text_perplexity" -> (TextQuality.textPerplexity _),
     "quality_filter" -> (TextQuality.qualityFilter _),
     "text_repetition" -> (TextQuality.textRepetition _),
     "pii_redact" -> (TextQuality.piiRedact _),
@@ -1632,6 +1635,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_tokens,
         |  round((len(cs) * log2(T) - list_reduce(list_transform(cs, x -> log2(CAST(x AS DOUBLE))), (a, b) -> a + b)) / len(cs), 6) AS avg_bits
         |FROM percy, tot ORDER BY doc_id""".stripMargin,
+    // bigram-LM perplexity: both engines pack each pair's two counts
+    // into one bigint (c(w1)·2^31 + c(w1,w2)), sort the per-doc list,
+    // and fold the add-one-smoothed bits sequentially — identical
+    // operation order, so the doubles agree to the rounded surface
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |uni AS (SELECT token, count(*) AS cw FROM occ GROUP BY token),
+        |voc AS (SELECT count(*) AS V FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |cbg AS (SELECT w1, w2, count(*) AS cbg FROM bgf GROUP BY w1, w2),
+        |enc AS (SELECT doc_id, u.cw * 2147483648 + c.cbg AS e
+        |  FROM bgf JOIN cbg c USING (w1, w2) JOIN uni u ON u.token = bgf.w1),
+        |percy AS (SELECT doc_id, list_sort(list(e)) AS es FROM enc GROUP BY doc_id),
+        |scored AS (SELECT doc_id, CAST(len(es) AS BIGINT) AS n_pairs,
+        |    round(list_reduce(list_transform(es, e ->
+        |      log2(CAST(e // 2147483648 + V AS DOUBLE)) -
+        |      log2(CAST(e % 2147483648 + 1 AS DOUBLE))), (a, b) -> a + b) / len(es), 6) AS avg_bits
+        |  FROM percy, voc)
+        |SELECT d.doc_id, coalesce(s.n_pairs, 0) AS n_pairs, s.avg_bits,
+        |  round(pow(2, s.avg_bits), 4) AS ppl
+        |FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -371,6 +371,66 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** CCNet's actual filter signal (Wenzek et al. '19 §4.3): per-document
+    * PERPLEXITY under a trained n-gram language model — here a bigram LM
+    * with add-one smoothing trained on the corpus itself (the sandbox
+    * stand-in for KenLM's out-of-band model; the plan shape with an
+    * external model is the same minus the two count aggregations).
+    * Unlike [[textSurprisal]] this is a CONDITIONAL model:
+    *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V),
+    * c = corpus counts, V = vocabulary size — so templated text scores
+    * low even when its tokens are individually rare, which is exactly
+    * why CCNet filters on perplexity rather than unigram frequency.
+    *
+    * Shape at scale: bigram counts are one explode + one hash
+    * aggregation; the per-pair probability lookup joins the bigram
+    * stream to its OWN count table keyed on (w1,w2) — a shuffle join
+    * on the bigram key, NOT a broadcast (at 100 TB the bigram table is
+    * itself corpus-sized; only the vocabulary-sized unigram table
+    * broadcasts). Doc-grain fold is one aggregation.
+    *
+    * Cross-engine determinism (the [[textSurprisal]] convention): the
+    * two counts of each pair are packed into one bigint
+    * (c(w1)·2³¹ + c(w1,w2) — counts are < 2³¹ by the fixture bound,
+    * documented, not checked), the per-doc list is SORTED, and the
+    * bits fold runs sequentially over it in both engines. ppl rounds
+    * the power of the already-rounded avg_bits. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    textPerplexityOf(docsTok(spark, dir))
+
+  /** [[textPerplexity]]'s core over any frame carrying (doc_id, toks)
+    * — the LM trains on exactly the frame it scores. */
+  private[query] def textPerplexityOf(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+    val uni = occ.groupBy("token").agg(count(lit(1)).as("cw"))
+    // vocabulary size: a model scalar (the tfidf `n` convention)
+    val v = uni.count()
+    val bg = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val perDoc = bg
+      .join(cbg, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("token", "w1")), Seq("w1"))
+      .select(col("doc_id"),
+        (col("cw") * lit(1L << 31) + col("cbg")).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("doc_id"), size(col("es")).cast("long").as("n_pairs"),
+        round(expr(s"aggregate(es, CAST(0.0 AS DOUBLE), (a, e) -> a" +
+          s" + log2(CAST(e DIV ${1L << 31} + $v AS DOUBLE))" +
+          s" - log2(CAST(e % ${1L << 31} + 1 AS DOUBLE)))") /
+          size(col("es")), 6).as("avg_bits"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("avg_bits"),
+        round(pow(lit(2.0), col("avg_bits")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style quality filter: keep/drop with the FIRST failing rule
     * as the reason. Rules (thresholds sit inside the synthetic corpus'
     * observed distribution so every branch is exercised):
