@@ -324,7 +324,14 @@ object SparkEntry {
     // Haitsma–Kalker-style hash — see multimodal.AudioFp (chunk-LSH
     // candidates, exact Hamming verify)
     "dedup_audio" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.AudioFp.dedupAudio(s, d)))
+      graft.multimodal.AudioFp.dedupAudio(s, d)),
+    // perceptual video dedup through the REAL mux→BMFF-demux→JPEG-
+    // decode roundtrip: generationally re-encoded / 2x-temporally-
+    // upsampled / freeze-frame-padded twins share one collapsed
+    // frame-hash sequence — see multimodal.VideoFp (exact-equality
+    // keyed join, never all-pairs)
+    "dedup_video" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.VideoFp.dedupVideo(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -518,6 +525,34 @@ object SparkEntry {
         |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the integer-algebra twin of dedup_video: the oracle recomputes
+    // every frame's 64-bit dHash from the SHARED cell formula (groups
+    // of 4 share an anchor's footage; the generational JPEG re-encode
+    // is pixel-exact because 8x8-aligned constant blocks are DC-only,
+    // and the temporal-upsample / freeze-pad disguises vanish under
+    // the shared consecutive-collapse), collapses identically, and
+    // sweeps all pairs; the Spark side must recover the same collapsed
+    // sequences through a genuine mux -> ISO-BMFF demux -> JPEG decode
+    // roundtrip. Cell level = running prefix (mod 4) of keyed steps in
+    // 1..3 along the row; dHash bit i compares grid col (i%8)+1 vs
+    // (i%8) in row i//8, LSB-first in the bit string.
+    "dedup_video" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS anchor FROM documents),
+        |fr AS (SELECT doc_id, anchor, unnest(range(0, anchor % 3 + 3)) AS f FROM g),
+        |h AS (SELECT doc_id, f, array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN
+        |      list_sum(list_transform(range(0, (i % 8) + 2), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |      >
+        |      list_sum(list_transform(range(0, (i % 8) + 1), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |    THEN '1' ELSE '0' END), '') AS fh FROM fr),
+        |seqs AS (SELECT doc_id, list(fh ORDER BY f) AS hs FROM h GROUP BY doc_id),
+        |coll AS (SELECT doc_id, list_filter(hs, (x, i) -> i = 1 OR x <> hs[i - 1]) AS cs FROM seqs),
+        |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
+        |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
     // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
     // so the oracle ALSO value-checks the emitted jaccard column; the
     // banding contract itself is the literal-TRUE caught column
