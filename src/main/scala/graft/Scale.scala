@@ -153,6 +153,16 @@ object Scale {
         val emb = spark.read.parquet(s"$path/embeddings")
         val f = (emb.count() / 500L).toInt max 1
         graft.query.TextSim.dedupSemanticOf(emb, k = 8 * f).count()
+      }),
+      // PQ end-to-end (train + encode + ADC query + rerank): training
+      // is iters × (N×m subvectors vs m×ks broadcast codebooks) and
+      // encoding is one more assignment pass — both linear in N; the
+      // ADC query is one scan of the N×m codes table. Nothing here is
+      // pairwise, so the curve should track N.
+      "pq_e2e" -> (() => {
+        val emb = spark.read.parquet(s"$path/embeddings")
+        graft.query.Pq.similarityPqOf(emb,
+          graft.query.Pq.buildIndexOf(emb)).count()
       }))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -236,6 +236,9 @@ object SparkEntry {
     // add-one smoothing — see TextQuality.textPerplexity
     "text_perplexity" -> (TextQuality.textPerplexity _),
     "quality_filter" -> (TextQuality.qualityFilter _),
+    // Okapi BM25 against a fixed query term set — the retrieval
+    // primitive for targeted corpus slicing; see TextQuality.textBm25
+    "text_bm25" -> (TextQuality.textBm25(_, _)),
     "text_repetition" -> (TextQuality.textRepetition _),
     "pii_redact" -> (TextQuality.piiRedact _),
     "dedup_exact" -> (TextSim.dedupExact _),
@@ -268,10 +271,21 @@ object SparkEntry {
     // the scale path: banded-minhash candidate edges (fan-out bounded
     // by construction, no DF-cap knob) — see Cluster.dedupClusterMinhash
     "dedup_cluster_minhash" -> ((s: SparkSession, d: String) => Cluster.dedupClusterMinhash(s, d)),
+    // quality-aware representative selection per near-dup cluster
+    // (keep the longest member) — the RefinedWeb "keep best" step;
+    // see Cluster.dedupKeepBest
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => Cluster.dedupKeepBest(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextSim.decontaminate(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
+    // product-quantization ANN (Jégou '11): 8-byte codes, ADC lookup-
+    // table scoring, exact rerank — the memory-bound scale path
+    // complementing IVF's scan-pruning path; see query.Pq
+    "similarity_pq" -> ((s: SparkSession, d: String) => Pq.similarityPq(s, d)),
+    // the production composition (FAISS IVFADC): IVF cell pruning ×
+    // PQ code scoring × exact rerank — see Pq.similarityIvfPq
+    "similarity_ivfpq" -> ((s: SparkSession, d: String) => Pq.similarityIvfPq(s, d)),
     // the weekly-delivery regime applied to ANN: delta assigned to
     // frozen centroids, appended O(delta) — see Ivf.ensureDeltaIndex
     "similarity_ivf_delta" -> ((s: SparkSession, d: String) => Ivf.similarityIvfDelta(s, d)),
@@ -289,6 +303,8 @@ object SparkEntry {
     "similarity_lsh_recall" -> ((s: SparkSession, d: String) => Contracts.lshRecall(s, d)),
     "similarity_ivf_recall" -> ((s: SparkSession, d: String) => Contracts.ivfRecall(s, d)),
     "similarity_ivf_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfRecallPerQuery(s, d)),
+    "similarity_pq_recall_q" -> ((s: SparkSession, d: String) => Contracts.pqRecallPerQuery(s, d)),
+    "similarity_ivfpq_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfPqRecallPerQuery(s, d)),
     "similarity_ivf_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfDeltaRecallPerQuery(s, d)),
     "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
@@ -431,12 +447,15 @@ object SparkEntry {
     "dedup_minhash_recall", "dedup_simhash_complete",
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
+    "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
     "dedup_embedding_ann_recall", "tokenize_bpe_contract",
     "tokenize_unigram_contract", "dedup_semantic_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
-    * similarity_ivf_delta, agg_approx_distinct, agg_percentile_approx
+    * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
+    * agg_approx_distinct,
+    * agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
     * tokenize_bpe and tokenize_unigram (the merge/piece tables are
     * trained models — their round-trip/bounds theorems gate them via
@@ -581,6 +600,16 @@ object SparkEntry {
     // per-query grain (the lsh key's strength): floor 4/5 measured at
     // the driver's verify SF — see Contracts.ivfRecallPerQuery
     "similarity_ivf_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // PQ-ADC per-query recall floors (codes + LUT + exact rerank) —
+    // Contracts.pqRecallPerQuery
+    "similarity_pq_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // the composed IVFADC path holds the same floors —
+    // Contracts.ivfPqRecallPerQuery
+    "similarity_ivfpq_recall_q" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // the same per-query floors, re-checked over the incrementally-
@@ -1670,6 +1699,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_tokens,
         |  round((len(cs) * log2(T) - list_reduce(list_transform(cs, x -> log2(CAST(x AS DOUBLE))), (a, b) -> a + b)) / len(cs), 6) AS avg_bits
         |FROM percy, tot ORDER BY doc_id""".stripMargin,
+    // Okapi BM25 vs the fixed 4-term query: per-(doc,term)
+    // contributions are one literal arithmetic chain on both engines,
+    // folded per doc in sorted term order (the surprisal technique)
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(len(toks)) AS DOUBLE) AS tt FROM t),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        |  WHERE token IN ('filter', 'join', 'stream', 'window')
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        |c AS (SELECT tf.doc_id, tf.token,
+        |    ln(1.0 + (n.nd - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * n.nd / n.tt)) AS c
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY token)), (a, v) -> a + v), 6) AS bm25
+        |FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin,
     // bigram-LM perplexity: both engines pack each pair's two counts
     // into one bigint (c(w1)·2^31 + c(w1,w2)), sort the per-doc list,
     // and fold the add-one-smoothed bits sequentially — identical
@@ -2027,6 +2075,31 @@ object SparkEntry {
         |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
         |SELECT m.doc_id, m.cluster, s.cluster_size, m.doc_id = m.cluster AS is_canonical
         |FROM m JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
+    // the same >= 0.8 closure, then the quality window: keep the
+    // longest member (token count, ties to lowest doc_id) per cluster;
+    // linked subgraph only — the drop list a curation anti-join uses
+    "dedup_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT src, dst FROM e UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+        |m AS (SELECT cl.doc_id, cl.cluster, q.n_toks FROM cl JOIN q USING (doc_id)),
+        |b AS (SELECT cluster, doc_id AS keep_id FROM (
+        |    SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY n_toks DESC, doc_id ASC) AS rn FROM m)
+        |  WHERE rn = 1),
+        |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster)
+        |SELECT m.doc_id, m.cluster, b.keep_id, m.doc_id = b.keep_id AS kept, s.cluster_size
+        |FROM m JOIN b USING (cluster) JOIN s USING (cluster) ORDER BY m.doc_id""".stripMargin,
     // incremental-index delta dedup: exact-Jaccard >= 0.8 pairs whose
     // newer side is in the delta (newest ~20% of doc_ids — the same
     // cutoff rule as the engine, integer-division parity via //); the

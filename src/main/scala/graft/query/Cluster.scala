@@ -152,4 +152,47 @@ object Cluster {
         (col("doc_id") === col("cluster")).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** dedup_keep_best: quality-aware representative selection — the
+    * RefinedWeb/FineWeb curation step that [[dedupClusterMinhash]]'s
+    * arbitrary min-id canonical is not: within each near-dup cluster,
+    * KEEP the highest-quality member and mark the rest for dropping.
+    * Quality here is the exact token count (longest member wins, ties
+    * to the lowest doc_id) — the deterministic core of the "keep the
+    * most complete variant" heuristic; any scalar quality column slots
+    * into the same max_by.
+    *
+    * Output is the LINKED subgraph only (every member of a cluster of
+    * size ≥ 2, with its cluster, the chosen keep_id, and a kept flag):
+    * the drop list a curation pipeline anti-joins against. Singletons
+    * never enter the component-find or the output — at crawl scale the
+    * near-dup mass is a small fraction of the corpus, so every stage
+    * here is sized by dup mass, not corpus size.
+    *
+    * Edges are the star-bounded banded-minhash verified pairs (exact
+    * Jaccard ≥ `threshold`; O(B) per degenerate bucket), so the whole
+    * operator is linear-shuffle end to end. Oracle: transitive closure
+    * over the exact-Jaccard pair set + the same window rule in DuckDB
+    * (full hash gate — same licensing as dedup_cluster_minhash). */
+  def dedupKeepBest(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxRounds: Int = 30): DataFrame = {
+    val pairs = TextSim.dedupMinhashStar(spark, dir, threshold)
+    val labels = connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")), maxRounds)
+    val quality = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextSim.tokens(col("text"))).cast("long").as("n_toks"))
+    val members = labels.join(quality, Seq("doc_id"))
+    // cluster-grain fold: one (keep_id, size) row per cluster via
+    // map-side-combinable aggregates — no per-cluster sort materializes
+    val best = members.groupBy("cluster")
+      .agg(max_by(col("doc_id"), struct(col("n_toks"), -col("doc_id")))
+          .as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+    members.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
 }

@@ -183,6 +183,34 @@ object Contracts {
       floor)
   }
 
+  /** PQ-ADC recall contract at the per-query grain: every query's
+    * PQ top-5 ([[Pq.similarityPq]] — 8-byte codes + exact rerank of
+    * the top-32 ADC candidates) retrieves at least the measured floor
+    * of the brute-force top-5. Same per-SF floors as the IVF family
+    * (4/5 at the driver SFs, 3/5 on the 500-row sf0.001 fixture where
+    * top-5 distinctions are noise-scale); PqSpec pins the measured
+    * fixture recall itself, this key pins the serving guarantee. */
+  def pqRecallPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Pq.similarityPq(spark, dir, 5), floor)
+  }
+
+  /** IVF-PQ recall contract at the per-query grain: the composed
+    * index ([[Pq.similarityIvfPq]] — cell pruning, then ADC, then
+    * exact rerank) holds the same measured per-SF floors as its
+    * component operators. Composition can only lose candidates the
+    * IVF stage prunes, so at the high-recall probe budget the floor
+    * transfers; a drop below it means the cell filter and the codes
+    * table disagree about membership. */
+  def ivfPqRecallPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Pq.similarityIvfPq(spark, dir, 5), floor)
+  }
+
   /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
     * per-SF floor gates; also the lsh key's shape). */
   private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,

@@ -175,13 +175,18 @@ object Ivf {
     probeScore(spark, e, cent, cells, k, nprobe)
   }
 
-  /** The shared probe-and-score stage: nearest `nprobe` cells per
-    * query from the broadcast centroid model, then exact scoring of
-    * ONLY those cells' rows against the cell-partitioned inverted
-    * file. */
-  private def probeScore(spark: SparkSession, e: DataFrame,
-      cent: DataFrame, cells: DataFrame, k: Int, nprobe: Int)
-      : DataFrame = {
+  /** The probe stage alone: the nearest `nprobe` cells per query from
+    * the broadcast centroid model, collected to (a broadcastable
+    * (query_id, qv, probe_cid) frame, the sorted distinct probed cid
+    * list). The probe set is a MODEL SCALAR (≤ queries × nprobe rows —
+    * the nlist-centroid precedent): collecting it lets the probed cids
+    * become LITERAL partition filters on the cell-partitioned store,
+    * so the scan's file index selects only the probed cells' dirs —
+    * static pruning, visible as `PartitionFilters: cid IN (…)` and
+    * independent of dynamic-pruning heuristics. Shared by the exact
+    * probe path and the IVF-PQ composition ([[Pq.similarityIvfPq]]). */
+  private[query] def probeSet(spark: SparkSession, e: DataFrame,
+      cent: DataFrame, nprobe: Int): (DataFrame, Seq[Long]) = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("cid").asc)
     val probePlan = e.filter(col("vec_id") < 10)
@@ -193,19 +198,22 @@ object Ivf {
       // fresh name: cells and probes share cent's lineage, so joining
       // cid===cid would resolve self-referentially (trivially true)
       .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
-    // the probe set is a MODEL SCALAR (≤ queries × nprobe rows — the
-    // nlist-centroid precedent): collecting it lets the probed cids
-    // become LITERAL partition filters on the cell-partitioned store,
-    // so the scan's file index selects only the probed cells' dirs —
-    // static pruning, visible as `PartitionFilters: cid IN (…)` and
-    // independent of dynamic-pruning heuristics
     val collected = probePlan.collect().toIndexedSeq
     val probes = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(collected).asJava,
       probePlan.schema)
-    val probeCids = collected.map(_.getAs[Long]("probe_cid"))
-      .distinct.sorted
+    (probes,
+      collected.map(_.getAs[Long]("probe_cid")).distinct.sorted)
+  }
 
+  /** The shared probe-and-score stage: nearest `nprobe` cells per
+    * query from the broadcast centroid model, then exact scoring of
+    * ONLY those cells' rows against the cell-partitioned inverted
+    * file. */
+  private def probeScore(spark: SparkSession, e: DataFrame,
+      cent: DataFrame, cells: DataFrame, k: Int, nprobe: Int)
+      : DataFrame = {
+    val (probes, probeCids) = probeSet(spark, e, cent, nprobe)
     val scored = cells
       .filter(col("cid").isin(probeCids: _*))
       .join(broadcast(probes),

@@ -716,4 +716,53 @@ object TextQuality {
         (col("score") > 0).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** Okapi BM25 relevance scoring (Robertson & Walker '94; the Lucene
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` non-negative idf form):
+    * score every matching document against a fixed query term set —
+    * the retrieval primitive a curation stack uses for targeted
+    * corpus slicing and decontamination triage. k1 = 1.2, b = 0.75
+    * (the standard defaults).
+    *
+    * Shape at scale: one token-grain filtered aggregate for tf (the
+    * term filter cuts the explode to query-term occurrences before
+    * the shuffle), a term-grain df (query-sized → broadcast), a
+    * doc-length frame joined by doc_id, and a doc-grain fold — no
+    * cross product, same class as [[textTfidf]]. Cross-engine float
+    * parity: per-(doc, term) contributions are a fixed left-to-right
+    * arithmetic chain mirrored literally in the oracle, and the
+    * per-doc sum folds in sorted term order via the sequential
+    * `aggregate` HOF ([[textSurprisal]]'s technique). */
+  def textBm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("filter", "join", "stream", "window"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextSim.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl"))
+    val totals = toks.agg(count(lit(1)).cast("double").as("nd"),
+      sum(size(col("toks"))).cast("double").as("tt"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("c",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("nd") / col("tt"))))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        array_sort(collect_list(struct(col("token"), col("c"))))
+          .as("cs"))
+      .select(col("doc_id"), col("n_terms"),
+        round(aggregate(transform(col("cs"), x => x("c")),
+          lit(0.0), (a, v) => a + v), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+  }
 }

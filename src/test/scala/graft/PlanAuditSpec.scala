@@ -33,6 +33,11 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q",
     "similarity_ivf_delta", "similarity_ivf_delta_recall_q",
+    // trains the session PQ codebooks (and, for the composition, the
+    // IVF index too) on construction; their truth side is
+    // similarity_topk's allowed BNLJ
+    "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
+    "similarity_ivfpq",
     // builds/loads the persisted minhash index on construction
     // (dedup_minhash_delta; curate_delta composes it)
     "dedup_minhash_delta", "curate_delta",
