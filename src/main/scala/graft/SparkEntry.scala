@@ -242,6 +242,9 @@ object SparkEntry {
     "text_repetition" -> (TextQuality.textRepetition _),
     "pii_redact" -> (TextQuality.piiRedact _),
     "dedup_exact" -> (TextSim.dedupExact _),
+    // winnowing fingerprint selection (Schleimer '03 / MOSS) — see
+    // TextSim.textWinnow
+    "text_winnow" -> ((s: SparkSession, d: String) => TextSim.textWinnow(s, d)),
     "dedup_canonical" -> (TextSim.dedupCanonical _),
     "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
@@ -1568,6 +1571,24 @@ object SparkEntry {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // robust winnowing, literally mirrored: md5 3-gram hashes, window
+    // w=4, rightmost minimum per window ('~' as the +inf sentinel),
+    // short docs = one window, distinct selections
+    "text_winnow" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+        |    md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS hs
+        |  FROM t WHERE len(toks) >= 3),
+        |wnd AS (SELECT doc_id, hs, CASE WHEN len(hs) >= 4 THEN len(hs) - 3 ELSE 1 END AS nw
+        |  FROM h WHERE len(hs) >= 1),
+        |sel AS (SELECT doc_id, list_transform(range(1, nw + 1), j ->
+        |    list_reduce(list_prepend({'h': '~', 'p': 0},
+        |      list_transform(range(0, least(3, len(hs) - j) + 1), o -> {'h': hs[j + o], 'p': j + o})),
+        |      (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)) AS fps
+        |  FROM wnd)
+        |SELECT DISTINCT doc_id, CAST(f.p AS BIGINT) AS pos, f.h AS fp
+        |FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+        |ORDER BY doc_id, pos""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

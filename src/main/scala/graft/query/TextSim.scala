@@ -163,6 +163,62 @@ object TextSim {
           .as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken '03 — the
+    * MOSS algorithm): guarantee-bearing document fingerprint SELECTION.
+    * Hash every token 3-gram, slide a window of `w` = 4 consecutive
+    * hashes, and keep the minimal hash per window (RIGHTMOST position
+    * on ties — the paper's robust winnowing). The guarantee: any match
+    * of at least w + k − 1 = 6 tokens between two documents shares at
+    * least one selected fingerprint, while only ~2/(w+1) of all grams
+    * are kept — the density/guarantee trade the paper proves. The hash
+    * order is md5-hex string order: portable across engines (the
+    * DuckDB twin recomputes it literally), uniform enough that
+    * selection is content-, not alphabet-, biased.
+    *
+    * Shape at scale: pure scan-side array algebra — shingle, hash,
+    * window-fold per document with HOFs; no explode reaches a shuffle
+    * until the final ordered output. Documents shorter than one full
+    * window winnow as a single window over their grams (the standard
+    * short-document convention); docs under k tokens emit nothing. */
+  def textWinnow(spark: SparkSession, dir: String, w: Int = 4)
+      : DataFrame =
+    textWinnowOf(Tables.load(spark, dir, "documents"), w)
+
+  /** [[textWinnow]] over an explicit documents frame (doc_id, text) —
+    * the spec's entry point for planted-match fixtures. */
+  def textWinnowOf(docs: DataFrame, w: Int = 4): DataFrame = {
+    val k = 3
+    val hs = when(size(col("toks")) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => md5(concat_ws(" ",
+          element_at(col("toks"), i),
+          element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))))
+    val n = size(col("hs"))
+    val nWin = when(n >= w, n - (w - 1))
+      .when(n >= 1, lit(1)).otherwise(lit(0))
+    // per window: fold offsets 0..min(w-1, n-j), keep (h, p) with
+    // h <= acc.h so the RIGHTMOST minimum wins; '~' > 'f' = +inf
+    val sels = transform(sequence(lit(1), col("nw")), j =>
+      aggregate(
+        sequence(lit(0), least(lit(w - 1), n - j)),
+        struct(lit("~").as("h"), lit(0).as("p")),
+        (acc, o) => {
+          val cand = struct(element_at(col("hs"), j + o).as("h"),
+            (j + o).as("p"))
+          when(cand("h") <= acc("h"), cand).otherwise(acc)
+        }))
+    docsTokOf(docs)
+      .withColumn("hs", hs)
+      .filter(size(col("hs")) >= 1)
+      .withColumn("nw", nWin)
+      .withColumn("fp", explode(array_distinct(sels)))
+      .select(col("doc_id"), col("fp.p").cast("long").as("pos"),
+        col("fp.h").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   // --------------------------------------------------------------- dedup
 
   /** B14: exact dedup on content hash, keep lowest doc_id per group. */
