@@ -121,8 +121,10 @@ object VideoFp {
   private[multimodal] def vfps(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // fanOut: the codec stage is pure per-row CPU — a one-split scan
+    // would run ALL of it in one task (Tables.fanOut scaladoc)
+    Tables.fanOut(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val mp4 = variantMp4(id)
         require(Mp4.isMp4(mp4), s"doc $id: non-BMFF mux output")
