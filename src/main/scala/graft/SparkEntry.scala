@@ -245,6 +245,9 @@ object SparkEntry {
     // winnowing fingerprint selection (Schleimer '03 / MOSS) — see
     // TextSim.textWinnow
     "text_winnow" -> ((s: SparkSession, d: String) => TextSim.textWinnow(s, d)),
+    // MOSS match detection over the selected fingerprints — see
+    // TextSim.dedupWinnow
+    "dedup_winnow" -> ((s: SparkSession, d: String) => TextSim.dedupWinnow(s, d)),
     "dedup_canonical" -> (TextSim.dedupCanonical _),
     "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
@@ -289,6 +292,9 @@ object SparkEntry {
     // the production composition (FAISS IVFADC): IVF cell pruning ×
     // PQ code scoring × exact rerank — see Pq.similarityIvfPq
     "similarity_ivfpq" -> ((s: SparkSession, d: String) => Pq.similarityIvfPq(s, d)),
+    // the weekly-delivery regime applied to the codes index: frozen
+    // codebooks, O(delta) assignment append — see Pq.ensureDeltaIndex
+    "similarity_pq_delta" -> ((s: SparkSession, d: String) => Pq.similarityPqDelta(s, d)),
     // the weekly-delivery regime applied to ANN: delta assigned to
     // frozen centroids, appended O(delta) — see Ivf.ensureDeltaIndex
     "similarity_ivf_delta" -> ((s: SparkSession, d: String) => Ivf.similarityIvfDelta(s, d)),
@@ -308,6 +314,7 @@ object SparkEntry {
     "similarity_ivf_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfRecallPerQuery(s, d)),
     "similarity_pq_recall_q" -> ((s: SparkSession, d: String) => Contracts.pqRecallPerQuery(s, d)),
     "similarity_ivfpq_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfPqRecallPerQuery(s, d)),
+    "similarity_pq_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.pqDeltaRecallPerQuery(s, d)),
     "similarity_ivf_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfDeltaRecallPerQuery(s, d)),
     "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
     // --- multimodal (binary payload plumbing; decode is a marked stub) ---
@@ -451,13 +458,14 @@ object SparkEntry {
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
+    "similarity_pq_delta_recall_q",
     "dedup_embedding_ann_recall", "tokenize_bpe_contract",
     "tokenize_unigram_contract", "dedup_semantic_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
-    * agg_approx_distinct,
+    * similarity_pq_delta, agg_approx_distinct,
     * agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
     * tokenize_bpe and tokenize_unigram (the merge/piece tables are
@@ -613,6 +621,11 @@ object SparkEntry {
     // the composed IVFADC path holds the same floors —
     // Contracts.ivfPqRecallPerQuery
     "similarity_ivfpq_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // the incrementally-maintained codes hold the same floors —
+    // Contracts.pqDeltaRecallPerQuery
+    "similarity_pq_delta_recall_q" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // the same per-query floors, re-checked over the incrementally-
@@ -1589,6 +1602,28 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, CAST(f.p AS BIGINT) AS pos, f.h AS fp
         |FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
         |ORDER BY doc_id, pos""".stripMargin,
+    // MOSS match detection: the same winnow selection, deduped to
+    // (doc, fp), DF-capped, self-joined on fp, >= 2 shared
+    "dedup_winnow" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+        |    md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS hs
+        |  FROM t WHERE len(toks) >= 3),
+        |wnd AS (SELECT doc_id, hs, CASE WHEN len(hs) >= 4 THEN len(hs) - 3 ELSE 1 END AS nw
+        |  FROM h WHERE len(hs) >= 1),
+        |sel AS (SELECT doc_id, list_transform(range(1, nw + 1), j ->
+        |    list_reduce(list_prepend({'h': '~', 'p': 0},
+        |      list_transform(range(0, least(3, len(hs) - j) + 1), o -> {'h': hs[j + o], 'p': j + o})),
+        |      (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END)) AS fps
+        |  FROM wnd),
+        |fp AS (SELECT DISTINCT doc_id, f.h AS fp
+        |  FROM (SELECT doc_id, unnest(fps) AS f FROM sel)),
+        |cold AS (SELECT * FROM fp WHERE fp NOT IN (
+        |    SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1000))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -211,6 +211,19 @@ object Contracts {
       Pq.similarityIvfPq(spark, dir, 5), floor)
   }
 
+  /** The [[pqRecallPerQuery]] contract re-checked over the
+    * incrementally-maintained codes ([[Pq.ensureDeltaIndex]]):
+    * base-trained codebooks, frozen-assigned delta, merged serving.
+    * Same floors — the iid fixture delta cannot degrade quantization
+    * ([[ivfDeltaRecallPerQuery]]'s argument); a drop means the append
+    * path lost or mis-coded rows. */
+  def pqDeltaRecallPerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Pq.similarityPqDelta(spark, dir, 5), floor)
+  }
+
   /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
     * per-SF floor gates; also the lsh key's shape). */
   private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,

@@ -146,6 +146,50 @@ object Pq {
     }
   }
 
+  /** Incrementally-maintained PQ (the weekly-delivery regime of
+    * [[Ivf.ensureDeltaIndex]] applied to the codes index): codebooks
+    * train on the BASE slice only (vec_id < cutoff — the newest ~20 %
+    * model the un-indexed delivery), the delta is ASSIGNED to the
+    * frozen codebooks in one O(delta) pass and its codes appended.
+    * Quantization drift mirrors IVF's centroid-drift argument: frozen
+    * codebooks mis-code the delta only as far as its distribution
+    * departs from the base; the fixture delta is iid, and
+    * `similarity_pq_delta_recall_q` pins the post-delivery serving
+    * floors. Disk persistence would follow [[Ivf.ensureDeltaIndex]]'s
+    * two-commit SnapshotStore recipe verbatim; the in-session memo is
+    * the same contract minus cross-session reuse. */
+  def ensureDeltaIndex(spark: SparkSession, dir: String, m: Int = M,
+      ks: Int = Ks, iters: Int = Iters, seed: Long = Seed)
+      : (DataFrame, DataFrame) = {
+    val tag = Caches.md5Tag(
+      s"pqdelta|$dir|$m|$ks|$iters|$seed|${Tables.fingerprint(spark, dir, "embeddings")}")
+    val cache = memo.get(spark)(scala.collection.mutable.Map.empty)
+    cache.synchronized {
+      cache.getOrElseUpdate(tag, {
+        val e = Tables.load(spark, dir, "embeddings")
+        val cutoff =
+          e.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5 + 1
+        val baseSv = subVectors(e.filter(col("vec_id") < cutoff), m)
+          .localCheckpoint()
+        val cb = trainCodebooks(baseSv, m, ks, iters, seed)
+        val deltaSv = subVectors(e.filter(col("vec_id") >= cutoff), m)
+        val codes = assign(baseSv, cb)
+          .unionByName(assign(deltaSv, cb)) // O(delta): one frozen pass
+          .select(col("vec_id"), col("sub"), col("cid"))
+          .localCheckpoint()
+        (cb, codes)
+      })
+    }
+  }
+
+  /** Top-k over the incrementally-maintained codes — the
+    * post-delivery serving state ([[TextSim.similarityTopk]]'s
+    * output contract, [[similarityPq]]'s geometry). */
+  def similarityPqDelta(spark: SparkSession, dir: String, k: Int = 5,
+      rerank: Int = Rerank): DataFrame =
+    similarityPqOf(Tables.load(spark, dir, "embeddings"),
+      ensureDeltaIndex(spark, dir), k, rerank, M)
+
   /** Un-memoized index build over an arbitrary embeddings frame —
     * the Scale sweep's entry point (each factor is a fresh corpus). */
   def buildIndexOf(e: DataFrame, m: Int = M, ks: Int = Ks,

@@ -220,6 +220,33 @@ object TextSim {
       .orderBy("doc_id", "pos")
   }
 
+  /** Winnow-fingerprint match detection — MOSS's second half: two
+    * documents sharing at least `minShared` distinct selected
+    * fingerprints are reported with their shared count. Because
+    * selection carries the winnowing guarantee, any pair sharing a
+    * run of ≥ w+k−1 tokens per shared fingerprint is caught, while
+    * the candidate space is the SELECTED grams only (~2/(w+1) of the
+    * corpus gram mass — the whole point of winnowing at 100 TB: the
+    * postings index is 2.5× smaller than a full shingle index for the
+    * same guarantee). Hot fingerprints above `dfCap` docs are dropped
+    * from pairing (the [[dedupNgram]] DF-cap precedent — boilerplate
+    * grams pair quadratically and signal template, not provenance). */
+  def dedupWinnow(spark: SparkSession, dir: String, minShared: Int = 2,
+      dfCap: Int = 1000): DataFrame = {
+    val fps = textWinnow(spark, dir)
+      .select("doc_id", "fp").distinct()
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp")
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
   // --------------------------------------------------------------- dedup
 
   /** B14: exact dedup on content hash, keep lowest doc_id per group. */

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSuite {
     // IVF index too) on construction; their truth side is
     // similarity_topk's allowed BNLJ
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
-    "similarity_ivfpq",
+    "similarity_ivfpq", "similarity_pq_delta",
+    "similarity_pq_delta_recall_q",
     // builds/loads the persisted minhash index on construction
     // (dedup_minhash_delta; curate_delta composes it)
     "dedup_minhash_delta", "curate_delta",

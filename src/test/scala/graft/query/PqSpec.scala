@@ -104,6 +104,19 @@ class PqSpec extends SparkSuite {
       .as[(Long, Boolean)].collect().forall(_._2))
   }
 
+  test("delta maintenance: frozen-codebook assignment serves the " +
+      "merged corpus at the same floors, and the codes cover base and " +
+      "delta exactly once") {
+    import spark.implicits._
+    val (_, codes) = Pq.ensureDeltaIndex(spark, dir)
+    val n = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(codes.count() === n * 16, "merged codes row count")
+    assert(codes.groupBy("vec_id", "sub").count()
+      .filter(col("count") > 1).isEmpty, "double-coded (vec, sub)")
+    assert(Contracts.pqDeltaRecallPerQuery(spark, dir)
+      .as[(Long, Boolean)].collect().forall(_._2))
+  }
+
   test("IVF-PQ composition holds the same per-query recall floor as " +
       "its component operators") {
     import spark.implicits._
