@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSuite {
   // the shape.
   private val bnljAllowed = Set("similarity_topk", "similarity_ivf",
     "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge",
-    "dedup_semantic", "dedup_semantic_kmeans", "dedup_semantic_recall")
+    "dedup_semantic", "dedup_semantic_kmeans", "dedup_semantic_recall",
+    // 1-row corpus-totals frame broadcast-crossed into the contrib
+    // chain — the model-scalar crossJoin shape
+    "text_bm25")
 
   // AQE-aware traversal lives in [[PlanNodes]] — shared by every
   // plan-shape suite so no assertion can go vacuously green again.
