@@ -160,6 +160,9 @@ object SparkEntry {
     // delivery-over-delivery drift flags per column (null-rate shift,
     // range escape, cardinality jump) — see Profile.profileDrift
     "profile_drift" -> ((s: SparkSession, d: String) => Profile.profileDrift(s, d)),
+    // the pre-flight join-key skew panel (cardinality, max/p99 group,
+    // skew ratio, hottest key) — see Profile.skewReport
+    "skew_report" -> (Profile.skewReport _),
     "stream_profile_drift" -> (streaming.ProfileStream.drift _),
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
@@ -1203,6 +1206,18 @@ object SparkEntry {
     // deliveries of orders; integer cross-multiplied null-rate
     // shift, typed range-envelope escape, 2x cardinality jump
     "profile_drift" -> profileDriftOracleSql,
+    // one block per audited key column; quantile_cont mirrors Spark's
+    // exact interpolated percentile over the key-grain size table
+    "skew_report" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""SELECT '$c' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_group,
+           |  round(quantile_cont(n, 0.99), 6) AS p99_group,
+           |  round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 6) AS skew_ratio,
+           |  (SELECT min(k) FROM (SELECT $c AS k, count(*) AS n FROM lineitem GROUP BY $c) g2
+           |   WHERE g2.n = (SELECT max(n) FROM (SELECT count(*) AS n FROM lineitem GROUP BY $c) g3)) AS top_key
+           |FROM (SELECT $c AS k, count(*) AS n FROM lineitem GROUP BY $c)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
     // the streaming profiler must reproduce the batch drift output
     // bit-for-bit: SAME oracle
     "stream_profile_drift" -> profileDriftOracleSql,

@@ -258,4 +258,34 @@ object Profile {
       .select("p.*")
       .orderBy("delivery", "col_name")
   }
+
+  /** skew_report: the "should this join key be salted?" panel — the
+    * per-key group-size distribution for each candidate shuffle key,
+    * collapsed to the numbers the partitioning decision actually
+    * needs: key cardinality, max and p99 group size, the skew ratio
+    * (max over mean — AQE's skewed-partition factor at the KEY grain,
+    * before partitioning blurs it), and the hottest key itself. At
+    * 100 TB this is one groupBy per key column producing a
+    * #distinct-keys-sized table (≪ data), then a scalar fold — the
+    * cheap pre-flight a pipeline runs before committing to a join
+    * strategy ([[Relational]]'s `join_skew_salted` is the remedy this
+    * report indicates). Exact percentile over the group-size table:
+    * it is key-grain, not row-grain, so exactness is affordable at
+    * any corpus size. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      li.groupBy(col(c).as("k")).agg(count(lit(1)).as("n"))
+        .agg(
+          lit(c).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_group"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99_group"),
+          round(max(col("n")) * count(lit(1)) /
+            sum(col("n")).cast("double"), 6).as("skew_ratio"),
+          max_by(col("k"), struct(col("n"), -col("k"))).as("top_key"))
+    }.reduce(_.unionByName(_))
+      .orderBy("key_col")
+  }
 }
