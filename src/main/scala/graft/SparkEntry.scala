@@ -122,6 +122,11 @@ object SparkEntry {
     "window_range" -> (Relational.windowRange _),
     // --- temporal / sampling / packing (training-pipeline extensions) ---
     "join_asof" -> (Temporal.purchaseAsofView _),
+    // the forward direction (earliest following match) and the pandas
+    // merge_asof tolerance guard — see Temporal
+    "join_asof_forward" -> (Temporal.purchaseAsofNextView _),
+    "join_asof_tolerance" -> ((s: SparkSession, d: String) =>
+      Temporal.purchaseAsofViewTolerance(s, d)),
     "join_interval" -> (Temporal.intervalJoin _),
     "join_bucketed" -> (Bucketed.joinBucketed _),
     // explicit bloom runtime filter: fact rows dropped at the scan,
@@ -1095,6 +1100,23 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, p.ts, p.purchase_value, v.ts AS view_ts, v.view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // the forward direction: native ASOF with the inequality flipped
+    "join_asof_forward" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts, p.purchase_value, v.ts AS view_ts, v.view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // merge_asof tolerance: discard matches staler than 60 minutes
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT p.user_id, p.event_id, p.ts, p.purchase_value, v.ts AS view_ts, v.view_value
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT user_id, event_id, ts, purchase_value,
+        |  CASE WHEN view_ts IS NOT NULL AND epoch_us(ts) - epoch_us(view_ts) <= 3600000000 THEN view_ts END AS view_ts,
+        |  CASE WHEN view_ts IS NOT NULL AND epoch_us(ts) - epoch_us(view_ts) <= 3600000000 THEN view_value END AS view_value
+        |FROM j ORDER BY user_id, event_id""".stripMargin,
     "join_interval" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'view')

@@ -66,6 +66,70 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** FORWARD as-of: for each `left` row, the EARLIEST `right` row with
+    * `right.tsCol >= left.tsCol` per key — the "next quote after the
+    * trade" direction. Same union-carry machinery as [[asofJoin]],
+    * mirrored: descending sort, right rows still first at equal ts so
+    * `>=` stays inclusive. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Column): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol),
+      payload.as(payloadCol)).withColumn(tagCol, lit(0))
+    val l = left.withColumn(tagCol, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(tagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(payloadCol, last(col(payloadCol), ignoreNulls = true)
+        .over(w))
+      .filter(col(tagCol) === 1)
+      .drop(tagCol)
+  }
+
+  /** join_asof_forward: every purchase paired with the user's earliest
+    * following-or-simultaneous view (DuckDB twin: native ASOF with the
+    * inequality flipped). */
+  def purchaseAsofNextView(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("view_value"))
+    val joined = asofJoinForward(purchases, views, "user_id", "ts",
+      payload = struct(col("ts").as("view_ts"),
+        col("view_value").as("view_value")))
+    joined.select(col("user_id"), col("event_id"), col("ts"),
+        col("purchase_value"),
+        col(s"$payloadCol.view_ts").as("view_ts"),
+        col(s"$payloadCol.view_value").as("view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** join_asof_tolerance: the backward as-of with pandas
+    * `merge_asof(tolerance=...)` semantics — a match older than
+    * `toleranceMin` minutes is DISCARDED (both payload columns null),
+    * the staleness guard every feature-join pipeline needs. Same
+    * single-shuffle plan; the tolerance is one scan-side conditional
+    * after the carry-forward. */
+  def purchaseAsofViewTolerance(spark: SparkSession, dir: String,
+      toleranceMin: Int = 60): DataFrame = {
+    val base = purchaseAsofView(spark, dir)
+    // exact-microsecond gap: a seconds cast truncates and diverges
+    // from the oracle at sub-second boundaries
+    val fresh = col("view_ts").isNotNull &&
+      unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("view_ts").cast("timestamp")) <=
+        toleranceMin.toLong * 60L * 1000000L
+    base.select(col("user_id"), col("event_id"), col("ts"),
+        col("purchase_value"),
+        when(fresh, col("view_ts")).as("view_ts"),
+        when(fresh, col("view_value")).as("view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Interval (time-range) join: per purchase, aggregate the same user's
     * views within the preceding 30 minutes.
     *

@@ -119,4 +119,52 @@ class TemporalSpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("forward asof: earliest right row at-or-after each left row") {
+    val left = Seq(
+      (1L, 100L, t(10)), (1L, 101L, t(20)), (1L, 102L, t(50)),
+      (2L, 200L, t(15)))
+      .toDF("k", "id", "ts")
+    val right = Seq(
+      (1L, t(10), "a"), (1L, t(18), "b"), (2L, t(5), "zzz"))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoinForward(left.repartition(5),
+        right.repartition(3), "k", "ts", payload = struct(col("v")))
+      .select(col("id"), col("__graft_asof_payload.v").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map(
+      100L -> "a",   // equal ts matches (inclusive)
+      101L -> null,  // key 1's latest view (t=18) precedes t=20
+      102L -> null,  // nothing at or after t=50
+      200L -> null)) // key 2's only view precedes t=15
+  }
+
+  test("tolerance asof: stale matches are nulled, fresh ones kept, " +
+      "row set identical to the unguarded key") {
+    val dir = graft.TestSpark.sfDir
+    val base = Temporal.purchaseAsofView(spark, dir)
+      .select("event_id", "ts", "view_ts", "view_value").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val tol = Temporal.purchaseAsofViewTolerance(spark, dir, 60)
+      .select("event_id", "view_ts", "view_value").collect()
+    assert(tol.length === base.size)
+    tol.foreach { r =>
+      val b = base(r.getLong(0))
+      val fresh = !b.isNullAt(2) && {
+        val gapUs = java.time.Duration.between(
+          b.getAs[java.time.LocalDateTime](2),
+          b.getAs[java.time.LocalDateTime](1)).toNanos / 1000L
+        gapUs <= 60L * 60L * 1000000L
+      }
+      if (fresh) {
+        assert(!r.isNullAt(1) && r.getAs[java.time.LocalDateTime](1) ==
+          b.getAs[java.time.LocalDateTime](2), s"event ${r.getLong(0)}")
+        assert(r.getDouble(2) === b.getDouble(3))
+      } else {
+        assert(r.isNullAt(1) && r.isNullAt(2),
+          s"event ${r.getLong(0)}: stale match survived")
+      }
+    }
+  }
 }

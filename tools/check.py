@@ -116,6 +116,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         except AssertionError as e:
             print(f"[FAIL] {name}: {str(e).splitlines()[-1][:200]}")
             failures += 1
+    # an oracle key with no dump dir means the Spark query THREW during
+    # Verify — without this, a crashed query silently vanishes from the
+    # compare (Verify narrows oracle_sql.json to the dumped subset, so
+    # this is exact even under SPARK_GRAFT_VERIFY_ONLY)
+    for name in sorted(set(oracle) - set(names)):
+        print(f"[FAIL] {name}: oracle present but no spark dump "
+              f"(query failed during Verify?)")
+        failures += 1
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
