@@ -39,9 +39,18 @@ import org.apache.spark.sql.graftbridge.Bridge
   * (BpeSpec trains twice and on a hand-derivable corpus). */
 object Bpe {
 
-  /** End-of-word marker (Sennrich §3.2's `</w>`): lets a merge learn
-    * word-final units distinctly and makes decode unambiguous. */
-  val EndOfWord = "</w>"
+  /** End-of-word marker (Sennrich §3.2's `</w>`, uppercased): lets a
+    * merge learn word-final units distinctly and makes decode
+    * unambiguous. The uppercase `W` is load-bearing, not style:
+    * [[TextSim.tokens]] lowercases its input, so NO corpus token can
+    * contain this string (or any uppercase character), and no
+    * concatenation of encoded base symbols can form it across a
+    * subword boundary — decode's marker→space replacement therefore
+    * matches ONLY true markers and encode∘decode is injective on every
+    * legal input, including adversarial text containing a literal
+    * lowercase "</w>" (which survives the roundtrip as the four base
+    * symbols `<`,`/`,`w`,`>`). */
+  val EndOfWord = "</W>"
 
   private val mergesMemo = new graft.core.Caches.PerSession[
     scala.collection.mutable.Map[String, Seq[(String, String)]]]

@@ -184,8 +184,9 @@ object Contracts {
   }
 
   /** PQ-ADC recall contract at the per-query grain: every query's
-    * PQ top-5 ([[Pq.similarityPq]] — 8-byte codes + exact rerank of
-    * the top-32 ADC candidates) retrieves at least the measured floor
+    * PQ top-5 ([[Pq.similarityPq]] — 10-byte codes (m=16 × 5-bit) +
+    * exact rerank of the top-[[Pq.Rerank]]=128 ADC candidates)
+    * retrieves at least the measured floor
     * of the brute-force top-5. Same per-SF floors as the IVF family
     * (4/5 at the driver SFs, 3/5 on the 500-row sf0.001 fixture where
     * top-5 distinctions are noise-scale); PqSpec pins the measured

@@ -128,8 +128,9 @@ object Pq {
     new Caches.PerSession[scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]
 
   /** (codebooks, codes) for a corpus dir — trained once per session
-    * per (dir, params); codes = (vec_id, sub, cid), the 8-byte-per-
-    * vector surrogate corpus. Both localCheckpointed: the model is
+    * per (dir, params); codes = (vec_id, sub, cid), the 10-byte-per-
+    * vector surrogate corpus (default m=16 subspaces × 5-bit codes —
+    * see [[M]]/[[Ks]]). Both localCheckpointed: the model is
     * the reusable index (persisting it to disk would follow
     * [[Ivf.ensureIndex]]'s SnapshotStore layout verbatim; in-session
     * memoization is the same contract minus cross-session reuse). */

@@ -169,15 +169,37 @@ object IngestStream {
     * FileSplitter worker (file_splitter.py:117-118). A malformed
     * oversized file aborts its split and falls back to the original
     * single-task path, preserving whole-file poison (A17). */
-  private def splitPaths(files: Seq[String], scratch: java.nio.file.Path,
+  /** True only for paths the DRIVER can read with java.nio — no-scheme
+    * local paths and file: URIs. Remote-filesystem deliveries (hdfs://,
+    * s3a://, …) must flow to Spark untouched: the splitter is a
+    * driver-local landing-side optimization, and its shards land in
+    * driver-local scratch that remote executors could not read. */
+  private def isDriverLocal(p: String): Boolean =
+    scala.util.Try(java.net.URI.create(p.replace(" ", "%20")).getScheme)
+      // unparseable-as-URI ⇒ a plain local path with odd characters
+      // (remote URIs are well-formed by construction)
+      .getOrElse(null) match {
+      case null | "file" => true
+      case _ => false
+    }
+
+  private[streaming] def splitPaths(files: Seq[String], scratch: java.nio.file.Path,
       thresholdBytes: Long): Seq[String] =
     files.flatMap { p =>
       val isArray = !p.endsWith(".jsonl") && !p.endsWith(".ndjson") &&
         !p.endsWith(".csv")
-      val lp = localPath(p)
-      if (isArray && java.nio.file.Files.size(lp) > thresholdBytes)
-        graft.ingest.ArraySplitter.split(lp, scratch)
-          .map(_.map(_.toString)).getOrElse(Seq(p))
+      // the size probe and the split itself only make sense for
+      // driver-local paths; ANY probe/split failure (remote scheme,
+      // vanished file, permission) falls back to handing the original
+      // path straight to Spark — the pre-r14 behavior, so a delivery
+      // that Spark could read can never be failed by the optimizer
+      val splittable = isArray && isDriverLocal(p) &&
+        scala.util.Try(
+          java.nio.file.Files.size(localPath(p)) > thresholdBytes)
+          .getOrElse(false)
+      if (splittable)
+        scala.util.Try(graft.ingest.ArraySplitter.split(localPath(p), scratch)
+          .map(_.map(_.toString)).getOrElse(Seq(p))).getOrElse(Seq(p))
       else Seq(p)
     }
 

@@ -27,7 +27,8 @@ class BpeSpec extends SparkSuite {
       Seq((6L, "aab"), (7L, "aab")))
       .toDF("doc_id", "text")
     val merges = Bpe.trainMerges(docs, numMerges = 3)
-    assert(merges === Seq(("a", "a"), ("b", "</w>"), ("a", "b</w>")))
+    val eow = Bpe.EndOfWord
+    assert(merges === Seq(("a", "a"), ("b", eow), ("a", "b" + eow)))
   }
 
   test("determinism: identical merges across runs and partitionings") {
@@ -83,6 +84,31 @@ class BpeSpec extends SparkSuite {
       val subs = r.getSeq[String](2)
       assert(Bpe.decode(subs) === w, s"round-trip broke for '$w'")
       assert(subs.nonEmpty)
+    }
+  }
+
+  test("adversarial literal '</w>' inside a token cannot forge the " +
+      "marker (decode stays injective)") {
+    // tokens are lowercased, so the uppercase-W marker Bpe.EndOfWord
+    // can never occur in (or be concatenated from) corpus text — a doc
+    // containing the literal lowercase string must survive the full
+    // encode→decode roundtrip unchanged (the r14 ADVICE gap: under a
+    // lowercase marker this input made roundtrip_ok flip false).
+    val docs = Seq((1L, "x</w>y plain x</w>y"),
+      (2L, "</w> alone and x</w>y again")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 20)
+    val enc = docs
+      .select(explode(TextSim.tokens(col("text"))).as("w"))
+      .select(col("w"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.BpeEncodeWord(
+            org.apache.spark.sql.graftbridge.Bridge
+              .expression(col("w")), merges)).as("subs"))
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(Bpe.decode(r.getSeq[String](1)) === r.getString(0),
+        s"marker forged by '${r.getString(0)}'")
     }
   }
 }

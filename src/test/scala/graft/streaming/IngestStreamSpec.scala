@@ -224,4 +224,38 @@ class IngestStreamSpec extends SparkSuite {
       assert(manifests.map(_.stripPrefix("MANIFEST-").toLong).max >= 2L)
     }
   }
+
+  test("splitPaths: remote-scheme and vanished paths pass through " +
+      "untouched (r14 ADVICE medium)") {
+    val scratch = Files.createTempDirectory("graft-split-spec")
+    try {
+      // a remote URI the driver cannot stat must NOT throw and must
+      // reach Spark verbatim; same for a local path that vanished
+      // between discovery and the batch, and for a driver-unreadable
+      // odd-character path — the splitter is an optimization, never a
+      // gate
+      val remote = "hdfs://namenode:8020/deliveries/week9.json"
+      val s3 = "s3a://bucket/deliveries/week9.json"
+      val gone = scratch.resolve("never-written.json").toString
+      val odd = "/tmp/does not exist {week}.json"
+      val in = Seq(remote, s3, gone, odd)
+      assert(IngestStream.splitPaths(in, scratch, thresholdBytes = 1L)
+        === in)
+      // a real local oversized array file still splits
+      val big = scratch.resolve("big.json")
+      Files.write(big,
+        ("[" + (1 to 50).map(i => s"""{\"code\":\"$i\"}""")
+          .mkString(",\n") + "]").getBytes)
+      val out = IngestStream.splitPaths(
+        Seq(big.toString), scratch, thresholdBytes = 1L)
+      assert(out.nonEmpty)
+      assert(out.forall(p => new java.io.File(
+        if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+        .exists()))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(scratch).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
