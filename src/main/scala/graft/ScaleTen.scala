@@ -185,11 +185,24 @@ object ScaleTen {
     }
     val (raw, floor, canon) = counts(1000)
     val (rawT, floorT, canonT) = counts(100)
+    // the r15 star row: the SAME capped shingle space expanded through
+    // the double-star bound (the dedup_cluster / cluster-consumer
+    // path) vs the all-pairs raw count above — the ratio is the
+    // measured fan-out saving at this decade
+    def starCount(cap: Int): Long = {
+      val sh = TextSim.shingleHashesOf(docs)
+      val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh_h")
+      TextSim.starEdges(sh.join(keep, "sh_h"), Seq("sh_h"),
+        allPairCap = 32).count()
+    }
+    val star = starCount(1000)
+    val starT = starCount(100)
     println(s"""{"corpus":"$label","doc_rows":$rows,""" +
       s""""cap1000":{"lev_cand_raw":$raw,"lev_cand_floor":$floor,""" +
-      s""""lev_cand_after_canon":$canon},""" +
+      s""""lev_cand_after_canon":$canon,"ngram_cand_star":$star},""" +
       s""""cap100":{"lev_cand_raw":$rawT,"lev_cand_floor":$floorT,""" +
-      s""""lev_cand_after_canon":$canonT}}""")
+      s""""lev_cand_after_canon":$canonT,"ngram_cand_star":$starT}}""")
   }
 
   def main(args: Array[String]): Unit = {

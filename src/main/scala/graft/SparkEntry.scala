@@ -259,6 +259,11 @@ object SparkEntry {
     "dedup_canonical" -> (TextSim.dedupCanonical _),
     "corpus_stats" -> (TextQuality.corpusStats _),
     "dedup_ngram" -> ((s: SparkSession, d: String) => TextSim.dedupNgram(s, d)),
+    // the cluster-consumer form: per-posting double-star candidates
+    // above the 32-pair cap (O(df), never O(df²)); pair-identical to
+    // dedup_ngram at fixture DFs, so it shares the full hash gate —
+    // see TextSim.dedupNgramStarOf
+    "dedup_ngram_star" -> ((s: SparkSession, d: String) => TextSim.dedupNgramStar(s, d)),
     // exact duplicated-span detection (substring-grain dedup) — see
     // TextSim.dedupSubstring
     "dedup_substring" -> ((s: SparkSession, d: String) => TextSim.dedupSubstring(s, d)),
@@ -267,6 +272,10 @@ object SparkEntry {
     "corpus_dup_rate" -> ((s: SparkSession, d: String) => TextSim.corpusDupRate(s, d)),
     "text_novelty" -> ((s: SparkSession, d: String) => TextSim.textNovelty(s, d)),
     "dedup_levenshtein" -> ((s: SparkSession, d: String) => TextSim.dedupLevenshtein(s, d)),
+    // star-bounded candidates + posting-derived minShared floor;
+    // fixture-identical to dedup_levenshtein (same hash gate) — see
+    // TextSim.dedupLevenshteinStarOf
+    "dedup_lev_star" -> ((s: SparkSession, d: String) => TextSim.dedupLevenshteinStar(s, d)),
     "dedup_lev_curated" -> ((s: SparkSession, d: String) =>
       TextSim.dedupLevenshteinOf(TextSim.canonicalSurvivors(
         graft.core.Tables.load(s, d, "documents")))),
@@ -1715,6 +1724,26 @@ object SparkEntry {
         |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
         |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.3
         |ORDER BY d1, d2""".stripMargin,
+    // the star-bounded form is pair-identical to dedup_ngram wherever
+    // every posting is at-or-under the 32-pair cap — true at all
+    // driver SFs (max df 25 at sf0.1), so the SAME exact-pair oracle
+    // hash-gates it; above the cap only completeness relaxes to the
+    // spanning guarantee (StarShingleSpec measures that regime)
+    "dedup_ngram_star" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.3
+        |ORDER BY d1, d2""".stripMargin,
     // duplicated 5-gram positions merged to maximal spans per doc; the
     // oracle groups raw gram strings where Spark groups xxhash64 keys,
     // so agreement doubles as a collision check
@@ -2084,6 +2113,27 @@ object SparkEntry {
         |FROM tr JOIN e USING (s) GROUP BY tr.doc_id, e.eval_doc_id
         |HAVING count(*) >= 2 ORDER BY tr.doc_id, e.eval_doc_id""".stripMargin,
     "dedup_levenshtein" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ld AS (SELECT d1, d2, levenshtein(t1.text, t2.text) AS dist,
+        |    greatest(len(t1.text), len(t2.text)) AS maxlen
+        |  FROM cand JOIN t t1 ON d1 = t1.doc_id JOIN t t2 ON d2 = t2.doc_id)
+        |SELECT d1, d2, CAST(dist AS BIGINT) AS dist,
+        |  round(CAST(dist AS DOUBLE) / maxlen, 6) AS rel_dist
+        |FROM ld WHERE dist <= 0.2 * maxlen
+        |ORDER BY d1, d2""".stripMargin,
+    // star-bounded edit-distance twin: candidates and the re-derived
+    // minShared floor are pair-identical to dedup_levenshtein at
+    // fixture DFs (all postings under the 32-pair cap), so the SAME
+    // exact oracle hash-gates it
+    "dedup_lev_star" ->
       """WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle

@@ -94,11 +94,21 @@ object Cluster {
 
   /** doc_id → cluster (= min doc_id of its component) + component size.
     * Singletons cluster to themselves. Oracle twin: DuckDB recursive CTE
-    * transitive closure over the identical pair set. */
+    * transitive closure over the identical pair set.
+    *
+    * Edges come from the STAR-BOUNDED shingle-posting form
+    * ([[TextSim.dedupNgramStarOf]]) — clustering consumes
+    * connectivity, not the pair set, so an at-cap boilerplate shingle
+    * (df up to the 1000 DF cap) contributes O(df) spanning candidates
+    * instead of ~df²/2 pairs, the same bound [[dedupClusterMinhash]]
+    * rides ([[TextSim.starEdges]]). At fixture document frequencies
+    * (max 25 < the 32 all-pair cap) the edge set is pair-identical to
+    * [[TextSim.dedupNgram]]'s, so the closure — and the DuckDB hash —
+    * is unchanged (StarShingleSpec pins both halves). */
   def dedupCluster(spark: SparkSession, dir: String,
       threshold: Double = 0.3, maxRounds: Int = 30): DataFrame =
     dedupClusterOf(spark, dir,
-      TextSim.dedupNgram(spark, dir, threshold), maxRounds)
+      TextSim.dedupNgramStar(spark, dir, threshold), maxRounds)
 
   /** [[dedupCluster]] with BANDED-MINHASH candidate edges — the scale
     * path (SCALE.md): n-gram postings' candidate fan-out is bounded by

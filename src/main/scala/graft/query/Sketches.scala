@@ -68,8 +68,12 @@ object Sketches {
     * fixed seed — at eps = 0.001 the 2000-column rows make collisions
     * among 15 items vanishingly rare, so the sketch is exact here).
     * Oracle re-derives the exact side with both flags literal TRUE.
-    * The sketch and the per-item probes are model scalars (w·d longs;
-    * 15 items). */
+    * The sketch is a model scalar (w·d longs, broadcast); the per-item
+    * probes run EXECUTOR-side over the distributed exact-aggregate
+    * rows — the item domain never collects to the driver, so the
+    * bound-check path survives a high-cardinality domain at 100 TB
+    * (SketchAuditSpec pins both the plan shape and the absence of a
+    * data-grain collect). */
   def countMinBound(spark: SparkSession, dir: String,
       eps: Double = 0.001, conf: Double = 0.99, seed: Int = 7)
       : DataFrame = {
@@ -78,15 +82,28 @@ object Sketches {
       val bytes = s.agg(count_min_sketch(col("item"),
           lit(eps), lit(conf), lit(seed)).as("cm"))
         .first().getAs[Array[Byte]](0)
-      val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      val exact = s.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
-      val items = exact.select("item").collect().map(_.getString(0))
-      val slack = math.ceil(eps * cm.totalCount()).toLong
+      // slack needs only the stream total — derived from the one-row
+      // sketch already at the driver (a model scalar, like the MG
+      // survivor set), never from per-item data
+      val slack = math.ceil(eps *
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes)).totalCount()).toLong
+      // probe EXECUTOR-SIDE: the serialized sketch (w·d longs) rides a
+      // broadcast and each partition deserializes it once, so the item
+      // domain never funnels through the driver — at a high-cardinality
+      // 100 TB domain the probe stays one distributed pass over the
+      // exact-aggregate rows (the r14 audit's driver-collect fix)
+      val bytesB = spark.sparkContext.broadcast(bytes)
       import spark.implicits._
-      val est = items.toSeq.map(i => (i, cm.estimateCount(i)))
-        .toDF("item", "est")
-      exact.join(broadcast(est), "item")
+      val probed = s.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(bytesB.value))
+          it.map { case (item, cnt) => (item, cnt, cm.estimateCount(item)) }
+        }
+        .toDF("item", "exact_cnt", "est")
+      probed
         .select(col("item"), col("exact_cnt"),
           (col("est") >= col("exact_cnt")).as("overcount_only"),
           (col("est") <= col("exact_cnt") + lit(slack)).as("within_eps"))

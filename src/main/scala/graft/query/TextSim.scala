@@ -388,6 +388,57 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
+  /** The doc's distinct shingle hashes restricted to the CAPPED
+    * shingle space (document frequency ≤ maxShingleDf) — the shared
+    * substrate of the star-bounded shingle family: candidates, common
+    * counts and Jaccard denominators must all see the same capped
+    * space for the math to be consistent (the [[dedupNgram]] oracle-
+    * mirrored cap contract). */
+  private def cappedShingleHashes(docs: DataFrame, maxShingleDf: Int)
+      : DataFrame = {
+    val sh = shingleSetsOf(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("sh_h")
+    sh.join(keep, "sh_h")
+  }
+
+  /** [[dedupNgram]] with STAR-BOUNDED per-shingle candidate expansion —
+    * the CLUSTER-consumer form of the shared-shingle family, closing
+    * the r14 audit's last per-bucket quadratic: [[dedupNgram]]'s
+    * all-ordered-pairs within a posting is the right contract when the
+    * OUTPUT is the pair set, but an at-cap boilerplate shingle
+    * (df = maxShingleDf = 1000) emits ~500k pairs there, and a
+    * templated crawl corpus holds MANY at-cap shingles (Σ df² total
+    * work). Connectivity — what transitive-closure clustering
+    * ([[Cluster.dedupCluster]]) consumes — only needs a spanning set
+    * per posting, so postings above `allPairCap` emit the double-star
+    * edges of [[starEdges]] (O(df) per posting) while postings
+    * at-or-under the cap keep the exact all-pairs form. At the driver
+    * fixtures (observed max df: 7 at sf0.01, 25 at sf0.1 — both under
+    * the 32 cap) the candidate set, the verified pair set and every
+    * downstream hash are IDENTICAL to [[dedupNgram]]'s, which is what
+    * lets `dedup_ngram_star` run under the same full DuckDB hash gate.
+    * Jaccard is exact per emitted pair (computed from the capped
+    * posting table via [[verifyJaccard]]), so precision is 1 at any
+    * scale; above the cap only pair-set COMPLETENESS relaxes to the
+    * spanning guarantee — the [[dedupMinhashStarOf]] trade, measured
+    * in StarShingleSpec and ScaleTen. */
+  def dedupNgramStarOf(docs: DataFrame, threshold: Double = 0.3,
+      allPairCap: Int = 32, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = cappedShingleHashes(docs, maxShingleDf)
+    verifyJaccard(
+      starEdges(sh, Seq("sh_h"), allPairCap, maxGroup = Some(maxShingleDf)),
+      sh, threshold)
+  }
+
+  /** Table-loading wrapper of [[dedupNgramStarOf]]. */
+  def dedupNgramStar(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, allPairCap: Int = 32,
+      maxShingleDf: Int = 1000): DataFrame =
+    dedupNgramStarOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
+      threshold, allPairCap, maxShingleDf)
+
   /** Exact duplicated-SPAN detection — substring-grain dedup (the
     * suffix-array exact-substring method of "Deduplicating Training
     * Data Makes Language Models Better", Lee et al. 2022, re-expressed
@@ -568,9 +619,52 @@ object TextSim {
   /** DataFrame-parameterized core of [[dedupLevenshtein]]. */
   def dedupLevenshteinOf(docs: DataFrame,
       maxRel: Double = 0.2, minShared: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame =
+    levVerify(
+      levCandidates(docs, maxShingleDf)
+        .filter(col("n_shared") >= minShared),
+      docs, maxRel)
+
+  /** [[dedupLevenshteinOf]] with STAR-BOUNDED candidate expansion —
+    * the [[dedupNgramStarOf]] construction applied to the edit-
+    * distance family: per-posting double-star edges above `allPairCap`
+    * (O(df), never O(df²)), exact all-pairs under it, then the
+    * `minShared` floor RE-DERIVED on the bounded candidate set by
+    * joining back to the capped posting table (star edges span a
+    * posting but do not enumerate every co-occurrence, so the shared
+    * count must come from the postings, not the expansion — the
+    * [[verifyJaccard]] common-count shape). At fixture document
+    * frequencies (max 25 < the 32 cap) candidates, shared counts and
+    * the verified pair set are identical to [[dedupLevenshteinOf]]'s
+    * (StarShingleSpec pins it), so the key runs under the same DuckDB
+    * hash gate; above the cap completeness relaxes to the spanning
+    * guarantee while every emitted pair stays exact. */
+  def dedupLevenshteinStarOf(docs: DataFrame,
+      maxRel: Double = 0.2, minShared: Int = 3, allPairCap: Int = 32,
       maxShingleDf: Int = 1000): DataFrame = {
-    val cand = levCandidates(docs, maxShingleDf)
+    val sh = cappedShingleHashes(docs, maxShingleDf)
+    val cand = starEdges(sh, Seq("sh_h"), allPairCap)
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
+        col("s1.sh_h") === col("s2.sh_h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    levVerify(cand, docs, maxRel)
+  }
+
+  /** Table-loading wrapper of [[dedupLevenshteinStarOf]]. */
+  def dedupLevenshteinStar(spark: SparkSession, dir: String,
+      maxRel: Double = 0.2, minShared: Int = 3, allPairCap: Int = 32,
+      maxShingleDf: Int = 1000): DataFrame =
+    dedupLevenshteinStarOf(Tables.load(spark, dir, "documents"),
+      maxRel, minShared, allPairCap, maxShingleDf)
+
+  /** The O(L²) DP verify stage shared by the exact and star-bounded
+    * edit-distance forms: length prefilter (a free necessary condition
+    * — dist ≥ |len₁−len₂| — that cannot change the result set), then
+    * the integer Levenshtein DP on surviving candidates only. */
+  private def levVerify(cand: DataFrame, docs: DataFrame,
+      maxRel: Double): DataFrame = {
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
     cand.join(t1, "d1").join(t2, "d2")
@@ -626,35 +720,58 @@ object TextSim {
     * (so at fixture scale, where the observed max bucket is single-
     * digit, the pair set — and every downstream hash — is unchanged).
     *
-    * Accepted trade-off, documented not hidden: in a degenerate bucket
-    * whose minimum is a CHANCE collider (verifies against nothing),
-    * star edges can miss connectivity that all-pairs would find. In
-    * the ≥ 0.8 near-identical regime that clustering targets, bucket
-    * mass comes from genuinely near-identical docs (a 4-row band
-    * collision at j < 0.3 has probability < 1 %), and every true pair
-    * has 8 bands — i.e. up to 8 buckets — to land a star edge; the
+    * Degenerate-root robustness (the r14 ADVICE follow-up): an
+    * over-cap bucket emits a DOUBLE star — edges from the bucket's
+    * lowest AND second-lowest doc (2B−3 distinct edges, still O(B)).
+    * A single star rooted at a CHANCE collider (a minimum that
+    * verifies against nothing) would disconnect the bucket's true
+    * near-dups from each other; with two independent roots, losing
+    * all connectivity needs BOTH roots to be chance colliders in the
+    * SAME bucket while the pair also misses its other 7 bands — each
+    * band collision at j < 0.3 is < 1 % to begin with, so the failure
+    * odds drop from p·(band miss)⁷ to p²·(band miss)⁷. The
     * `dedup_minhash_recall` contract pins catch = ALL on the driver
     * fixtures. Window-min/count (not collect_list) on purpose: a
     * degenerate bucket must never materialize as ONE array cell — the
     * window sorter spills; a 10⁷-doc array row would OOM the executor.
     */
   private[graft] def starCandidates(buckets: DataFrame,
-      allPairCap: Int = 32): DataFrame = {
-    val w = Window.partitionBy("band", "bh")
-    val ann = buckets
+      allPairCap: Int = 32): DataFrame =
+    starEdges(buckets, Seq("band", "bh"), allPairCap)
+
+  /** The generic bounded candidate expansion behind [[starCandidates]]
+    * (minhash band buckets) and [[ngramStarCandidates]] /
+    * [[dedupLevenshteinStarOf]] (shared-shingle postings): rows are
+    * (keys…, doc_id) group memberships; groups at-or-under
+    * `allPairCap` emit exact all-i<j pairs (so fixture-scale outputs
+    * — and every downstream hash — match the unbounded forms), groups
+    * above it emit the double star described at [[starCandidates]].
+    * Groups above `maxGroup` (when set) are dropped entirely — the
+    * document-frequency cap contract of [[dedupNgram]], applied
+    * before any pair math. */
+  private[graft] def starEdges(rows: DataFrame, keys: Seq[String],
+      allPairCap: Int = 32, maxGroup: Option[Int] = None): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val ann = rows
       .withColumn("mn", min("doc_id").over(w))
+      .withColumn("mn2",
+        min(when(col("doc_id") =!= col("mn"), col("doc_id"))).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("cnt") >= 2)
+      .filter(col("cnt") >= 2 &&
+        maxGroup.map(m => col("cnt") <= m).getOrElse(lit(true)))
     val small = ann.filter(col("cnt") <= allPairCap)
-      .select("band", "bh", "doc_id")
+      .select((keys :+ "doc_id").map(col): _*)
     val smallPairs = small.as("x").join(small.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-    val starPairs = ann.filter(col("cnt") > allPairCap)
-      .filter(col("doc_id") =!= col("mn"))
+    val big = ann.filter(col("cnt") > allPairCap)
+    val root1 = big.filter(col("doc_id") =!= col("mn"))
       .select(col("mn").as("d1"), col("doc_id").as("d2"))
-    smallPairs.union(starPairs).distinct()
+    val root2 = big.filter(col("doc_id") =!= col("mn2"))
+      .select(least(col("mn2"), col("doc_id")).as("d1"),
+        greatest(col("mn2"), col("doc_id")).as("d2"))
+    smallPairs.union(root1).union(root2).distinct()
   }
 
   /** [[dedupMinhashOf]] with star-bounded candidate expansion

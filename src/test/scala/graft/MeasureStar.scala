@@ -41,7 +41,7 @@ object MeasureStar {
     val nStar = time("star candidates") {
       TextSim.starCandidates(buckets).count()
     }
-    println(s"  star candidate count   = $nStar (B-1 = ${b - 1})")
+    println(s"  star candidate count   = $nStar (2B-3 = ${2 * b - 3})")
     val nAll = time("all-pairs candidates") {
       import org.apache.spark.sql.functions.col
       buckets.as("x").join(buckets.as("y"),

@@ -60,4 +60,29 @@ class CountMinSpec extends SparkSuite {
     // the fixed stream has 15 distinct items (z1..z64 div-ramp)
     assert(out.length === 15)
   }
+
+  test("scale audit: the probe runs executor-side, no data-grain collect") {
+    val df = Sketches.countMinBound(spark, TestSpark.sfDir)
+    // the plan must carry the deserialize→mapPartitions→serialize seam
+    // (the broadcast-sketch probe); a driver-side probe would show a
+    // LocalTableScan of pre-computed estimates instead
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"probe not distributed:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      "driver-materialized estimates crept back into the probe path")
+    // code audit (r14 verdict task 2's 'no data-grain collect'): the
+    // only collect-class calls in countMinBound must be the two
+    // model-scalar first() calls (sketch bytes, slack) — never a
+    // collect over per-item rows
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/query/Sketches.scala")))
+    val body = src.substring(src.indexOf("def countMinBound"),
+      src.indexOf("def hllUnionBound"))
+    assert(!body.contains(".collect()"),
+      "data-grain collect reintroduced in countMinBound")
+    assert(body.split("\\.first\\(\\)").length - 1 <= 1,
+      "more than the one model-scalar first() in countMinBound")
+  }
 }

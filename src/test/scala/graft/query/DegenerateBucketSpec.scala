@@ -33,11 +33,13 @@ class DegenerateBucketSpec extends SparkSuite {
     val sh = TextSim.shingleHashesOf(corpus)
     val buckets = TextSim.bandBucketsOf(sh)
     val n = TextSim.starCandidates(buckets).count()
-    // identical docs share one bucket per band; star edges root at the
-    // bucket minimum, distinct'd across bands => exactly B-1 spanning
-    // candidates. All-pairs would emit B*(B-1)/2 ≈ 50M.
-    assert(n === (boilerplateN - 1).toLong,
-      s"expected ${boilerplateN - 1} spanning candidates, got $n")
+    // identical docs share one bucket per band; the DOUBLE star roots
+    // at the bucket's two lowest docs, distinct'd across bands =>
+    // exactly (B-1) + (B-2) spanning candidates ((mn,mn2) overlaps).
+    // All-pairs would emit B*(B-1)/2 ≈ 50M.
+    val expected = (boilerplateN - 1).toLong + (boilerplateN - 2).toLong
+    assert(n === expected,
+      s"expected $expected double-star candidates, got $n")
   }
 
   test("star edges still collapse the boilerplate into one cluster") {
