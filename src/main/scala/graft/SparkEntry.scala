@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, Sketches, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -289,6 +289,14 @@ object SparkEntry {
     // recall contract below is its hash gate)
     "dedup_semantic_kmeans" -> ((s: SparkSession, d: String) => TextSim.dedupSemanticKmeans(s, d)),
     "dedup_semantic_recall" -> (Contracts.dedupSemanticRecall _),
+    // O(delta) semantic dedup: frozen base-trained centroids + the
+    // persisted cell/flag stores; one delivery = one O(delta) append
+    // per store (rows-only; the recall contract below is its hash
+    // gate) — see SemanticIndex
+    "dedup_semantic_delta" -> ((s: SparkSession, d: String) =>
+      SemanticIndex.dedupSemanticDelta(s, d)),
+    "dedup_semantic_delta_recall" ->
+      (Contracts.dedupSemanticDeltaRecall _),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     // the scale path: banded-minhash candidate edges (fan-out bounded
@@ -477,13 +485,14 @@ object SparkEntry {
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
     "similarity_pq_delta_recall_q",
     "dedup_embedding_ann_recall", "tokenize_bpe_contract",
-    "tokenize_unigram_contract", "dedup_semantic_recall")
+    "tokenize_unigram_contract", "dedup_semantic_recall",
+    "dedup_semantic_delta_recall")
 
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
-    * similarity_pq_delta, agg_approx_distinct,
-    * agg_percentile_approx
+    * similarity_pq_delta, dedup_semantic_kmeans, dedup_semantic_delta,
+    * agg_approx_distinct, agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
     * tokenize_bpe and tokenize_unigram (the merge/piece tables are
     * trained models — their round-trip/bounds theorems gate them via
@@ -654,6 +663,12 @@ object SparkEntry {
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "dedup_semantic_recall" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
+        |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
+    // planted twins land above the delta cutoff by construction
+    // (twin id = vec_id + 1000000), so literal TRUE asserts the
+    // INCREMENTAL frozen-model path caught every one
+    "dedup_semantic_delta_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "lookup_code" ->

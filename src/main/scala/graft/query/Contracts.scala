@@ -288,4 +288,32 @@ object Contracts {
         coalesce(col("__hit"), lit(false)).as("caught"))
       .orderBy("v1")
   }
+
+  /** O(delta) SemDeDup recall contract ([[SemanticIndex]]): plant an
+    * exact twin (vec_id + 1000000) of each base doc vec_id < 50 — the
+    * twin ids land ABOVE the delta cutoff, so every twin arrives as
+    * delivery mass and is flagged by the frozen-model incremental
+    * path, never by the base build. An identical vector gets the
+    * identical rounded-cosine argmax under ANY centroid model (same
+    * cell as its original) and cos = 1.0 clears any sane threshold,
+    * so a missed twin can only mean the frozen-assign → store-probe →
+    * flag pipeline broke. Oracle: literal-TRUE rows — the
+    * dedup_semantic_recall pattern applied to the delta form. */
+  def dedupSemanticDeltaRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val originals = e.filter(col("vec_id") < 50)
+    val twins = originals.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val flagged = SemanticIndex
+      .dedupSemanticDeltaOf(e.unionByName(twins))
+      .filter(col("is_dup"))
+      .select(col("vec_id").as("v2"), lit(true).as("__hit"))
+    originals
+      .select(col("vec_id").as("v1"), (col("vec_id") + 1000000L).as("v2"))
+      .join(flagged, Seq("v2"), "left")
+      .select(col("v1"), col("v2"),
+        coalesce(col("__hit"), lit(false)).as("caught"))
+      .orderBy("v1")
+  }
 }

@@ -958,7 +958,17 @@ object TextSim {
     * then keep-first-seen inside each cell at the threshold. */
   private def semanticCells(e: DataFrame, cents: DataFrame,
       threshold: Double): DataFrame = {
-    val best = e.crossJoin(broadcast(cents))
+    val best = assignCells(e, cents)
+    cellDupFlags(best, best, threshold).orderBy("vec_id")
+  }
+
+  /** The assignment half of [[semanticCells]]: best cell per vector
+    * under the broadcast centroid model — (vec_id, embedding, cid).
+    * Exposed to [[SemanticIndex]], whose O(delta) maintenance assigns
+    * ONLY a delivery's vectors under frozen centroids. */
+  private[query] def assignCells(e: DataFrame, cents: DataFrame)
+      : DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(cosine_sim(col("embedding"), col("cvec")), 4))
       .groupBy("vec_id")
@@ -966,16 +976,24 @@ object TextSim {
         struct(col("ccos"), -col("cid"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.cid").as("cid"))
-    val dup = best.as("a").join(best.as("b"),
+
+  /** The keep-first-seen half: flag each row of `cells` a duplicate
+    * iff some EARLIER row of `earlier` (same cell, smaller vec_id)
+    * clears the threshold — (vec_id, cluster, is_dup), unordered
+    * (callers sort). Passing the same frame twice is the one-shot
+    * form; [[SemanticIndex]] passes (delta, base ∪ delta) so the
+    * pair work is O(delta × cell), never O(corpus²). */
+  private[query] def cellDupFlags(cells: DataFrame, earlier: DataFrame,
+      threshold: Double): DataFrame = {
+    val dup = cells.as("a").join(earlier.as("b"),
         col("a.cid") === col("b.cid") &&
           col("b.vec_id") < col("a.vec_id") &&
           round(cosine_sim(col("a.embedding"), col("b.embedding")), 4)
             >= threshold)
       .select(col("a.vec_id")).distinct()
-    best.join(dup.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+    cells.join(dup.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid").cast("long").as("cluster"),
         coalesce(col("hit"), lit(false)).as("is_dup"))
-      .orderBy("vec_id")
   }
 
   /** Embedding near-dup WITHOUT label blocking — the fallback
