@@ -267,6 +267,10 @@ object SparkEntry {
     // exact duplicated-span detection (substring-grain dedup) — see
     // TextSim.dedupSubstring
     "dedup_substring" -> ((s: SparkSession, d: String) => TextSim.dedupSubstring(s, d)),
+    // the Lee-'22 removal stage over the detected spans: keep each
+    // duplicated substring's corpus-first occurrence, cut the rest —
+    // see TextSim.dedupSubstringApply
+    "dedup_substring_apply" -> ((s: SparkSession, d: String) => TextSim.dedupSubstringApply(s, d)),
     // per-source duplicated-token share derived from the spans — see
     // TextSim.corpusDupRate
     "corpus_dup_rate" -> ((s: SparkSession, d: String) => TextSim.corpusDupRate(s, d)),
@@ -1780,6 +1784,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
         |  CAST(max(e) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // removal stage: a position is cut iff covered by a duplicated
+    // gram occurrence and by NO primary (corpus-first) occurrence;
+    // oracle ranks raw gram strings where Spark ranks xxhash64 keys
+    "dedup_substring_apply" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |  FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) = 1 AS is_primary
+        |  FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ),
+        |cov2 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov GROUP BY doc_id, pos),
+        |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
+        |p2 AS (SELECT p.doc_id, p.pos, t.toks[p.pos + 1] AS tk FROM p JOIN t USING (doc_id)),
+        |j AS (SELECT p2.doc_id, p2.pos, p2.tk,
+        |    coalesce(NOT cov2.primary_covered, FALSE) AS removed
+        |  FROM p2 LEFT JOIN cov2 ON p2.doc_id = cov2.doc_id AND p2.pos = cov2.pos),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned_text
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // per-source duplicated-token share: the dedup_substring span chain
     // rolled up per doc then per source; docs too short for a gram keep
     // their tokens in the denominator with zero duplicated tokens

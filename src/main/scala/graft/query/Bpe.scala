@@ -56,15 +56,22 @@ object Bpe {
     scala.collection.mutable.Map[String, Seq[(String, String)]]]
 
   /** The learned merge table for `dir`'s documents corpus, memoized
-    * per session: ordered (left, right) pairs, rank = position. */
+    * per session: ordered (left, right) pairs, rank = position. The
+    * vocabulary comes from the PERSISTED incrementally-maintained
+    * count store ([[VocabStore]]) — a weekly delivery appends its own
+    * counts O(delta) and retraining re-reads the word-grain store
+    * instead of re-scanning the corpus; the capped vocabulary (and so
+    * the merge table) is bit-identical to the direct computation
+    * (VocabStoreSpec), which is what keeps tokenize_bpe_contract
+    * hash-green through the store. */
   def merges(spark: SparkSession, dir: String, numMerges: Int = 200,
       maxVocab: Int = 10000): Seq[(String, String)] = {
     val memo = mergesMemo.get(spark)(
       scala.collection.mutable.Map.empty[String, Seq[(String, String)]])
     memo.synchronized {
       memo.getOrElseUpdate(s"$dir|$numMerges|$maxVocab", {
-        trainMerges(Tables.load(spark, dir, "documents"),
-          numMerges, maxVocab)
+        trainMergesFromVocab(
+          VocabStore.cappedVocab(spark, dir, maxVocab), numMerges)
       })
     }
   }
@@ -72,14 +79,19 @@ object Bpe {
   /** Train on any frame with a `text` column. The distributed part is
     * the word count; the loop is model-grain driver arithmetic. */
   def trainMerges(docs: DataFrame, numMerges: Int = 200,
-      maxVocab: Int = 10000): Seq[(String, String)] = {
-    val vocab = docs
-      .select(explode(TextSim.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(maxVocab) // caps the collect BY CONSTRUCTION (model grain)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      maxVocab: Int = 10000): Seq[(String, String)] =
+    trainMergesFromVocab(
+      VocabStore.countsOf(docs)
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(maxVocab) // caps the collect BY CONSTRUCTION (model grain)
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+      numMerges)
 
+  /** The merge loop over a collected (word, count) vocabulary —
+    * model-grain driver arithmetic shared by the direct and
+    * store-backed trainers. */
+  private[query] def trainMergesFromVocab(vocab: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
     var seqs: Array[(Array[String], Long)] = vocab.map { case (w, n) =>
       (w.map(_.toString).toArray :+ EndOfWord, n)
     }

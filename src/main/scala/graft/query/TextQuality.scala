@@ -192,8 +192,19 @@ object TextQuality {
     curateFullOf(Tables.load(spark, dir, "documents"), capacity)
 
   /** [[curateFull]]'s core over any (doc_id, source, text) frame (the
-    * decade harnesses run it on generated corpora). */
-  def curateFullOf(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    * decade harnesses run it on generated corpora).
+    *
+    * `scrubSpans` (optional, off by default to keep the long-standing
+    * curate_full hash): after doc-grain dedup picks its
+    * representatives, rewrite each survivor's text through the
+    * substring-grain removal stage ([[TextSim.dedupSubstringApplyOf]]
+    * — keep the corpus-first occurrence of every duplicated gram run,
+    * cut the rest), so the quality gate, token counts and packing all
+    * operate on span-deduplicated text — the full Lee-'22 pipeline
+    * placement (doc dedup first, then substring dedup among
+    * survivors). CurateScrubSpec pins the composition law. */
+  def curateFullOf(docs: DataFrame, capacity: Int = 2048,
+      scrubSpans: Boolean = false): DataFrame = {
     // stage 1: canonical dedup over the raw corpus
     val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
     val canon = docs
@@ -210,9 +221,17 @@ object TextQuality {
     val pairs = TextSim.dedupMinhashStarOf(canon, threshold = 0.8)
     val labels = Cluster.connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
-    val reps = canon.join(labels, Seq("doc_id"), "left")
+    val reps0 = canon.join(labels, Seq("doc_id"), "left")
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
       .drop("cluster")
+    // stage 2.5 (optional): substring-grain span removal among the
+    // representatives — texts rewritten, doc set unchanged
+    val reps =
+      if (!scrubSpans) reps0
+      else reps0.drop("text").join(
+        TextSim.dedupSubstringApplyOf(reps0)
+          .select(col("doc_id"), col("cleaned_text").as("text")),
+        Seq("doc_id"))
     // stages 3-6: exactly curateE2eOf's algebra over the representatives
     val kept = withQualitySignals(
         reps.withColumn("toks", TextSim.tokens(col("text"))))

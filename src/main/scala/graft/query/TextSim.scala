@@ -505,6 +505,88 @@ object TextSim {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The REMOVAL stage on top of [[dedupSubstring]]'s detection — the
+    * Lee et al. '22 policy: when a substring occurs more than once in
+    * the corpus, keep its FIRST occurrence (corpus order = (doc_id,
+    * start), deterministic) and cut every other occurrence from the
+    * text. Output is the cleaned corpus at doc grain: (doc_id,
+    * n_tokens, n_removed, cleaned_text), total over the corpus (docs
+    * too short for a gram — or with no tokens at all — pass through
+    * with n_removed 0).
+    *
+    * Position rule (the span semantics made token-exact): a token
+    * position is removed iff it is covered by ≥ 1 duplicated-gram
+    * occurrence and by NO primary occurrence — so the first
+    * occurrence's span survives even where it overlaps later
+    * duplicates, and islands merge implicitly (adjacent non-primary
+    * hits remove their union, exactly the [[dedupSubstringOf]] spans
+    * minus the kept copies).
+    *
+    * Scale shape, like the detection stage: one gram-grain aggregate,
+    * one window ranking occurrences per gram (partition = one gram's
+    * occurrence list, bounded by its corpus frequency — rank-1
+    * selection, no pairwise anything), a gramLen-bounded position
+    * fan-out, and one doc-grain rollup — linear in corpus token count
+    * at any skew. Integer counts + deterministic string rebuild ⇒
+    * fully hash-checkable; Spark ranks 64-bit gram hashes while the
+    * oracle ranks raw strings (collision-check convention). */
+  def dedupSubstringApply(spark: SparkSession, dir: String,
+      gramLen: Int = 5): DataFrame =
+    dedupSubstringApplyOf(
+      Tables.fanOut(Tables.load(spark, dir, "documents")), gramLen)
+
+  /** DataFrame-parameterized core of [[dedupSubstringApply]] (the
+    * curation composition runs it as an optional scrub stage). */
+  def dedupSubstringApplyOf(docs: DataFrame, gramLen: Int = 5)
+      : DataFrame = {
+    val tok = docsTokOf(docs).select(col("doc_id"), col("toks"))
+    val grams = tok
+      .filter(size(col("toks")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $gramLen),
+           |  s -> struct(s AS start,
+           |    array_join(slice(toks, s + 1, $gramLen), ' ') AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"),
+        xxhash64(col("g.gram")).as("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("gh")
+    val wOcc = Window.partitionBy("gh")
+      .orderBy(col("doc_id").asc, col("start").asc)
+    val occ = grams.join(dupGrams, "gh")
+      .withColumn("is_primary", row_number().over(wOcc) === 1)
+    val covered = occ
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + gramLen - 1))
+          .as("pos"),
+        col("is_primary"))
+      .groupBy("doc_id", "pos")
+      .agg(max(col("is_primary")).as("primary_covered"))
+    val cleaned = tok
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tk")))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .withColumn("removed",
+        coalesce(!col("primary_covered"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("removed"), lit(1))).as("n_removed"),
+        array_sort(collect_list(
+          when(!col("removed"), struct(col("pos"), col("tk")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        concat_ws(" ", transform(col("kept"), k => k("tk")).cast(
+          "array<string>")).as("cleaned_text"))
+    // total over the corpus: zero-token docs never reach posexplode
+    docs.select("doc_id").join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** The decision metric derived from [[dedupSubstring]]'s spans: what
     * fraction of each SOURCE's tokens sits inside a duplicated span
     * (plus doc counts) — the per-provenance duplication report a

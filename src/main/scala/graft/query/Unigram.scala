@@ -58,8 +58,13 @@ object Unigram {
     memo.synchronized {
       memo.getOrElseUpdate(
         s"$dir|$maxVocab|$seedSize|$maxPieceLen|$emIters|$keepSize", {
-          train(Tables.load(spark, dir, "documents"),
-            maxVocab, seedSize, maxPieceLen, emIters, keepSize)
+          // vocabulary from the persisted O(delta) count store —
+          // bit-identical to the direct corpus scan (VocabStoreSpec),
+          // so the trained model (and tokenize_unigram_contract's
+          // hash) is unchanged by the indirection
+          trainFromVocab(
+            VocabStore.cappedVocab(spark, dir, maxVocab).sortBy(_._1),
+            seedSize, maxPieceLen, emIters, keepSize)
         })
     }
   }
@@ -76,14 +81,21 @@ object Unigram {
     * the word count; the EM loop is model-grain driver arithmetic. */
   def train(docs: DataFrame, maxVocab: Int = 10000, seedSize: Int = 3000,
       maxPieceLen: Int = 6, emIters: Int = 4, keepSize: Int = 1500)
+      : Model =
+    trainFromVocab(
+      VocabStore.countsOf(docs)
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(maxVocab) // caps the collect BY CONSTRUCTION (model grain)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1), // deterministic E-step accumulation order
+      seedSize, maxPieceLen, emIters, keepSize)
+
+  /** The seed + EM + prune loop over a collected, LEXICOGRAPHICALLY
+    * SORTED (word, count) vocabulary — model-grain driver arithmetic
+    * shared by the direct and store-backed trainers. */
+  private[query] def trainFromVocab(vocab: Array[(String, Long)],
+      seedSize: Int, maxPieceLen: Int, emIters: Int, keepSize: Int)
       : Model = {
-    val vocab = docs
-      .select(explode(TextSim.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(maxVocab) // caps the collect BY CONSTRUCTION (model grain)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1) // deterministic E-step accumulation order
 
     // ---- seed: all substrings up to maxPieceLen, occurrence-weighted
     val seedCount = scala.collection.mutable.HashMap[String, Long]()
