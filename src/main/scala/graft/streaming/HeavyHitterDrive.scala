@@ -56,11 +56,16 @@ object HeavyHitterDrive {
           .outputMode("append").start()
         DriveSupport.draining(q) {
           q.processAllAvailable()
-          // sentinel nudges close every real window (TopKDrive pattern);
-          // the sentinel's far-future window is dropped by the inner
-          // join below — the `events` frame predates the appends
+          // ONE sentinel closes every real window (TopKDrive pattern):
+          // the sentinel batch advances the watermark and the engine's
+          // no-data micro-batch (noDataMicroBatches, on by default)
+          // re-fires with it and emits — measured r15, output
+          // identical to the old two-sentinel form, one state-store
+          // commit cycle cheaper. The sentinel's far-future window is
+          // dropped by the inner join below — the `events` frame
+          // predates the appends
           val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days", "367 days").foreach { shift =>
+          Seq("366 days").foreach { shift =>
             spark.range(1)
               .select(lit(-1L).as("event_id"),
                 (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))

@@ -81,10 +81,12 @@ object IntervalJoinDrive {
         DriveSupport.draining(q) {
           q.processAllAvailable()
           if (mode != "inner") {
-            // sentinel nudges: advance both watermarks past every real
-            // row's join range so the held null-extensions flush
+            // ONE sentinel advances both watermarks past every real
+            // row's join range; the engine's no-data micro-batch then
+            // flushes the held null-extensions (r15: second sentinel
+            // pass dropped, oracle-identical)
             val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-            Seq("366 days", "367 days").foreach { shift =>
+            Seq("366 days").foreach { shift =>
               val sentinel = spark.range(1)
                 .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
                   (lit(maxTs).cast("timestamp") +

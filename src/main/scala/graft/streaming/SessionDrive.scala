@@ -67,7 +67,7 @@ object SessionDrive {
         DriveSupport.draining(q) {
           q.processAllAvailable()
           val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days", "367 days").foreach { shift =>
+          Seq("366 days").foreach { shift =>
             spark.range(1)
               .select(lit(-1L).as("user_id"),
                 (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
@@ -153,10 +153,12 @@ object SessionDrive {
           events.filter(col("ts") > lit(cut)).coalesce(1)
             .write.mode("append").parquet(eDir)
           q.processAllAvailable()
-          // sentinel nudges: append mode only emits watermark-closed
-          // sessions; watermark lags one micro-batch, hence two
+          // ONE sentinel: append mode only emits watermark-closed
+          // sessions; the watermark advances after the sentinel batch
+          // and the engine's no-data micro-batch emits with it (r15:
+          // second sentinel pass dropped, oracle-identical)
           val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-          Seq("366 days", "367 days").foreach { shift =>
+          Seq("366 days").foreach { shift =>
             spark.range(1).select(lit(-1L).as("user_id"),
                 (lit(maxTs) + expr(s"INTERVAL $shift")).as("ts"),
                 lit(0.0).as("value"))

@@ -46,7 +46,7 @@ object TopKDrive {
         DriveSupport.draining(q) {
           q.processAllAvailable()
           val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days", "367 days").foreach { shift =>
+          Seq("366 days").foreach { shift =>
             spark.range(1)
               .select(lit(-1L).as("event_id"),
                 (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))

@@ -52,7 +52,7 @@ object TrackerDrive {
         DriveSupport.draining(q) {
           q.processAllAvailable()
           val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days", "367 days").foreach { shift =>
+          Seq("366 days").foreach { shift =>
             spark.range(1)
               .select(lit(-1L).as("user_id"), lit("view").as("event_type"),
                 (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
