@@ -222,6 +222,11 @@ object SparkEntry {
     // the curation pipeline on the SCALE PATH: + banded-minhash near-dup
     // cluster stage — see TextQuality.curateFull
     "curate_full" -> ((s: SparkSession, d: String) => TextQuality.curateFull(s, d)),
+    // curate_full with the substring-grain scrub stage ON — the
+    // complete Lee-'22 placement (doc dedup → span removal among
+    // survivors → quality gate on scrubbed text → decontaminate →
+    // mixture → pack), under its own composed hash gate
+    "curate_scrub" -> ((s: SparkSession, d: String) => TextQuality.curateScrub(s, d)),
     // the weekly delivery curated incrementally against the persisted
     // minhash index — see TextQuality.curateDelta
     "curate_delta" -> ((s: SparkSession, d: String) => TextQuality.curateDelta(s, d)),
@@ -2004,6 +2009,85 @@ object SparkEntry {
         |  WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
         |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
         |  FROM reps
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
+        |    AND round(CAST(list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) <= 0.12),
+        |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh4 WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |m AS (SELECT * FROM q
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |        WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |        ELSE 'c0' END),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
+    // curate_full's chain with the scrub stage composed in: after the
+    // doc-grain representatives (reps), cut every non-primary
+    // duplicated 5-gram occurrence (the dedup_substring_apply CTEs
+    // over the reps corpus), then the quality gate / token accounting
+    // read the SCRUBBED token lists; decontamination stays on the raw
+    // corpus (the conservative leak check)
+    "curate_scrub" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT *, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |    THEN md5(text)
+        |    ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |  FROM t),
+        |d AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn FROM c)
+        |  WHERE rn = 1),
+        |sh3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |eg AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT src, dst FROM eg UNION SELECT r.src, e2.dst FROM reach r JOIN eg e2 ON r.dst = e2.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+        |reps AS (SELECT d.* FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |  WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
+        |g5 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |      s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |    FROM reps WHERE len(toks) >= 5)),
+        |dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+        |occ5 AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) = 1 AS is_primary
+        |  FROM g5 WHERE gram IN (SELECT gram FROM dup5)),
+        |cov5 AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ5),
+        |cov6 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov5 GROUP BY doc_id, pos),
+        |rp AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM reps),
+        |rp2 AS (SELECT rp.doc_id, rp.pos, reps.toks[rp.pos + 1] AS tk FROM rp JOIN reps USING (doc_id)),
+        |rj AS (SELECT rp2.doc_id, rp2.pos, rp2.tk,
+        |    coalesce(NOT cov6.primary_covered, FALSE) AS removed
+        |  FROM rp2 LEFT JOIN cov6 ON rp2.doc_id = cov6.doc_id AND rp2.pos = cov6.pos),
+        |scr AS (SELECT reps.doc_id, reps.source,
+        |    coalesce(kept.toks2, CAST([] AS VARCHAR[])) AS toks
+        |  FROM reps LEFT JOIN (
+        |    SELECT doc_id, list(tk ORDER BY pos) FILTER (WHERE NOT removed) AS toks2
+        |    FROM rj GROUP BY doc_id) kept USING (doc_id)),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM scr
         |  WHERE len(toks) >= 20
         |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
         |    AND round(CAST(list_max(list_transform(list_distinct(toks),

@@ -203,6 +203,15 @@ object TextQuality {
     * operate on span-deduplicated text — the full Lee-'22 pipeline
     * placement (doc dedup first, then substring dedup among
     * survivors). CurateScrubSpec pins the composition law. */
+  /** curate_scrub: [[curateFullOf]] with the substring-grain scrub
+    * stage ON — the complete Lee-'22 pipeline (doc-grain dedup, then
+    * span removal among survivors, then quality/decontaminate/mix/
+    * pack), hash-gated by its own composed DuckDB oracle. */
+  def curateScrub(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame =
+    curateFullOf(Tables.load(spark, dir, "documents"), capacity,
+      scrubSpans = true)
+
   def curateFullOf(docs: DataFrame, capacity: Int = 2048,
       scrubSpans: Boolean = false): DataFrame = {
     // stage 1: canonical dedup over the raw corpus

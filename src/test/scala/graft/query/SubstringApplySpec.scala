@@ -104,4 +104,19 @@ class SubstringApplySpec extends SparkSuite {
     assert(inPipeline.nonEmpty,
       "quality gate dropped every planted doc — vacuous")
   }
+
+  test("curate_scrub is non-vacuous at the fixture: scrubbing moves " +
+      "token accounting vs curate_full") {
+    // at sf0.001 the few duplicated spans don't survive doc-grain
+    // dedup into the representatives, so the divergence is pinned at
+    // the DRIVER GATE scale (sf0.01), where 4 packed rows move
+    val dir = "/root/testdata/sf0.01"
+    val scrub = TextQuality.curateScrub(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val full = TextQuality.curateFull(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scrub !== full,
+      "scrub stage changed nothing — duplicated spans vanished from " +
+      "the fixture, the key no longer exercises removal")
+  }
 }
