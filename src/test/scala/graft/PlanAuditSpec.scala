@@ -42,6 +42,12 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted minhash index on construction
     // (dedup_minhash_delta; curate_delta composes it)
     "dedup_minhash_delta", "curate_delta",
+    // builds/loads the persisted semantic-dedup index on construction
+    // (the IVF-delta precedent)
+    "dedup_semantic_delta",
+    // curate_full's composition with the scrub stage: the CC loop runs
+    // jobs on construction (the curate_full precedent)
+    "curate_scrub",
     // collects the CM sketch + probe items on construction
     "agg_countmin_bound",
     // collects the bloom filter (dim count + aggregate) on construction
@@ -66,6 +72,7 @@ class PlanAuditSpec extends SparkSuite {
   private val bnljAllowed = Set("similarity_topk", "similarity_ivf",
     "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge",
     "dedup_semantic", "dedup_semantic_kmeans", "dedup_semantic_recall",
+    "dedup_semantic_delta_recall",
     // 1-row corpus-totals frame broadcast-crossed into the contrib
     // chain — the model-scalar crossJoin shape
     "text_bm25")
