@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -276,6 +276,10 @@ object SparkEntry {
     // duplicated substring's corpus-first occurrence, cut the rest —
     // see TextSim.dedupSubstringApply
     "dedup_substring_apply" -> ((s: SparkSession, d: String) => TextSim.dedupSubstringApply(s, d)),
+    // the delivery span-cleaned O(delta) against the persisted gram
+    // store — output == the batch apply restricted to delta docs
+    // (provably; the oracle states exactly that) — see SubstringIndex
+    "dedup_substring_delta" -> ((s: SparkSession, d: String) => SubstringIndex.dedupSubstringDelta(s, d)),
     // per-source duplicated-token share derived from the spans — see
     // TextSim.corpusDupRate
     "corpus_dup_rate" -> ((s: SparkSession, d: String) => TextSim.corpusDupRate(s, d)),
@@ -1817,6 +1821,38 @@ object SparkEntry {
         |  coalesce(per.n_removed, 0) AS n_removed,
         |  coalesce(per.cleaned_text, '') AS cleaned_text
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // the O(delta) form: gram/dup/primary status over the FULL corpus
+    // (the store carries the base side), output restricted to the
+    // delivery — the batch rule on delta rows, which the incremental
+    // plan reproduces exactly (SubstringDeltaSpec pins it)
+    "dedup_substring_delta" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |  FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) = 1 AS is_primary
+        |  FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ),
+        |cov2 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov GROUP BY doc_id, pos),
+        |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
+        |p2 AS (SELECT p.doc_id, p.pos, t.toks[p.pos + 1] AS tk FROM p JOIN t USING (doc_id)),
+        |j AS (SELECT p2.doc_id, p2.pos, p2.tk,
+        |    coalesce(NOT cov2.primary_covered, FALSE) AS removed
+        |  FROM p2 LEFT JOIN cov2 ON p2.doc_id = cov2.doc_id AND p2.pos = cov2.pos),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned_text
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |WHERE d.doc_id >= (SELECT c FROM cut)
         |ORDER BY d.doc_id""".stripMargin,
     // per-source duplicated-token share: the dedup_substring span chain
     // rolled up per doc then per source; docs too short for a gram keep
