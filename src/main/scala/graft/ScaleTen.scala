@@ -189,13 +189,9 @@ object ScaleTen {
     // the double-star bound (the dedup_cluster / cluster-consumer
     // path) vs the all-pairs raw count above — the ratio is the
     // measured fan-out saving at this decade
-    def starCount(cap: Int): Long = {
-      val sh = TextSim.shingleHashesOf(docs)
-      val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("sh_h")
-      TextSim.starEdges(sh.join(keep, "sh_h"), Seq("sh_h"),
+    def starCount(cap: Int): Long =
+      TextSim.arrayStarPairs(TextSim.cappedPostings(docs, cap),
         allPairCap = 32).count()
-    }
     val star = starCount(1000)
     val starT = starCount(100)
     println(s"""{"corpus":"$label","doc_rows":$rows,""" +

@@ -388,19 +388,112 @@ object TextSim {
       .orderBy("d1", "d2")
   }
 
-  /** The doc's distinct shingle hashes restricted to the CAPPED
-    * shingle space (document frequency ≤ maxShingleDf) — the shared
-    * substrate of the star-bounded shingle family: candidates, common
-    * counts and Jaccard denominators must all see the same capped
-    * space for the math to be consistent (the [[dedupNgram]] oracle-
-    * mirrored cap contract). */
-  private def cappedShingleHashes(docs: DataFrame, maxShingleDf: Int)
-      : DataFrame = {
-    val sh = shingleSetsOf(docs)
+  /** DF-capped posting arrays (sh_h, docs sorted) — the shared
+    * substrate of the star-bounded shingle family. Two aggregations
+    * on sh_h so an over-cap posting (a 10⁷-df boilerplate shingle)
+    * is dropped BEFORE collect_list and can never materialize as one
+    * giant array cell — strictly safer than [[dedupNgram]]'s
+    * filter-after-collect (ONE aggregation — a pre-filtering df pass
+    * was measured at +2 corpus shuffles for the same result; the
+    * transient over-cap array before the filter is [[dedupNgram]]'s
+    * long-documented trade, and every SURVIVING array is
+    * ≤ maxShingleDf elements, which is what licenses the in-task
+    * array expansion below. Corpora where even the transient is a
+    * hazard — 10⁷-df boilerplate — are the documented hand-off to
+    * minhash banding, whose star stage stays on the window form
+    * [[starEdges]] precisely because its buckets have NO df cap).
+    * Includes df = 1 postings: per-doc totals (Jaccard denominators)
+    * must count the whole capped shingle space, exactly like
+    * [[dedupNgram]]. */
+  private[graft] def cappedPostings(docs: DataFrame, maxShingleDf: Int)
+      : DataFrame =
+    shingleSetsOf(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("sh_h")
-    sh.join(keep, "sh_h")
+      .groupBy("sh_h")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+
+  /** Bounded candidate pairs from capped posting ARRAYS: postings
+    * at-or-under `allPairCap` expand to exact all-i<j pairs
+    * ([[orderedPairs]] — posexplode + slice, whole-stage codegen);
+    * postings above it emit the DOUBLE star (edges from the two
+    * lowest docs — the array is sorted, so that's elements 1 and 2 —
+    * O(df) per posting, (mn, mn2) deduped by the trailing distinct).
+    * The array form exists because the window + self-join shape of
+    * [[starEdges]] measured ~7× slower here at sf0.1: it re-shuffles
+    * the posting table three times where this is one aggregation
+    * already paid by [[cappedPostings]] plus in-task generators. */
+  private[graft] def arrayStarPairs(postings: DataFrame,
+      allPairCap: Int): DataFrame = {
+    val multi = postings.filter(size(col("docs")) >= 2)
+    val small = orderedPairs(
+      multi.filter(size(col("docs")) <= allPairCap), "docs", "d1", "d2")
+    small.union(starOnlyPairs(postings, allPairCap)).distinct()
+  }
+
+  /** Just the over-cap postings' double-star edges (not distinct —
+    * callers union/dedup). Empty whenever every posting is at-or-under
+    * the cap, which is what keeps the fixture plans on the cheap
+    * expansion-count path below. */
+  private def starOnlyPairs(postings: DataFrame, allPairCap: Int)
+      : DataFrame = {
+    val big = postings.filter(size(col("docs")) > allPairCap)
+    val root1 = big.select(element_at(col("docs"), 1).as("d1"),
+      explode(slice(col("docs"), lit(2), size(col("docs")))).as("d2"))
+    val root2 = big.select(element_at(col("docs"), 2).as("d1"),
+      explode(slice(col("docs"), lit(3), size(col("docs")))).as("d2"))
+    root1.union(root2)
+  }
+
+  /** Exact shared-shingle counts for the star-bounded candidate set —
+    * (d1, d2, common), where `common` is the TOTAL number of capped
+    * shingles the pair shares (the quantity both the Jaccard numerator
+    * and the Levenshtein `minShared` floor consume). Split by posting
+    * size so the exact count never needs a join when nothing is over
+    * the cap:
+    *   - small postings (≤ allPairCap) expand ALL their pairs, so the
+    *     expansion's occurrence count IS the pair's shared-small count
+    *     (the [[dedupNgram]] form — one groupBy, no join);
+    *   - big postings contribute both their star candidates and, via
+    *     one join of the candidate set against ONLY the big postings'
+    *     exploded rows, the shared-big count for every candidate.
+    * common = shared_small + shared_big is exact for every emitted
+    * candidate (a small posting expands every pair it contains; a big
+    * shingle shared by a candidate is counted by the join), so
+    * precision stays 1 at any scale; only candidate COMPLETENESS
+    * relaxes to the spanning guarantee above the cap. At fixture DFs
+    * the big side is EMPTY: the join runs against an empty relation
+    * and the output — and cost class — equals the exact form's. */
+  private def starCommonCounts(postings: DataFrame, allPairCap: Int)
+      : DataFrame = {
+    val multi = postings.filter(size(col("docs")) >= 2)
+    // ONE weighted expansion: small postings emit all their pairs at
+    // weight 1 (so the sum IS the pair's shared-small count — the
+    // dedupNgram form), big postings emit their double-star edges at
+    // weight 0 (candidates only); one aggregation yields the
+    // candidate set AND c_small together — no separate distinct, no
+    // candidate-vs-count join
+    val candSmall = orderedPairs(
+        multi.filter(size(col("docs")) <= allPairCap), "docs", "d1", "d2")
+      .select(col("d1"), col("d2"), lit(1L).as("w"))
+      .union(starOnlyPairs(postings, allPairCap)
+        .select(col("d1"), col("d2"), lit(0L).as("w")))
+      .groupBy("d1", "d2").agg(sum(col("w")).as("c_small"))
+    // big-shared counts for every candidate via the big postings'
+    // exploded rows; when nothing is over the cap, shBig is empty and
+    // AQE's empty-relation propagation collapses this whole branch —
+    // the fixture plan pays only the weighted aggregation above
+    val shBig = multi.filter(size(col("docs")) > allPairCap)
+      .select(col("sh_h"), explode(col("docs")).as("doc_id"))
+    val commonBig = candSmall.select("d1", "d2")
+      .join(shBig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(shBig.as("s2"), col("d2") === col("s2.doc_id") &&
+        col("s1.sh_h") === col("s2.sh_h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c_big"))
+    candSmall
+      .join(commonBig, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        (col("c_small") + coalesce(col("c_big"), lit(0L))).as("common"))
   }
 
   /** [[dedupNgram]] with STAR-BOUNDED per-shingle candidate expansion —
@@ -413,23 +506,39 @@ object TextSim {
     * work). Connectivity — what transitive-closure clustering
     * ([[Cluster.dedupCluster]]) consumes — only needs a spanning set
     * per posting, so postings above `allPairCap` emit the double-star
-    * edges of [[starEdges]] (O(df) per posting) while postings
+    * edges of [[arrayStarPairs]] (O(df) per posting) while postings
     * at-or-under the cap keep the exact all-pairs form. At the driver
     * fixtures (observed max df: 7 at sf0.01, 25 at sf0.1 — both under
     * the 32 cap) the candidate set, the verified pair set and every
     * downstream hash are IDENTICAL to [[dedupNgram]]'s, which is what
     * lets `dedup_ngram_star` run under the same full DuckDB hash gate.
-    * Jaccard is exact per emitted pair (computed from the capped
-    * posting table via [[verifyJaccard]]), so precision is 1 at any
+    * Jaccard is exact per emitted pair ([[starCommonCounts]] sums the
+    * expansion-derived and join-derived shared counts), so precision
+    * is 1 at any
     * scale; above the cap only pair-set COMPLETENESS relaxes to the
     * spanning guarantee — the [[dedupMinhashStarOf]] trade, measured
     * in StarShingleSpec and ScaleTen. */
   def dedupNgramStarOf(docs: DataFrame, threshold: Double = 0.3,
       allPairCap: Int = 32, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = cappedShingleHashes(docs, maxShingleDf)
-    verifyJaccard(
-      starEdges(sh, Seq("sh_h"), allPairCap, maxGroup = Some(maxShingleDf)),
-      sh, threshold)
+    // the posting table is this operator's working index, consumed by
+    // FOUR plan branches (totals, small expansion, big probe ×2);
+    // materialize it once (the Ivf Lloyd-round localCheckpoint
+    // precedent) instead of re-shuffling the corpus per branch —
+    // measured ×2 at sf0.1
+    val postings = cappedPostings(docs, maxShingleDf).localCheckpoint()
+    // per-doc totals derived from the postings (one explode — never a
+    // second tokenize of the corpus), the dedupNgram counts form
+    val counts = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    starCommonCounts(postings, allPairCap)
+      .join(counts.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(counts.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("common").cast("double") /
+          (col("c1.n_sh") + col("c2.n_sh") - col("common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("d1", "d2")
   }
 
   /** Table-loading wrapper of [[dedupNgramStarOf]]. */
@@ -724,13 +833,10 @@ object TextSim {
   def dedupLevenshteinStarOf(docs: DataFrame,
       maxRel: Double = 0.2, minShared: Int = 3, allPairCap: Int = 32,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = cappedShingleHashes(docs, maxShingleDf)
-    val cand = starEdges(sh, Seq("sh_h"), allPairCap)
-      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") &&
-        col("s1.sh_h") === col("s2.sh_h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    val cand = starCommonCounts(
+        cappedPostings(docs, maxShingleDf).localCheckpoint(), allPairCap)
+      .filter(col("common") >= minShared)
+      .select("d1", "d2")
     levVerify(cand, docs, maxRel)
   }
 
@@ -822,8 +928,8 @@ object TextSim {
     starEdges(buckets, Seq("band", "bh"), allPairCap)
 
   /** The generic bounded candidate expansion behind [[starCandidates]]
-    * (minhash band buckets) and [[ngramStarCandidates]] /
-    * [[dedupLevenshteinStarOf]] (shared-shingle postings): rows are
+    * (minhash band buckets — unbounded group sizes, so no array may
+    * materialize): rows are
     * (keys…, doc_id) group memberships; groups at-or-under
     * `allPairCap` emit exact all-i<j pairs (so fixture-scale outputs
     * — and every downstream hash — match the unbounded forms), groups
@@ -832,15 +938,14 @@ object TextSim {
     * document-frequency cap contract of [[dedupNgram]], applied
     * before any pair math. */
   private[graft] def starEdges(rows: DataFrame, keys: Seq[String],
-      allPairCap: Int = 32, maxGroup: Option[Int] = None): DataFrame = {
+      allPairCap: Int = 32): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val ann = rows
       .withColumn("mn", min("doc_id").over(w))
       .withColumn("mn2",
         min(when(col("doc_id") =!= col("mn"), col("doc_id"))).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("cnt") >= 2 &&
-        maxGroup.map(m => col("cnt") <= m).getOrElse(lit(true)))
+      .filter(col("cnt") >= 2)
     val small = ann.filter(col("cnt") <= allPairCap)
       .select((keys :+ "doc_id").map(col): _*)
     val smallPairs = small.as("x").join(small.as("y"),

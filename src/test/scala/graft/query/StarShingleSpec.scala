@@ -55,17 +55,15 @@ class StarShingleSpec extends SparkSuite {
   test("at-cap shingle: O(df) star candidates where all-pairs is O(df²)") {
     val df = 200
     val docs = boilerplateCorpus(df)
-    val sh = TextSim.shingleHashesOf(docs)
-    val starN = TextSim.starEdges(sh, Seq("sh_h"),
-      allPairCap = 32, maxGroup = Some(1000)).count()
+    val starN = TextSim.arrayStarPairs(
+      TextSim.cappedPostings(docs, 1000), allPairCap = 32).count()
     // one over-cap posting (the shared trigram) => double star =
     // (df-1) + (df-2); every other posting has df 1 (dropped)
     assert(starN === (2 * df - 3).toLong,
       s"expected ${2 * df - 3} double-star candidates, got $starN")
     val exactN = TextSim.orderedPairs(
-      sh.groupBy("sh_h")
-        .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")).between(2, 1000)),
+      TextSim.cappedPostings(docs, 1000)
+        .filter(size(col("docs")) >= 2),
       "docs", "d1", "d2").count()
     assert(exactN === (df.toLong * (df - 1) / 2),
       s"all-pairs baseline changed: $exactN")
