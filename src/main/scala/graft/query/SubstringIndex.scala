@@ -142,8 +142,14 @@ object SubstringIndex {
               s"target/graft-grams/$t — concurrent builder did not " +
               "commit and this build failed")
         }
-        // the probe side is the PRE-delivery state: the base version
-        store.readAt(spark, store.versions(spark).min).get
+        // the probe side is the PRE-delivery state — the version
+        // BEFORE the live one (== the base commit in this two-commit
+        // build; under a longer append chain it stays the immediately
+        // preceding delivery's state, which is exactly what the next
+        // delivery must probe, and it is always retained: the store's
+        // GC keeps live + previous)
+        val vs = store.versions(spark)
+        store.readAt(spark, vs(vs.size - 2)).get
           .localCheckpoint()
       })
     }

@@ -38,13 +38,14 @@ class SqlSurfaceSpec extends SparkSuite {
     "agg_percentile", "array_funcs", "corpus_dup_rate",
     "corpus_melt", "corpus_stats", "curate_audit",
     "curate_budget", "curate_delta", "curate_e2e",
-    "curate_full", "date_arith_funcs", "decontaminate",
+    "curate_full", "curate_scrub", "date_arith_funcs", "decontaminate",
     "dedup_audio", "dedup_canonical", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",
     "dedup_minhash_delta", "dedup_minhash_recall", "dedup_ngram",
     "dedup_ngram_star", "dedup_phash", "dedup_semantic",
-    "dedup_substring", "dedup_substring_apply", "dedup_video",
+    "dedup_substring", "dedup_substring_apply", "dedup_substring_delta",
+    "dedup_video",
     "dedup_winnow", "doc_chunk", "doc_tokens_pos",
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
