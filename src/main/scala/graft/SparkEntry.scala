@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, EmbeddingIndex, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -311,6 +311,14 @@ object SparkEntry {
     "dedup_semantic_delta_recall" ->
       (Contracts.dedupSemanticDeltaRecall _),
     "dedup_embedding_ann" -> ((s: SparkSession, d: String) => TextSim.dedupEmbeddingAnn(s, d)),
+    // the delivery's near-dup pairs from the persisted LSH bucket
+    // index (exact per-vector maintenance, the minhash argument) —
+    // rows-only; the recall contract below is its hash gate — see
+    // EmbeddingIndex
+    "dedup_embedding_ann_delta" -> ((s: SparkSession, d: String) =>
+      EmbeddingIndex.dedupEmbeddingAnnDelta(s, d)),
+    "dedup_embedding_ann_delta_recall" ->
+      (Contracts.dedupEmbeddingAnnDeltaRecall _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     // the scale path: banded-minhash candidate edges (fan-out bounded
     // by construction, no DF-cap knob) — see Cluster.dedupClusterMinhash
@@ -497,7 +505,8 @@ object SparkEntry {
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
     "similarity_pq_delta_recall_q",
-    "dedup_embedding_ann_recall", "tokenize_bpe_contract",
+    "dedup_embedding_ann_recall", "dedup_embedding_ann_delta_recall",
+    "tokenize_bpe_contract",
     "tokenize_unigram_contract", "dedup_semantic_recall",
     "dedup_semantic_delta_recall")
 
@@ -505,7 +514,8 @@ object SparkEntry {
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
     * similarity_pq_delta, dedup_semantic_kmeans, dedup_semantic_delta,
-    * agg_approx_distinct, agg_percentile_approx
+    * dedup_embedding_ann_delta, agg_approx_distinct,
+    * agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
     * tokenize_bpe and tokenize_unigram (the merge/piece tables are
     * trained models — their round-trip/bounds theorems gate them via
@@ -673,6 +683,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "dedup_embedding_ann_recall" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
+        |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
+    // twins arrive as delivery mass (ids above the cutoff); literal
+    // TRUE asserts the delta-vs-index probe caught every one
+    "dedup_embedding_ann_delta_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "dedup_semantic_recall" ->

@@ -262,6 +262,30 @@ object Contracts {
       .orderBy("v1")
   }
 
+  /** Delta-ANN recall contract on PLANTED twins: twin ids (vec_id +
+    * 1000000) land ABOVE the delta cutoff by construction, so every
+    * twin arrives as delivery mass; an identical vector hashes to the
+    * identical bucket in EVERY table (collision probability exactly 1
+    * at cosine 1.0), so the pair (original, twin) must surface from
+    * the delta-vs-index probe — a miss can only mean the bucket
+    * store, the delta candidate join or the verify stage broke. */
+  def dedupEmbeddingAnnDeltaRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val originals = e.filter(col("vec_id") < 50)
+    val twins = originals.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val found = EmbeddingIndex
+      .dedupEmbeddingAnnDeltaOf(e.unionByName(twins))
+      .select(col("v1"), col("v2"), lit(true).as("__hit"))
+    originals
+      .select(col("vec_id").as("v1"), (col("vec_id") + 1000000L).as("v2"))
+      .join(found, Seq("v1", "v2"), "left")
+      .select(col("v1"), col("v2"),
+        coalesce(col("__hit"), lit(false)).as("caught"))
+      .orderBy("v1")
+  }
+
   /** K-means SemDeDup recall contract on PLANTED twins: augment the
     * corpus with an exact copy of each vec_id < 50 (twin id = vec_id +
     * 1000000) and require every twin to be FLAGGED a duplicate by the

@@ -1202,17 +1202,26 @@ object TextSim {
   /** DataFrame-parameterized core of [[dedupEmbeddingAnn]] (the
     * contract key [[Contracts.dedupEmbeddingAnnRecall]] runs it over a
     * twin-augmented corpus). */
-  def dedupEmbeddingAnnOf(e: DataFrame,
-      threshold: Double = 0.35, nPlanes: Int = 8, nTables: Int = 8,
-      maxBucket: Int = 10000, seed: Long = 7L): DataFrame = {
+  /** (vec_id, t, bucket): each vector's multi-table hyperplane LSH
+    * buckets — a PER-VECTOR computation, so an incrementally-built
+    * bucket table is bit-identical to a from-scratch one at any
+    * number of deliveries (the minhash-exactness argument;
+    * [[EmbeddingIndex]] persists exactly this table). */
+  private[query] def annBuckets(e: DataFrame, nPlanes: Int,
+      nTables: Int, seed: Long): DataFrame = {
     val tableSig = (0 until nTables).map(t =>
       struct(lit(t).as("t"),
         hyperplane_signature(col("embedding"), nPlanes, seed + t)
           .as("bucket")))
-    val bucketed = e.select(col("vec_id"),
-        explode(array(tableSig: _*)).as("tb"))
+    e.select(col("vec_id"), explode(array(tableSig: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket")
         .as("bucket"))
+  }
+
+  def dedupEmbeddingAnnOf(e: DataFrame,
+      threshold: Double = 0.35, nPlanes: Int = 8, nTables: Int = 8,
+      maxBucket: Int = 10000, seed: Long = 7L): DataFrame = {
+    val bucketed = annBuckets(e, nPlanes, nTables, seed)
     val postings = bucketed.groupBy("t", "bucket")
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))

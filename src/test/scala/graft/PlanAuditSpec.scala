@@ -45,6 +45,8 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted semantic-dedup index on construction
     // (the IVF-delta precedent)
     "dedup_semantic_delta",
+    // builds/loads the persisted LSH bucket index on construction
+    "dedup_embedding_ann_delta", "dedup_embedding_ann_delta_recall",
     // curate_full's composition with the scrub stage: the CC loop runs
     // jobs on construction (the curate_full precedent)
     "curate_scrub",
