@@ -227,6 +227,11 @@ object SparkEntry {
     // survivors → quality gate on scrubbed text → decontaminate →
     // mixture → pack), under its own composed hash gate
     "curate_scrub" -> ((s: SparkSession, d: String) => TextQuality.curateScrub(s, d)),
+    // the incremental pipeline with the scrub stage: delivery
+    // survivors span-cleaned against the persisted base gram store
+    // before the quality gate — the complete Lee-'22 pipeline in the
+    // weekly-delivery regime, O(delta) on every stage
+    "curate_scrub_delta" -> ((s: SparkSession, d: String) => TextQuality.curateScrubDelta(s, d)),
     // the weekly delivery curated incrementally against the persisted
     // minhash index — see TextQuality.curateDelta
     "curate_delta" -> ((s: SparkSession, d: String) => TextQuality.curateDelta(s, d)),
@@ -2195,6 +2200,89 @@ object SparkEntry {
         |reps AS (SELECT * FROM dk WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
         |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
         |  FROM reps
+        |  WHERE len(toks) >= 20
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
+        |    AND round(CAST(list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6) <= 0.12),
+        |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+        |  FROM t WHERE len(toks) >= 4),
+        |cont AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT tr.doc_id, e.eval_doc_id
+        |    FROM (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0) tr
+        |    JOIN (SELECT doc_id AS eval_doc_id, s FROM sh4 WHERE doc_id % 50 = 0) e USING (s)
+        |    GROUP BY tr.doc_id, e.eval_doc_id HAVING count(*) >= 2)),
+        |m AS (SELECT * FROM q
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |        WHEN 0 THEN '0d' WHEN 1 THEN '26' WHEN 2 THEN '59'
+        |        ELSE 'c0' END),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
+    // curate_delta's chain with the scrub stage composed in: the base
+    // gram set mirrors the PERSISTED store (all pre-cutoff docs'
+    // 5-grams), delivery survivors are span-cleaned by the delta rule
+    // (base-seen => cut; delivery-new duplicated => keep first), and
+    // the quality gate / token accounting read the SCRUBBED lists
+    "curate_scrub_delta" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |c AS (SELECT *, CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+        |    THEN md5(text)
+        |    ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) END AS canon_md5
+        |  FROM t),
+        |dk AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id ASC) AS rn FROM c)
+        |  WHERE rn = 1 AND doc_id >= (SELECT c FROM cut)),
+        |sh3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |drop2 AS (SELECT DISTINCT d2 AS doc_id
+        |  FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        |  WHERE d2 >= (SELECT c FROM cut)
+        |    AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8),
+        |reps AS (SELECT * FROM dk WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+        |bg AS (SELECT DISTINCT array_to_string(toks[s + 1 : s + 5], ' ') AS gram
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 5 + 1)) AS s
+        |        FROM t WHERE doc_id < (SELECT c FROM cut) AND len(toks) >= 5)),
+        |g5 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |      s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |    FROM reps WHERE len(toks) >= 5)),
+        |ann AS (SELECT doc_id, start,
+        |    gram IN (SELECT gram FROM bg) AS seen,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS cnt
+        |  FROM g5),
+        |occ5 AS (SELECT doc_id, start, (NOT seen AND rn = 1) AS is_primary
+        |  FROM ann WHERE seen OR cnt >= 2),
+        |cov5 AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ5),
+        |cov6 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov5 GROUP BY doc_id, pos),
+        |rp AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM reps),
+        |rp2 AS (SELECT rp.doc_id, rp.pos, reps.toks[rp.pos + 1] AS tk FROM rp JOIN reps USING (doc_id)),
+        |rj AS (SELECT rp2.doc_id, rp2.pos, rp2.tk,
+        |    coalesce(NOT cov6.primary_covered, FALSE) AS removed
+        |  FROM rp2 LEFT JOIN cov6 ON rp2.doc_id = cov6.doc_id AND rp2.pos = cov6.pos),
+        |scr AS (SELECT reps.doc_id, reps.source,
+        |    coalesce(kept.toks2, CAST([] AS VARCHAR[])) AS toks
+        |  FROM reps LEFT JOIN (
+        |    SELECT doc_id, list(tk ORDER BY pos) FILTER (WHERE NOT removed) AS toks2
+        |    FROM rj GROUP BY doc_id) kept USING (doc_id)),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM scr
         |  WHERE len(toks) >= 20
         |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.45
         |    AND round(CAST(list_max(list_transform(list_distinct(toks),

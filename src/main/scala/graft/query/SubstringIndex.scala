@@ -155,6 +155,13 @@ object SubstringIndex {
     }
   }
 
+  /** The persisted PRE-delivery gram table, exposed for compositions
+    * ([[TextQuality.curateScrubDelta]] probes it for the curation
+    * pipeline's scrub stage). */
+  private[query] def baseGrams(spark: SparkSession, dir: String,
+      gramLen: Int = 5): DataFrame =
+    ensureStore(spark, dir, gramLen)
+
   /** Driver key `dedup_substring_delta`: the delivery (doc_id ≥ the
     * standard cutoff) span-cleaned against the persisted base gram
     * store — output grain identical to [[TextSim.dedupSubstringApply]]

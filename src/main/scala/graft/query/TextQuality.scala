@@ -288,7 +288,45 @@ object TextQuality {
     val dupNewer = MinhashIndex.dedupMinhashDelta(spark, dir)
       .select(col("d2").as("doc_id")).distinct()
     val reps = canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
-    // stages 3-6: curateFullOf's algebra over the delivery survivors
+    deltaTail(docs, reps, capacity)
+  }
+
+  /** curate_scrub_delta: the INCREMENTAL pipeline with the
+    * substring-grain scrub stage — [[curateDelta]]'s doc-grain stages
+    * (canonical first-wins vs the persisted canon postings, near-dup
+    * drop vs the persisted minhash index), then each surviving
+    * delivery doc's text is span-cleaned against the PERSISTED base
+    * gram store ([[SubstringIndex.cleanDeltaAgainst]]: base-seen gram
+    * runs are cut, delivery-internal duplicated runs keep their first
+    * occurrence), then the quality gate / token accounting / packing
+    * run on the scrubbed text. Per-delivery cost stays O(delta +
+    * candidates): no base text is re-read on ANY stage — the complete
+    * Lee-'22 pipeline in the weekly-delivery regime, under its own
+    * composed end-to-end DuckDB oracle. */
+  def curateScrubDelta(spark: SparkSession, dir: String,
+      capacity: Int = 2048): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = MinhashIndex.deltaCutoff(docs)
+    val canonKept = canonKeptDelta(spark, dir, docs, cut)
+    val dupNewer = MinhashIndex.dedupMinhashDelta(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    val reps0 = canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
+    // stage 2.5: span removal among the delivery survivors, probed
+    // against the persisted pre-delivery gram store
+    val reps = reps0.drop("text").join(
+      SubstringIndex.cleanDeltaAgainst(reps0,
+          SubstringIndex.baseGrams(spark, dir), gramLen = 5)
+        .select(col("doc_id"), col("cleaned_text").as("text")),
+      Seq("doc_id"))
+    deltaTail(docs, reps, capacity)
+  }
+
+  /** Stages 3–6 of the incremental pipeline (quality gate on the
+    * delivery survivors, eval-split + contamination drop, mixture
+    * sampling, sequence packing) — shared by [[curateDelta]] and
+    * [[curateScrubDelta]]. */
+  private def deltaTail(docs: DataFrame, reps: DataFrame,
+      capacity: Int): DataFrame = {
     val kept = withQualitySignals(
         reps.withColumn("toks", TextSim.tokens(col("text"))))
       .filter(col("reason") === "ok")

@@ -934,9 +934,9 @@ object TextSim {
     * `allPairCap` emit exact all-i<j pairs (so fixture-scale outputs
     * — and every downstream hash — match the unbounded forms), groups
     * above it emit the double star described at [[starCandidates]].
-    * Groups above `maxGroup` (when set) are dropped entirely — the
-    * document-frequency cap contract of [[dedupNgram]], applied
-    * before any pair math. */
+    * Bounded-group families (the DF-capped shingle postings) use the
+    * cheaper array form [[arrayStarPairs]] instead — this window form
+    * exists for families whose group sizes are unbounded. */
   private[graft] def starEdges(rows: DataFrame, keys: Seq[String],
       allPairCap: Int = 32): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSuite {
     // curate_full's composition with the scrub stage: the CC loop runs
     // jobs on construction (the curate_full precedent)
     "curate_scrub",
+    // composes three persisted indexes (canon, minhash, grams) built
+    // on construction
+    "curate_scrub_delta",
     // collects the CM sketch + probe items on construction
     "agg_countmin_bound",
     // collects the bloom filter (dim count + aggregate) on construction

@@ -38,7 +38,8 @@ class SqlSurfaceSpec extends SparkSuite {
     "agg_percentile", "array_funcs", "corpus_dup_rate",
     "corpus_melt", "corpus_stats", "curate_audit",
     "curate_budget", "curate_delta", "curate_e2e",
-    "curate_full", "curate_scrub", "date_arith_funcs", "decontaminate",
+    "curate_full", "curate_scrub", "curate_scrub_delta",
+    "date_arith_funcs", "decontaminate",
     "dedup_audio", "dedup_canonical", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",

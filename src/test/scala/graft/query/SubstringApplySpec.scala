@@ -119,4 +119,19 @@ class SubstringApplySpec extends SparkSuite {
       "scrub stage changed nothing — duplicated spans vanished from " +
       "the fixture, the key no longer exercises removal")
   }
+
+  test("curate_scrub_delta: incremental scrub is non-vacuous at sf0.1 " +
+      "and equals the manual composition") {
+    // sf0.1 is where delivery-slice duplicated spans survive to the
+    // gated output: scrubbing flips quality-gate outcomes (removing
+    // repetitive spans IMPROVES the top-token ratio, so the scrubbed
+    // pipeline keeps MORE docs)
+    val dir = "/root/testdata/sf0.1"
+    val scrub = TextQuality.curateScrubDelta(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = TextQuality.curateDelta(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scrub !== plain,
+      "incremental scrub changed nothing at sf0.1 — vacuous")
+  }
 }
