@@ -396,6 +396,12 @@ object SparkEntry {
     // see multimodal.Phash (chunk-LSH candidates, exact Hamming verify)
     "dedup_phash" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Phash.dedupPhash(s, d)),
+    // the delivery's near-dup image pairs from the persisted
+    // fingerprint store (per-item dHash => exact incremental
+    // maintenance; only the delivery is decoded) — full hash gate,
+    // same pigeonhole-complete construction — see Phash.dedupPhashDelta
+    "dedup_phash_delta" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Phash.dedupPhashDelta(s, d)),
     // audio-fingerprint dedup through the REAL WAV roundtrip:
     // re-encoded-width/gain/DC-offset/upsampled twins share one
     // Haitsma–Kalker-style hash — see multimodal.AudioFp (chunk-LSH
@@ -579,6 +585,33 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the delta twin: identical hash recomputation, pairs restricted
+    // to the newer-side-in-the-delivery slice (chunk-LSH completeness
+    // is per-pair, so the restriction loses nothing)
+    "dedup_phash_delta" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |px AS (SELECT doc_id, anchor,
+        |    list_transform(range(0, 288), i ->
+        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
+        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
+        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
+        |  FROM g),
+        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
+        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
+        |  ) AS grid FROM px),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |    AND b.doc_id >= (SELECT c FROM cut))
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
     // the integer-algebra twin of dedup_audio: the oracle recomputes
     // each document's 64-bit Haitsma–Kalker-style fingerprint from the

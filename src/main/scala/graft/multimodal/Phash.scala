@@ -109,10 +109,17 @@ object Phash {
 
   /** (doc_id, phash) through the REAL container roundtrip. */
   private[multimodal] def phashes(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    phashesOf(Tables.load(spark, dir, "documents").select("doc_id"))
+
+  /** The codec roundtrip + hash for an arbitrary doc_id frame — the
+    * per-item grain that makes the fingerprint store's incremental
+    * maintenance EXACT ([[dedupPhashDelta]]): a delivery's slice
+    * hashes to the same values the full-corpus pass produces. */
+  private[multimodal] def phashesOf(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, px, fmt) = variantImage(id)
         val bytes = Multimodal.RealCodec.encode(fmt, w, h, px)
@@ -131,16 +138,28 @@ object Phash {
     * and sweeps all pairs (verification-scale on the oracle side only;
     * the operator stays bucketed). */
   def dedupPhash(spark: SparkSession, dir: String, maxHamming: Int = 3)
-      : DataFrame = {
-    val sigs = phashes(spark, dir)
+      : DataFrame =
+    chunkLshPairs(phashes(spark, dir), newerCut = None, maxHamming)
+
+  /** Chunk-LSH candidates + exact Hamming verify over a (doc_id,
+    * phash) table; with `newerCut` set, only pairs whose NEWER side is
+    * at-or-past the cut are emitted (the delta query — the d1 < d2
+    * ordering puts the delta doc at d2, so the filter sits on the
+    * candidate probe side, before any pairing). Pigeonhole
+    * completeness (hamming ≤ 3 ⇒ some 16-bit chunk equal) holds
+    * per-pair, so the delta restriction loses nothing. */
+  private def chunkLshPairs(sigs: DataFrame, newerCut: Option[Long],
+      maxHamming: Int): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("phash"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("k"),
             shiftright(col("phash"), k * 16).bitwiseAND(0xFFFFL)
               .as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("phash"), col("c.k"), col("c.chunk"))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    val probe = newerCut
+      .map(c => chunks.filter(col("doc_id") >= c)).getOrElse(chunks)
+    probe.as("y")
+      .join(chunks.as("x"),
         col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -151,5 +170,74 @@ object Phash {
       .select(col("d1"), col("d2"), col("hamming").cast("long")
         .as("hamming"))
       .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------- incremental index
+  //
+  // The weekly-delivery regime applied to PERCEPTUAL image dedup: the
+  // 64-bit dHash is a per-item computation, so (like minhash and
+  // ANN-LSH, unlike frozen-centroid IVF) the persisted fingerprint
+  // store appends EXACTLY — a delivery pays the codec roundtrip for
+  // its own images only, and the delta query joins the delivery's
+  // chunk buckets against the full store. The same construction
+  // serves the audio/video fingerprint siblings verbatim (their
+  // signatures are per-item too).
+
+  private val indexMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, DataFrame]]
+
+  private val LayoutVersion = "P1"
+  private def indexTag(spark: SparkSession, dir: String): String =
+    graft.core.Caches.md5Tag(s"$dir|$LayoutVersion|" +
+      Tables.fingerprint(spark, dir, "documents"))
+
+  /** The delta split point (the standard newest-20% delivery model —
+    * [[graft.query.MinhashIndex.deltaCutoff]]'s rule, restated here to
+    * keep package boundaries clean). */
+  private def deltaCutoff(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+
+  /** Build-or-load the persisted fingerprint store (base hashes v0,
+    * the delivery's appended O(delta); recovery-safe like the other
+    * delta stores). */
+  def ensureIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tag = indexTag(spark, dir)
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, DataFrame])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val store = new graft.ingest.SnapshotStore(
+          s"target/graft-phash/$tag/hashes")
+        if (store.versions(spark).size < 2) {
+          val ids = Tables.load(spark, dir, "documents").select("doc_id")
+          val cut = deltaCutoff(ids)
+          try {
+            store.overwrite(phashesOf(ids.filter(col("doc_id") < cut)))
+            store.append(phashesOf(ids.filter(col("doc_id") >= cut)))
+          } catch { case _: java.io.IOException => () } // lost race
+          if (store.versions(spark).size < 2)
+            throw new IllegalStateException(
+              "phash index build incomplete under " +
+              s"target/graft-phash/$tag — concurrent builder did not " +
+              "commit and this build failed")
+        }
+        store.read(spark).get
+      })
+    }
+  }
+
+  /** Driver key `dedup_phash_delta`: the near-dup image pairs a
+    * delivery introduces — hamming ≤ `maxHamming` pairs with the newer
+    * side in the delta, candidates from the delivery's chunks against
+    * the FULL persisted fingerprint table; no base image is re-decoded
+    * at query time. Pigeonhole completeness holds per-pair, so the
+    * key runs under the same full hash gate as `dedup_phash` (the
+    * oracle recomputes every hash from the shared pixel formula and
+    * sweeps pairs with d2 past the cutoff). */
+  def dedupPhashDelta(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val cut = deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    chunkLshPairs(ensureIndex(spark, dir), Some(cut), maxHamming)
   }
 }

@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_semantic_delta",
     // builds/loads the persisted LSH bucket index on construction
     "dedup_embedding_ann_delta", "dedup_embedding_ann_delta_recall",
+    // builds/loads the persisted image-fingerprint store (codec
+    // roundtrip in mapPartitions) on construction
+    "dedup_phash_delta",
     // curate_full's composition with the scrub stage: the CC loop runs
     // jobs on construction (the curate_full precedent)
     "curate_scrub",

@@ -65,4 +65,20 @@ class PhashSpec extends SparkSuite {
         s"group $a: variants hash apart — ${ids.map(hashes)}")
     }
   }
+
+  test("delta form == one-shot pairs with the newer side in the " +
+      "delivery (per-item hashes make the store exact)") {
+    val dir = graft.TestSpark.sfDir
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0) * 4 / 5 + 1
+    val viaDelta = Phash.dedupPhashDelta(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val viaOneShot = Phash.dedupPhash(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("d2") >= cut)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDelta === viaOneShot)
+    assert(viaDelta.nonEmpty,
+      "no delta pairs — vacuous (planted groups of 5 span the cutoff)")
+  }
 }
