@@ -1,7 +1,6 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -37,11 +36,13 @@ import graft.core.Tables
   * as the fresh primary of a newly-duplicated gram never flips base
   * output, because base output is never recomputed.
   *
-  * Scale shape: the delivery is tokenized once (O(delta) grams), the
-  * probe joins delta grams against the gram-grain store (vocabulary-
-  * sized, not corpus-sized), and the window ranking partitions by
-  * store-absent gram — bounded by delivery-internal frequency. No
-  * base text is read. */
+  * Scale shape: the delivery's grams (O(delta)) are aggregated once
+  * at gram grain — count + first occurrence in a single map-side-
+  * combinable `min(struct(doc_id, start))`, no per-gram window sort
+  * even for a hot delivery-internal gram — and probed against the
+  * gram-grain store (vocabulary-sized, not corpus-sized). No base
+  * text is read; zero Window operators (SubstringDeltaSpec pins
+  * that). */
 object SubstringIndex {
 
   private val indexMemo = new graft.core.Caches.PerSession[
@@ -73,18 +74,23 @@ object SubstringIndex {
   private[query] def cleanDeltaAgainst(delta: DataFrame,
       baseGrams: DataFrame, gramLen: Int): DataFrame = {
     val dg = gramsOf(delta, gramLen)
+    // delivery-internal count + first occurrence in ONE map-side-
+    // combinable aggregate (min(struct) == the rank-1 row under
+    // (doc_id, start) order) — the batch stage's de-skewed shape
+    // propagated here: no per-gram window sort even for a hot
+    // delivery-internal gram
+    val stats = dg.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("start"))).as("p"))
+    val occ = dg
       .join(baseGrams.select(col("gh"), lit(true).as("seen")),
         Seq("gh"), "left")
       .withColumn("seen", coalesce(col("seen"), lit(false)))
-    val w = Window.partitionBy("gh")
-      .orderBy(col("doc_id").asc, col("start").asc)
-    val wc = Window.partitionBy("gh")
-    val occ = dg
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wc))
+      .join(stats, "gh")
       .filter(col("seen") || col("cnt") >= 2) // duplicated grams only
       .withColumn("is_primary",
-        !col("seen") && col("rn") === 1)
+        !col("seen") && col("doc_id") === col("p.doc_id") &&
+          col("start") === col("p.start"))
     val covered = occ
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + gramLen - 1))

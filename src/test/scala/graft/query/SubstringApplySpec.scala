@@ -48,6 +48,32 @@ class SubstringApplySpec extends SparkSuite {
     assert(out.getString(3) === "one two three four five mid")
   }
 
+  test("hot gram (df >> partition count): primary is the global " +
+      "(doc_id, start) min and the plan has ZERO Window operators") {
+    // 500 carriers of one boilerplate 5-gram — its occurrence list is
+    // corpus-wide, far above the 32 shuffle partitions. The r15-weak
+    // formulation sorted that whole list in ONE task
+    // (Window.partitionBy("gh") + row_number); the de-skewed form is
+    // a map-side-combinable min(struct(doc_id, start)) aggregate, so
+    // no Window may appear anywhere in the plan.
+    val hot = "alpha bravo charlie delta echo"
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"$hot uniq${i}a uniq${i}b")).toDF("doc_id", "text")
+    val out = TextSim.dedupSubstringApplyOf(docs)
+    val windows = graft.PlanNodes.all(out)
+      .filter(_.nodeName.contains("Window"))
+    assert(windows.isEmpty,
+      s"apply plan still has Window nodes: ${windows.map(_.nodeName)}")
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) === ((0L, s"$hot uniq1a uniq1b")),
+      "the corpus-first carrier lost its primary occurrence")
+    (2 to 500).foreach { i =>
+      assert(m(i.toLong) === ((5L, s"uniq${i}a uniq${i}b")),
+        s"doc $i: hot run not cut exactly")
+    }
+  }
+
   test("total over the corpus: short and empty docs pass through") {
     val docs = Seq((1L, "tiny"), (2L, "   "), (3L, "a b c d"))
       .toDF("doc_id", "text")

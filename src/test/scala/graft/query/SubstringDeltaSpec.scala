@@ -66,6 +66,21 @@ class SubstringDeltaSpec extends SparkSuite {
       "anywhere at all")))
   }
 
+  test("delta plan: zero Window operators (batch de-skew propagated)") {
+    // a hot delivery-internal gram shared by many delta docs must be
+    // ranked by the min(struct) aggregate, not a per-gram window sort
+    val hot = "red orange yellow green blue"
+    val docs = (Seq((1L, "base content words entirely apart here")) ++
+      (10 to 80).map(i => (i.toLong, s"$hot only${i}x only${i}y")))
+      .toDF("doc_id", "text")
+    val out = deltaViaIndex(docs, 10L)
+    val windows = graft.PlanNodes.all(out)
+      .filter(_.nodeName.contains("Window"))
+    assert(windows.isEmpty,
+      s"delta plan still has Window nodes: ${windows.map(_.nodeName)}")
+    assert(rows(out) === rows(deltaViaBatch(docs, 10L)))
+  }
+
   test("fixture: index form == batch form on the delta slice") {
     val docs = graft.core.Tables.load(spark, TestSpark.sfDir, "documents")
     val cut = MinhashIndex.deltaCutoff(docs)
