@@ -72,6 +72,20 @@ object SubstringIndex {
     * gram table. The spec path; [[dedupSubstringDelta]] is the
     * persisted-store form. `baseGrams` is (gh)-grain (distinct). */
   private[query] def cleanDeltaAgainst(delta: DataFrame,
+      baseGrams: DataFrame, gramLen: Int): DataFrame =
+    cleanDeltaKeptToks(delta, baseGrams, gramLen)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        concat_ws(" ", col("toks")).as("cleaned_text"))
+      .orderBy("doc_id")
+
+  /** [[cleanDeltaAgainst]] stopped before the string rebuild —
+    * (doc_id, n_tokens, n_removed, toks) with `toks` the kept token
+    * array, consumed directly by
+    * [[TextQuality.curateScrubDelta]]'s quality gate (the
+    * [[TextSim.substringKeptToksOf]] argument: kept tokens round-trip
+    * the rebuild exactly, so skipping it is hash-neutral and saves a
+    * re-tokenize pass over every delivery survivor). */
+  private[query] def cleanDeltaKeptToks(delta: DataFrame,
       baseGrams: DataFrame, gramLen: Int): DataFrame = {
     val dg = gramsOf(delta, gramLen)
     // delivery-internal count + first occurrence in ONE map-side-
@@ -107,18 +121,15 @@ object SubstringIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("removed"), lit(1))).as("n_removed"),
-        array_sort(collect_list(
-          when(!col("removed"), struct(col("pos"), col("tk")))))
-          .as("kept"))
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        concat_ws(" ", transform(col("kept"), k => k("tk")))
-          .as("cleaned_text"))
+        transform(array_sort(collect_list(
+            when(!col("removed"), struct(col("pos"), col("tk"))))),
+          k => k("tk")).cast("array<string>").as("toks"))
     delta.select("doc_id").join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-      .orderBy("doc_id")
+        coalesce(col("toks"), array().cast("array<string>"))
+          .as("toks"))
   }
 
   /** Build-or-load the persisted gram store (base counts v0, the

@@ -234,16 +234,27 @@ object TextQuality {
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
       .drop("cluster")
     // stage 2.5 (optional): substring-grain span removal among the
-    // representatives — texts rewritten, doc set unchanged
+    // representatives — the scrub stage already holds each survivor's
+    // kept token array, so the quality gate consumes THAT directly
+    // instead of rebuilding cleaned_text only to re-split it
+    // (hash-neutral: tokens(concat_ws(" ", toks)) == toks —
+    // [[TextSim.substringKeptToksOf]]); doc set unchanged
     val reps =
-      if (!scrubSpans) reps0
-      else reps0.drop("text").join(
-        TextSim.dedupSubstringApplyOf(reps0)
-          .select(col("doc_id"), col("cleaned_text").as("text")),
-        Seq("doc_id"))
+      if (!scrubSpans)
+        reps0.withColumn("toks", TextSim.tokens(col("text")))
+      else {
+        // materialize the survivors once: the apply stage references
+        // its input three times (gram side, position side, total
+        // join), and each reference would otherwise re-run the
+        // stage-1 canonical window (the Ivf localCheckpoint precedent)
+        val survivors = reps0.localCheckpoint()
+        survivors.drop("text").join(
+          TextSim.substringKeptToksOf(survivors)
+            .select(col("doc_id"), col("toks")),
+          Seq("doc_id"))
+      }
     // stages 3-6: exactly curateE2eOf's algebra over the representatives
-    val kept = withQualitySignals(
-        reps.withColumn("toks", TextSim.tokens(col("text"))))
+    val kept = withQualitySignals(reps)
       .filter(col("reason") === "ok")
       .withColumn("n_tokens", col("n_words"))
       .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")
@@ -310,13 +321,20 @@ object TextQuality {
     val canonKept = canonKeptDelta(spark, dir, docs, cut)
     val dupNewer = MinhashIndex.dedupMinhashDelta(spark, dir)
       .select(col("d2").as("doc_id")).distinct()
+    // materialized once: the span-removal stage references the
+    // survivors four times (gram-stats side, probe side, position
+    // side, total join), each of which would re-run the store-probe
+    // anti-joins (the curateFullOf scrub-branch checkpoint)
     val reps0 = canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // stage 2.5: span removal among the delivery survivors, probed
-    // against the persisted pre-delivery gram store
+    // against the persisted pre-delivery gram store — kept token
+    // arrays flow straight into the quality gate (single tokenize:
+    // the curateFullOf scrub-branch argument)
     val reps = reps0.drop("text").join(
-      SubstringIndex.cleanDeltaAgainst(reps0,
+      SubstringIndex.cleanDeltaKeptToks(reps0,
           SubstringIndex.baseGrams(spark, dir), gramLen = 5)
-        .select(col("doc_id"), col("cleaned_text").as("text")),
+        .select(col("doc_id"), col("toks")),
       Seq("doc_id"))
     deltaTail(docs, reps, capacity)
   }
@@ -327,8 +345,12 @@ object TextQuality {
     * [[curateScrubDelta]]. */
   private def deltaTail(docs: DataFrame, reps: DataFrame,
       capacity: Int): DataFrame = {
-    val kept = withQualitySignals(
-        reps.withColumn("toks", TextSim.tokens(col("text"))))
+    // the scrub path arrives pre-tokenized (kept arrays from the span
+    // removal stage); the plain path tokenizes its survivors here
+    val withToks =
+      if (reps.columns.contains("toks")) reps
+      else reps.withColumn("toks", TextSim.tokens(col("text")))
+    val kept = withQualitySignals(withToks)
       .filter(col("reason") === "ok")
       .withColumn("n_tokens", col("n_words"))
       .drop("n_words", "distinct_ratio", "top_token_ratio", "reason")

@@ -654,7 +654,23 @@ object TextSim {
   /** DataFrame-parameterized core of [[dedupSubstringApply]] (the
     * curation composition runs it as an optional scrub stage). */
   def dedupSubstringApplyOf(docs: DataFrame, gramLen: Int = 5)
-      : DataFrame = {
+      : DataFrame =
+    substringKeptToksOf(docs, gramLen)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        concat_ws(" ", col("toks")).as("cleaned_text"))
+      .orderBy("doc_id")
+
+  /** [[dedupSubstringApplyOf]] stopped one step short of the string
+    * rebuild: (doc_id, n_tokens, n_removed, toks) where `toks` is the
+    * kept token array in position order. The curation pipeline
+    * consumes THIS form — its quality gate needs tokens, not text, so
+    * rebuilding `cleaned_text` only to re-split it wastes a pass over
+    * every survivor (`tokens(concat_ws(" ", toks)) == toks` exactly:
+    * kept tokens are lowercase, non-empty and whitespace-free by
+    * [[tokens]]' construction, which is why the two forms are
+    * hash-interchangeable). */
+  private[query] def substringKeptToksOf(docs: DataFrame,
+      gramLen: Int = 5): DataFrame = {
     val tok = docsTokOf(docs).select(col("doc_id"), col("toks"))
     val grams = tok
       .filter(size(col("toks")) >= gramLen)
@@ -693,19 +709,16 @@ object TextSim {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("removed"), lit(1))).as("n_removed"),
-        array_sort(collect_list(
-          when(!col("removed"), struct(col("pos"), col("tk")))))
-          .as("kept"))
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        concat_ws(" ", transform(col("kept"), k => k("tk")).cast(
-          "array<string>")).as("cleaned_text"))
+        transform(array_sort(collect_list(
+            when(!col("removed"), struct(col("pos"), col("tk"))))),
+          k => k("tk")).cast("array<string>").as("toks"))
     // total over the corpus: zero-token docs never reach posexplode
     docs.select("doc_id").join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-      .orderBy("doc_id")
+        coalesce(col("toks"), array().cast("array<string>"))
+          .as("toks"))
   }
 
   /** The decision metric derived from [[dedupSubstring]]'s spans: what
