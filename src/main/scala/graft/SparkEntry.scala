@@ -408,13 +408,26 @@ object SparkEntry {
     // candidates, exact Hamming verify)
     "dedup_audio" -> ((s: SparkSession, d: String) =>
       graft.multimodal.AudioFp.dedupAudio(s, d)),
+    // the delivery's near-dup recording pairs from the persisted
+    // fingerprint store (per-item H-K hash => exact incremental
+    // maintenance; only the delivery pays the WAV roundtrip) — full
+    // hash gate — see AudioFp.dedupAudioDelta
+    "dedup_audio_delta" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.AudioFp.dedupAudioDelta(s, d)),
     // perceptual video dedup through the REAL mux→BMFF-demux→JPEG-
     // decode roundtrip: generationally re-encoded / 2x-temporally-
     // upsampled / freeze-frame-padded twins share one collapsed
     // frame-hash sequence — see multimodal.VideoFp (exact-equality
     // keyed join, never all-pairs)
     "dedup_video" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.VideoFp.dedupVideo(s, d)))
+      graft.multimodal.VideoFp.dedupVideo(s, d)),
+    // the delivery's duplicate-footage pairs from the persisted
+    // collapsed-sequence store (per-item sequences => exact
+    // incremental maintenance; only the delivery pays the
+    // mux->demux->decode roundtrip) — full hash gate — see
+    // VideoFp.dedupVideoDelta
+    "dedup_video_delta" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.VideoFp.dedupVideoDelta(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -642,6 +655,31 @@ object SparkEntry {
         |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the delta twin: identical hash recomputation, pairs restricted
+    // to the newer-side-in-the-delivery slice (chunk-LSH completeness
+    // is per-pair, so the restriction loses nothing — the
+    // dedup_phash_delta construction)
+    "dedup_audio_delta" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |ah AS (SELECT doc_id, (anchor * 2654435761) % 1000003 AS a1 FROM g),
+        |m AS (SELECT doc_id, list_transform(range(0, 340), i ->
+        |    (a1 + i * i * (a1 % 97 + 3) + i * (a1 % 89 + 7)
+        |     + (i * i * i) % 1009 * (a1 % 83 + 11)) % 121 - 60) AS m
+        |  FROM ah),
+        |s AS (SELECT doc_id, list_transform(range(0, 85), ci ->
+        |    m[ci * 4 + 1] + m[ci * 4 + 2] + m[ci * 4 + 3] + m[ci * 4 + 4]) AS s FROM m),
+        |d AS (SELECT doc_id, list_transform(range(0, 68), di ->
+        |    s[(di // 4) * 5 + (di % 4) + 1] - s[(di // 4) * 5 + (di % 4) + 2]) AS d FROM s),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN d[((b // 4) + 1) * 4 + (b % 4) + 1] > d[(b // 4) * 4 + (b % 4) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM d),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |    AND b.doc_id >= (SELECT c FROM cut))
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
     // the integer-algebra twin of dedup_video: the oracle recomputes
     // every frame's 64-bit dHash from the SHARED cell formula (groups
     // of 4 share an anchor's footage; the generational JPEG re-encode
@@ -669,6 +707,28 @@ object SparkEntry {
         |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
         |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    // the delta twin: identical sequence recomputation, pairs
+    // restricted to the newer-side-in-the-delivery slice
+    // (equality-join completeness is per-pair)
+    "dedup_video_delta" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS anchor FROM documents),
+        |fr AS (SELECT doc_id, anchor, unnest(range(0, anchor % 3 + 3)) AS f FROM g),
+        |h AS (SELECT doc_id, f, array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN
+        |      list_sum(list_transform(range(0, (i % 8) + 2), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |      >
+        |      list_sum(list_transform(range(0, (i % 8) + 1), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |    THEN '1' ELSE '0' END), '') AS fh FROM fr),
+        |seqs AS (SELECT doc_id, list(fh ORDER BY f) AS hs FROM h GROUP BY doc_id),
+        |coll AS (SELECT doc_id, list_filter(hs, (x, i) -> i = 1 OR x <> hs[i - 1]) AS cs FROM seqs),
+        |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
+        |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
+        |  AND b.doc_id >= (SELECT c FROM cut)
         |ORDER BY d1, d2""".stripMargin,
     // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
     // so the oracle ALSO value-checks the emitted jaccard column; the

@@ -114,10 +114,15 @@ object AudioFp {
     * variant, sniff, decode via the JDK's own WAVE reader, fold
     * channels (linear — preserves the invariances), fingerprint. */
   private[multimodal] def afps(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    afpsOf(Tables.load(spark, dir, "documents").select("doc_id"))
+
+  /** Frame-parameterized core of [[afps]] — the store build
+    * fingerprints the base and delta slices separately. */
+  private def afpsOf(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = variantWav(id)
         require(Multimodal.AudioCodec.isWav(wav), s"doc $id: non-WAV encode")
@@ -141,24 +146,67 @@ object AudioFp {
     * formula and sweeps all pairs (verification-scale on the oracle
     * side only; the operator stays bucketed). */
   def dedupAudio(spark: SparkSession, dir: String, maxHamming: Int = 3)
-      : DataFrame = {
-    val sigs = afps(spark, dir)
-    val chunks = sigs.select(col("doc_id"), col("afp"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("k"),
-            shiftright(col("afp"), k * 16).bitwiseAND(0xFFFFL)
-              .as("chunk"))): _*)).as("c"))
-      .select(col("doc_id"), col("afp"), col("c.k"), col("c.chunk"))
-    chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.afp").bitwiseXOR(col("y.afp"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming").cast("long")
-        .as("hamming"))
-      .orderBy("d1", "d2")
+      : DataFrame =
+    Phash.chunkLshPairs(afps(spark, dir), "afp", newerCut = None,
+      maxHamming)
+
+  // ------------------------------------------------- incremental index
+  //
+  // The weekly-delivery regime for perceptual AUDIO dedup — the
+  // [[Phash]] incremental construction verbatim, as its scaladoc
+  // promised: the 64-bit H-K-style fingerprint is a per-item
+  // computation, so the persisted store appends EXACTLY (no model to
+  // drift, no retrain) — a delivery pays the WAV roundtrip for its
+  // own recordings only, and the delta query joins the delivery's
+  // chunk buckets against the full store.
+
+  private val indexMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, DataFrame]]
+
+  private val LayoutVersion = "A1"
+  private def indexTag(spark: SparkSession, dir: String): String =
+    graft.core.Caches.md5Tag(s"$dir|$LayoutVersion|" +
+      Tables.fingerprint(spark, dir, "documents"))
+
+  /** Build-or-load the persisted fingerprint store (base hashes v0,
+    * the delivery's appended O(delta)). */
+  def ensureIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tag = indexTag(spark, dir)
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, DataFrame])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val store = new graft.ingest.SnapshotStore(
+          s"target/graft-afp/$tag/hashes")
+        if (store.versions(spark).size < 2) {
+          val ids = Tables.load(spark, dir, "documents").select("doc_id")
+          val cut = Phash.deltaCutoff(ids)
+          try {
+            store.overwrite(afpsOf(ids.filter(col("doc_id") < cut)))
+            store.append(afpsOf(ids.filter(col("doc_id") >= cut)))
+          } catch { case _: java.io.IOException => () } // lost race
+          if (store.versions(spark).size < 2)
+            throw new IllegalStateException(
+              "afp index build incomplete under " +
+              s"target/graft-afp/$tag — concurrent builder did not " +
+              "commit and this build failed")
+        }
+        store.read(spark).get
+      })
+    }
+  }
+
+  /** Driver key `dedup_audio_delta`: the near-dup recording pairs a
+    * delivery introduces — hamming ≤ `maxHamming` pairs with the newer
+    * side in the delta, candidates from the delivery's chunks against
+    * the FULL persisted fingerprint table; no base recording is
+    * re-decoded at query time. Pigeonhole completeness holds per-pair,
+    * so the key runs under the same full hash gate as `dedup_audio`. */
+  def dedupAudioDelta(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val cut = Phash.deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    Phash.chunkLshPairs(ensureIndex(spark, dir), "afp", Some(cut),
+      maxHamming)
   }
 }

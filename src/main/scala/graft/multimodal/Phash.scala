@@ -139,7 +139,8 @@ object Phash {
     * the operator stays bucketed). */
   def dedupPhash(spark: SparkSession, dir: String, maxHamming: Int = 3)
       : DataFrame =
-    chunkLshPairs(phashes(spark, dir), newerCut = None, maxHamming)
+    chunkLshPairs(phashes(spark, dir), "phash", newerCut = None,
+      maxHamming)
 
   /** Chunk-LSH candidates + exact Hamming verify over a (doc_id,
     * phash) table; with `newerCut` set, only pairs whose NEWER side is
@@ -147,15 +148,19 @@ object Phash {
     * ordering puts the delta doc at d2, so the filter sits on the
     * candidate probe side, before any pairing). Pigeonhole
     * completeness (hamming ≤ 3 ⇒ some 16-bit chunk equal) holds
-    * per-pair, so the delta restriction loses nothing. */
-  private def chunkLshPairs(sigs: DataFrame, newerCut: Option[Long],
-      maxHamming: Int): DataFrame = {
-    val chunks = sigs.select(col("doc_id"), col("phash"),
+    * per-pair, so the delta restriction loses nothing. Shared by the
+    * audio sibling ([[AudioFp]] passes its own hash column) — the
+    * chunking, pairing, verify and delta-restriction algebra is
+    * modality-blind. */
+  private[multimodal] def chunkLshPairs(sigs: DataFrame,
+      hashCol: String, newerCut: Option[Long], maxHamming: Int)
+      : DataFrame = {
+    val chunks = sigs.select(col("doc_id"), col(hashCol),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("k"),
-            shiftright(col("phash"), k * 16).bitwiseAND(0xFFFFL)
+            shiftright(col(hashCol), k * 16).bitwiseAND(0xFFFFL)
               .as("chunk"))): _*)).as("c"))
-      .select(col("doc_id"), col("phash"), col("c.k"), col("c.chunk"))
+      .select(col("doc_id"), col(hashCol), col("c.k"), col("c.chunk"))
     val probe = newerCut
       .map(c => chunks.filter(col("doc_id") >= c)).getOrElse(chunks)
     probe.as("y")
@@ -163,7 +168,7 @@ object Phash {
         col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -194,7 +199,7 @@ object Phash {
   /** The delta split point (the standard newest-20% delivery model —
     * [[graft.query.MinhashIndex.deltaCutoff]]'s rule, restated here to
     * keep package boundaries clean). */
-  private def deltaCutoff(docs: DataFrame): Long =
+  private[multimodal] def deltaCutoff(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
 
   /** Build-or-load the persisted fingerprint store (base hashes v0,
@@ -238,6 +243,7 @@ object Phash {
       maxHamming: Int = 3): DataFrame = {
     val cut = deltaCutoff(
       Tables.load(spark, dir, "documents").select("doc_id"))
-    chunkLshPairs(ensureIndex(spark, dir), Some(cut), maxHamming)
+    chunkLshPairs(ensureIndex(spark, dir), "phash", Some(cut),
+      maxHamming)
   }
 }

@@ -119,12 +119,17 @@ object VideoFp {
     * (not just sync frames), dHash each, collapse consecutive equals,
     * join with '|'. */
   private[multimodal] def vfps(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    vfpsOf(Tables.load(spark, dir, "documents").select("doc_id"))
+
+  /** Frame-parameterized core of [[vfps]] — the store build
+    * fingerprints the base and delta slices separately. */
+  private def vfpsOf(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
     // fanOut: the codec stage is pure per-row CPU — a one-split scan
     // would run ALL of it in one task (Tables.fanOut scaladoc)
-    Tables.fanOut(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"))).as[Long]
+    Tables.fanOut(ids.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val mp4 = variantMp4(id)
         require(Mp4.isMp4(mp4), s"doc $id: non-BMFF mux output")
@@ -153,13 +158,81 @@ object VideoFp {
     * formula, collapses identically, and sweeps all pairs
     * (verification-scale on the oracle side only; the operator is a
     * keyed join). */
-  def dedupVideo(spark: SparkSession, dir: String): DataFrame = {
-    val v = vfps(spark, dir)
-    v.as("x").join(v.as("y"),
+  def dedupVideo(spark: SparkSession, dir: String): DataFrame =
+    seqPairs(vfps(spark, dir), newerCut = None)
+
+  /** Exact-equality footage pairing over a (doc_id, vseq, n_frames)
+    * table; with `newerCut` set, only pairs whose NEWER side is
+    * at-or-past the cut are emitted (the delta query — d1 < d2 puts
+    * the delta doc at d2, so the filter sits on the probe side before
+    * any pairing; equality-join completeness is per-pair, so the
+    * restriction loses nothing). */
+  private def seqPairs(v: DataFrame, newerCut: Option[Long])
+      : DataFrame = {
+    val probe = newerCut
+      .map(c => v.filter(col("doc_id") >= c)).getOrElse(v)
+    probe.as("y").join(v.as("x"),
         col("x.vseq") === col("y.vseq") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.n_frames").as("n_frames"))
       .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------- incremental index
+  //
+  // The weekly-delivery regime for perceptual VIDEO dedup — the
+  // [[Phash]] incremental construction verbatim, as its scaladoc
+  // promised: the collapsed frame-hash sequence is a per-item
+  // computation, so the persisted store appends EXACTLY — a delivery
+  // pays the mux→demux→JPEG-decode roundtrip for its own videos only,
+  // and the delta query equality-joins the delivery's sequences
+  // against the full store.
+
+  private val indexMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, DataFrame]]
+
+  private val LayoutVersion = "V1"
+  private def indexTag(spark: SparkSession, dir: String): String =
+    graft.core.Caches.md5Tag(s"$dir|$LayoutVersion|" +
+      Tables.fingerprint(spark, dir, "documents"))
+
+  /** Build-or-load the persisted fingerprint store (base sequences v0,
+    * the delivery's appended O(delta)). */
+  def ensureIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tag = indexTag(spark, dir)
+    val memo = indexMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, DataFrame])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val store = new graft.ingest.SnapshotStore(
+          s"target/graft-vfp/$tag/seqs")
+        if (store.versions(spark).size < 2) {
+          val ids = Tables.load(spark, dir, "documents").select("doc_id")
+          val cut = Phash.deltaCutoff(ids)
+          try {
+            store.overwrite(vfpsOf(ids.filter(col("doc_id") < cut)))
+            store.append(vfpsOf(ids.filter(col("doc_id") >= cut)))
+          } catch { case _: java.io.IOException => () } // lost race
+          if (store.versions(spark).size < 2)
+            throw new IllegalStateException(
+              "vfp index build incomplete under " +
+              s"target/graft-vfp/$tag — concurrent builder did not " +
+              "commit and this build failed")
+        }
+        store.read(spark).get
+      })
+    }
+  }
+
+  /** Driver key `dedup_video_delta`: the duplicate-footage pairs a
+    * delivery introduces — exact collapsed-sequence matches with the
+    * newer side in the delta, the delivery's sequences joined against
+    * the FULL persisted store; no base video is re-demuxed at query
+    * time. Runs under the same full hash gate as `dedup_video`. */
+  def dedupVideoDelta(spark: SparkSession, dir: String): DataFrame = {
+    val cut = Phash.deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    seqPairs(ensureIndex(spark, dir), Some(cut))
   }
 }

@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted image-fingerprint store (codec
     // roundtrip in mapPartitions) on construction
     "dedup_phash_delta",
+    // build/load the persisted audio/video fingerprint stores (codec
+    // roundtrips in mapPartitions) on construction
+    "dedup_audio_delta", "dedup_video_delta",
     // curate_full's composition with the scrub stage: the CC loop runs
     // jobs on construction (the curate_full precedent)
     "curate_scrub",

@@ -87,4 +87,19 @@ class AudioFpSpec extends SparkSuite {
         s"anchor $anchor: variant fingerprints diverge: $fps")
     }
   }
+
+  test("delta form == one-shot pairs with the newer side in the " +
+      "delivery (per-item fingerprints make the store exact)") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0) * 4 / 5 + 1
+    val viaDelta = AudioFp.dedupAudioDelta(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val viaOneShot = AudioFp.dedupAudio(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("d2") >= cut)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDelta === viaOneShot)
+    assert(viaDelta.nonEmpty,
+      "no delta pairs — vacuous (planted groups of 5 span the cutoff)")
+  }
 }

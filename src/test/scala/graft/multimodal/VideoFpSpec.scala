@@ -90,4 +90,19 @@ class VideoFpSpec extends SparkSuite {
       s"missing=${(expected -- pairs).take(5)} " +
         s"extra=${(pairs -- expected).take(5)}")
   }
+
+  test("delta form == one-shot pairs with the newer side in the " +
+      "delivery (per-item fingerprints make the store exact)") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0) * 4 / 5 + 1
+    val viaDelta = VideoFp.dedupVideoDelta(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val viaOneShot = VideoFp.dedupVideo(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("d2") >= cut)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDelta === viaOneShot)
+    assert(viaDelta.nonEmpty,
+      "no delta pairs — vacuous (planted groups of 4 span the cutoff)")
+  }
 }
