@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, EmbeddingIndex, Events, Finders, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, EmbeddingIndex, Events, Finders, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -168,6 +168,12 @@ object SparkEntry {
     // the pre-flight join-key skew panel (cardinality, max/p99 group,
     // skew ratio, hottest key) — see Profile.skewReport
     "skew_report" -> (Profile.skewReport _),
+    // retrain-trigger gauge for the frozen-model delta indexes:
+    // per-cell assignment-distance inflation + occupancy shift over a
+    // fixed sign-quadrant geometry, literal thresholds, a boolean
+    // needs_retrain / index_retrain decision — see query.IndexDrift
+    "index_drift_check" -> ((s: SparkSession, d: String) =>
+      IndexDrift.indexDriftCheck(s, d)),
     "stream_profile_drift" -> (streaming.ProfileStream.drift _),
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
@@ -1378,6 +1384,47 @@ object SparkEntry {
     // deliveries of orders; integer cross-multiplied null-rate
     // shift, typed range-envelope escape, 2x cardinality jump
     "profile_drift" -> profileDriftOracleSql,
+    // the retrain gauge recomputed in exact column algebra: 16
+    // sign-quadrant cells on dims 1-4, frozen centroid = base per-cell
+    // mean, occupancy flag by BIGINT cross-multiplication, distance
+    // flag on 4-decimal-rounded mean squared distances
+    "index_drift_check" ->
+      """WITH cut AS (SELECT max(vec_id) * 4 // 5 + 1 AS c FROM embeddings),
+        |e AS (SELECT vec_id, vec_id >= (SELECT c FROM cut) AS is_delta,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, is_delta, cell, r.d AS d, v[r.d + 1] AS val
+        |  FROM e, range(0, 64) r(d)),
+        |cent AS (SELECT cell, d, avg(val) AS m FROM dims WHERE NOT is_delta GROUP BY cell, d),
+        |sq AS (SELECT vec_id, dims.cell AS cell, is_delta,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM dims LEFT JOIN cent ON dims.cell = cent.cell AND dims.d = cent.d
+        |  GROUP BY vec_id, dims.cell, is_delta),
+        |stats AS (SELECT cell,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_delta) AS mb,
+        |    avg(sq) FILTER (WHERE is_delta) AS md
+        |  FROM sq GROUP BY cell),
+        |tot AS (SELECT cell, n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER () AS BIGINT) AS td FROM stats),
+        |fl AS (SELECT cell, n_base, n_delta, msd_base, msd_delta,
+        |    abs(n_delta * tb - n_base * td) * 20 > tb * td AS occ_shift,
+        |    CASE WHEN n_base = 0 THEN n_delta > 0
+        |         WHEN n_delta = 0 THEN FALSE
+        |         ELSE msd_delta * 2 > msd_base * 3 END AS dist_drift
+        |  FROM tot),
+        |nr AS (SELECT *, occ_shift OR dist_drift AS needs_retrain FROM fl)
+        |SELECT cell, n_base, n_delta, msd_base, msd_delta, occ_shift,
+        |  dist_drift, needs_retrain,
+        |  bool_or(needs_retrain) OVER () AS index_retrain
+        |FROM nr ORDER BY cell""".stripMargin,
     // one block per audited key column; quantile_cont mirrors Spark's
     // exact interpolated percentile over the key-grain size table
     "skew_report" ->
