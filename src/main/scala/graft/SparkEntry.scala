@@ -1398,7 +1398,7 @@ object SparkEntry {
         |    CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |dims AS (SELECT vec_id, is_delta, cell, r.d AS d, v[r.d + 1] AS val
-        |  FROM e, range(0, 64) r(d)),
+        |  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS d) r),
         |cent AS (SELECT cell, d, avg(val) AS m FROM dims WHERE NOT is_delta GROUP BY cell, d),
         |sq AS (SELECT vec_id, dims.cell AS cell, is_delta,
         |    sum((val - m) * (val - m)) AS sq
@@ -1415,7 +1415,8 @@ object SparkEntry {
         |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
         |    CAST(sum(n_delta) OVER () AS BIGINT) AS td FROM stats),
         |fl AS (SELECT cell, n_base, n_delta, msd_base, msd_delta,
-        |    abs(n_delta * tb - n_base * td) * 20 > tb * td AS occ_shift,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
         |    CASE WHEN n_base = 0 THEN n_delta > 0
         |         WHEN n_delta = 0 THEN FALSE
         |         ELSE msd_delta * 2 > msd_base * 3 END AS dist_drift

@@ -46,12 +46,24 @@ import graft.core.Tables
   * cross-multiplication where exactness matters, rounded doubles
   * where a ratio is inherently floating):
   *   - `occ_shift`: |delta_share − base_share| > 5%, evaluated as
-  *     |n_delta·T_base − n_base·T_delta| · 20 > T_base · T_delta —
-  *     pure BIGINT arithmetic, no division;
+  *     |n_delta·T_base − n_base·T_delta| · 20 > T_base · T_delta in
+  *     exact wide-integer arithmetic (Spark DECIMAL(38,0), DuckDB
+  *     HUGEINT — both exact far past any physical corpus; plain
+  *     BIGINT would silently wrap in Spark's non-ANSI mode once the
+  *     corpus passes ~3e9 vectors while DuckDB raises, diverging the
+  *     engines), no division;
   *   - `dist_drift`: round(msd_delta,4) > 1.5 · round(msd_base,4)
   *     (evaluated ×2/×3 to stay in exact multiples), with the edge
   *     rules: a cell the base never populated drifts iff the delivery
-  *     lands there; a cell the delivery never touches cannot drift;
+  *     lands there; a cell the delivery never touches cannot drift.
+  *     ACCEPTED RESIDUAL RISK (the log2 last-ulp convention, see
+  *     [[TextQuality]]): msd_* are avg() over doubles, whose
+  *     accumulation order varies with partitioning and differs from
+  *     DuckDB's; round(_,4) absorbs the drift unless a value straddles
+  *     a 4th-decimal rounding boundary exactly. A sorted sequential
+  *     fold would close it but needs a per-cell collect_list over an
+  *     UNBOUNDED group (cells are corpus-scale) — not scale-safe, so
+  *     the risk is documented rather than engineered away;
   *   - `needs_retrain` = occ_shift OR dist_drift (per cell);
   *     `index_retrain` = any cell flagged (the decision column).
   *
@@ -115,8 +127,9 @@ object IndexDrift {
       sum(col("n_delta")).over(all).as("td"))
     val flagged = withTotals.select(col("cell"), col("n_base"),
       col("n_delta"), col("msd_base"), col("msd_delta"),
-      (abs(col("n_delta") * col("tb") - col("n_base") * col("td")) * 20 >
-        col("tb") * col("td")).as("occ_shift"),
+      (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
+           col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
+        col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
       when(col("n_base") === 0, col("n_delta") > 0)
         .when(col("n_delta") === 0, lit(false))
         .otherwise(col("msd_delta") * 2 > col("msd_base") * 3)

@@ -61,6 +61,8 @@ class PlanAuditSpec extends SparkSuite {
     "curate_scrub_delta",
     // collects the CM sketch + probe items on construction
     "agg_countmin_bound",
+    // runs the max(vec_id) base/delta split job on construction
+    "index_drift_check",
     // collects the bloom filter (dim count + aggregate) on construction
     "join_bloom_reduced")
   // sanctioned nested-loop joins: tiny broadcast sides by design —

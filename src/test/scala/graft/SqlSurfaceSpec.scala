@@ -40,18 +40,19 @@ class SqlSurfaceSpec extends SparkSuite {
     "curate_budget", "curate_delta", "curate_e2e",
     "curate_full", "curate_scrub", "curate_scrub_delta",
     "date_arith_funcs", "decontaminate",
-    "dedup_audio", "dedup_canonical", "dedup_cluster",
+    "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",
     "dedup_minhash_delta", "dedup_minhash_recall", "dedup_ngram",
     "dedup_phash_delta",
     "dedup_ngram_star", "dedup_phash", "dedup_semantic",
     "dedup_substring", "dedup_substring_apply", "dedup_substring_delta",
-    "dedup_video",
+    "dedup_video", "dedup_video_delta",
     "dedup_winnow", "doc_chunk", "doc_tokens_pos",
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
-    "higher_order_funcs", "join_asof", "join_asof_forward",
+    "higher_order_funcs", "index_drift_check",
+    "join_asof", "join_asof_forward",
     "join_asof_tolerance", "map_funcs", "multimodal_audio",
     "multimodal_audio_frames", "multimodal_decode", "multimodal_features",
     "multimodal_frames", "multimodal_meta", "multimodal_resize",
@@ -103,7 +104,8 @@ class SqlSurfaceSpec extends SparkSuite {
           "promote it to the portable surface")
         case (false, Left(e)) => Some(
           s"$k: portable key failed on spark.sql: " +
-          e.getMessage.linesIterator.next())
+          String.valueOf(e.getMessage).linesIterator
+            .find(_.nonEmpty).getOrElse(e.getClass.getName))
         case (false, Right(viaSql)) =>
           val viaDf = normalized(SparkEntry.queries(k)(spark, dir))
           if (viaSql == viaDf) None
