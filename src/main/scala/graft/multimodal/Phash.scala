@@ -203,30 +203,24 @@ object Phash {
     docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
 
   /** Build-or-load the persisted fingerprint store (base hashes v0,
-    * the delivery's appended O(delta); recovery-safe like the other
-    * delta stores). */
+    * the delivery's appended O(delta); single-publish across processes
+    * via [[graft.ingest.StoreBootstrap]]). */
   def ensureIndex(spark: SparkSession, dir: String): DataFrame = {
     val tag = indexTag(spark, dir)
     val memo = indexMemo.get(spark)(
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val store = new graft.ingest.SnapshotStore(
-          s"target/graft-phash/$tag/hashes")
-        if (store.versions(spark).size < 2) {
+        val root = s"target/graft-phash/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark, "hashes" -> 2)) { b =>
+          val store = new graft.ingest.SnapshotStore(s"$b/hashes")
           val ids = Tables.load(spark, dir, "documents").select("doc_id")
           val cut = deltaCutoff(ids)
-          try {
-            store.overwrite(phashesOf(ids.filter(col("doc_id") < cut)))
-            store.append(phashesOf(ids.filter(col("doc_id") >= cut)))
-          } catch { case _: java.io.IOException => () } // lost race
-          if (store.versions(spark).size < 2)
-            throw new IllegalStateException(
-              "phash index build incomplete under " +
-              s"target/graft-phash/$tag — concurrent builder did not " +
-              "commit and this build failed")
+          store.overwrite(phashesOf(ids.filter(col("doc_id") < cut)))
+          store.append(phashesOf(ids.filter(col("doc_id") >= cut)))
         }
-        store.read(spark).get
+        new graft.ingest.SnapshotStore(s"$root/hashes").read(spark).get
       })
     }
   }

@@ -198,29 +198,24 @@ object VideoFp {
       Tables.fingerprint(spark, dir, "documents"))
 
   /** Build-or-load the persisted fingerprint store (base sequences v0,
-    * the delivery's appended O(delta)). */
+    * the delivery's appended O(delta); single-publish across processes
+    * via [[graft.ingest.StoreBootstrap]]). */
   def ensureIndex(spark: SparkSession, dir: String): DataFrame = {
     val tag = indexTag(spark, dir)
     val memo = indexMemo.get(spark)(
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val store = new graft.ingest.SnapshotStore(
-          s"target/graft-vfp/$tag/seqs")
-        if (store.versions(spark).size < 2) {
+        val root = s"target/graft-vfp/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark, "seqs" -> 2)) { b =>
+          val store = new graft.ingest.SnapshotStore(s"$b/seqs")
           val ids = Tables.load(spark, dir, "documents").select("doc_id")
           val cut = Phash.deltaCutoff(ids)
-          try {
-            store.overwrite(vfpsOf(ids.filter(col("doc_id") < cut)))
-            store.append(vfpsOf(ids.filter(col("doc_id") >= cut)))
-          } catch { case _: java.io.IOException => () } // lost race
-          if (store.versions(spark).size < 2)
-            throw new IllegalStateException(
-              "vfp index build incomplete under " +
-              s"target/graft-vfp/$tag — concurrent builder did not " +
-              "commit and this build failed")
+          store.overwrite(vfpsOf(ids.filter(col("doc_id") < cut)))
+          store.append(vfpsOf(ids.filter(col("doc_id") >= cut)))
         }
-        store.read(spark).get
+        new graft.ingest.SnapshotStore(s"$root/seqs").read(spark).get
       })
     }
   }

@@ -44,8 +44,8 @@ object EmbeddingIndex {
       Tables.fingerprint(spark, dir, "embeddings"))
 
   /** Build-or-load the incrementally-maintained bucket table over
-    * base ∪ delta (base commit + one O(delta) append; recovery-safe
-    * like the other delta stores). */
+    * base ∪ delta (base commit + one O(delta) append; single-publish
+    * across processes via [[graft.ingest.StoreBootstrap]]). */
   def ensureIndex(spark: SparkSession, dir: String, nPlanes: Int = 8,
       nTables: Int = 8, seed: Long = 7L): DataFrame = {
     val tag = indexTag(spark, dir, nPlanes, nTables, seed)
@@ -53,24 +53,18 @@ object EmbeddingIndex {
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val store = new graft.ingest.SnapshotStore(
-          s"target/graft-annlsh/$tag/buckets")
-        if (store.versions(spark).size < 2) {
+        val root = s"target/graft-annlsh/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark, "buckets" -> 2)) { b =>
+          val store = new graft.ingest.SnapshotStore(s"$b/buckets")
           val e = Tables.load(spark, dir, "embeddings")
           val cut = SemanticIndex.deltaCutoff(e)
-          try {
-            store.overwrite(TextSim.annBuckets(
-              e.filter(col("vec_id") < cut), nPlanes, nTables, seed))
-            store.append(TextSim.annBuckets(
-              e.filter(col("vec_id") >= cut), nPlanes, nTables, seed))
-          } catch { case _: java.io.IOException => () } // lost race
-          if (store.versions(spark).size < 2)
-            throw new IllegalStateException(
-              "ANN bucket index build incomplete under " +
-              s"target/graft-annlsh/$tag — concurrent builder did " +
-              "not commit and this build failed")
+          store.overwrite(TextSim.annBuckets(
+            e.filter(col("vec_id") < cut), nPlanes, nTables, seed))
+          store.append(TextSim.annBuckets(
+            e.filter(col("vec_id") >= cut), nPlanes, nTables, seed))
         }
-        store.read(spark).get
+        new graft.ingest.SnapshotStore(s"$root/buckets").read(spark).get
       })
     }
   }

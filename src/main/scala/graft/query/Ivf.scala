@@ -141,24 +141,25 @@ object Ivf {
       scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val centStore = new graft.ingest.SnapshotStore(
-          s"target/graft-ivf/$tag/centroids")
+        val root = s"target/graft-ivf/$tag"
         // the inverted file is PHYSICALLY laid out by cell: one cid ↔
         // one partition directory, so a probe touches nprobe dirs'
         // files instead of scanning the corpus — the on-disk form of
         // the scaladoc's 100 TB story (IvfLayoutSpec proves file-level
         // pruning; the schema sidecar keeps cid a LongType on re-read)
-        val cellStore = new graft.ingest.SnapshotStore(
-          s"target/graft-ivf/$tag/cells", partition = Some("cid"))
-        if (!(centStore.exists(spark) && cellStore.exists(spark))) {
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "centroids" -> 1, "cells" -> 1)) { b =>
           val e = Tables.load(spark, dir, "embeddings")
           val cent = trainCentroids(e, nlist, iters, seed)
-          val cells = assign(e, cent)
-          // a lost race means an identical index already committed
-          try { centStore.overwrite(cent); cellStore.overwrite(cells) }
-          catch { case _: java.io.IOException => () }
+          new graft.ingest.SnapshotStore(s"$b/centroids").overwrite(cent)
+          new graft.ingest.SnapshotStore(s"$b/cells",
+            partition = Some("cid")).overwrite(assign(e, cent))
         }
-        (centStore.read(spark).get, cellStore.read(spark).get)
+        (new graft.ingest.SnapshotStore(s"$root/centroids")
+            .read(spark).get,
+          new graft.ingest.SnapshotStore(s"$root/cells",
+            partition = Some("cid")).read(spark).get)
       })
     }
   }
@@ -263,10 +264,11 @@ object Ivf {
     * trained on the base slice only (vec_id < cutoff), base cells
     * committed as v0, the delta ASSIGNED (not retrained) and appended
     * as an O(delta) manifest commit. Returns (centroids, merged
-    * cells). The two-commit build is recovery-safe: an incomplete
-    * store (< 2 cell versions) rebuilds via overwrite — which RESETS
-    * the dir chain to a single-dir manifest — so a crashed builder can
-    * never double-append the delta. */
+    * cells). Single-publish across processes via
+    * [[graft.ingest.StoreBootstrap]]: the two-commit build stages
+    * under one root and renames into place atomically, so a crashed or
+    * racing builder can never publish a base-only index or a
+    * double-appended delta. */
   def ensureDeltaIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       iters: Int = 2, seed: Long = 7L): (DataFrame, DataFrame) = {
     val tag = indexTag(spark, dir, nlist, iters, seed, variant = "delta")
@@ -274,34 +276,27 @@ object Ivf {
       scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val centStore = new graft.ingest.SnapshotStore(
-          s"target/graft-ivf/$tag/centroids")
-        val cellStore = new graft.ingest.SnapshotStore(
-          s"target/graft-ivf/$tag/cells", partition = Some("cid"))
-        def complete = centStore.exists(spark) &&
-          cellStore.versions(spark).size >= 2
-        if (!complete) {
+        val root = s"target/graft-ivf/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "centroids" -> 1, "cells" -> 2)) { b =>
+          val centStore = new graft.ingest.SnapshotStore(s"$b/centroids")
+          val cellStore = new graft.ingest.SnapshotStore(
+            s"$b/cells", partition = Some("cid"))
           val e = Tables.load(spark, dir, "embeddings")
           val cutoff = deltaCutoff(e)
           val cent = trainCentroids(
             e.filter(col("vec_id") < cutoff), nlist, iters, seed)
-          try {
-            centStore.overwrite(cent)
-            cellStore.overwrite(
-              assign(e.filter(col("vec_id") < cutoff), cent))
-            cellStore.append(
-              assign(e.filter(col("vec_id") >= cutoff), cent))
-          } catch { case _: java.io.IOException => () } // lost race:
-          // a concurrent builder committed the identical index
-          // the swallow is only legitimate if the OTHER builder
-          // finished: an incomplete store here is a genuine I/O
-          // failure, and memoizing a base-only index would silently
-          // serve pre-delivery results — fail loudly instead
-          if (!complete) throw new IllegalStateException(
-            s"IVF delta index build incomplete under target/graft-ivf/$tag" +
-            " — concurrent builder did not commit and this build failed")
+          centStore.overwrite(cent)
+          cellStore.overwrite(
+            assign(e.filter(col("vec_id") < cutoff), cent))
+          cellStore.append(
+            assign(e.filter(col("vec_id") >= cutoff), cent))
         }
-        (centStore.read(spark).get, cellStore.read(spark).get)
+        (new graft.ingest.SnapshotStore(s"$root/centroids")
+            .read(spark).get,
+          new graft.ingest.SnapshotStore(s"$root/cells",
+            partition = Some("cid")).read(spark).get)
       })
     }
   }

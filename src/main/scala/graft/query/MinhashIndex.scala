@@ -66,11 +66,11 @@ object MinhashIndex {
   /** Build-or-load the incrementally-maintained index: base docs'
     * buckets+postings+canon committed as v0, the delta's appended as
     * one O(delta) manifest commit each. Returns (buckets, postings,
-    * canon) over base∪delta. Recovery-safe like the IVF delta: an
-    * incomplete store
-    * (< 2 versions on either side) rebuilds via overwrite — which
-    * RESETS the dir chain — so a crashed builder can never
-    * double-append the delta. Disk-persistent across JVMs, memoized
+    * canon) over base∪delta. Single-publish across processes via
+    * [[graft.ingest.StoreBootstrap]] — the three-store build stages
+    * under one root and renames into place atomically, so a crashed or
+    * racing builder can never publish a base-only index or a
+    * double-appended delta. Disk-persistent across JVMs, memoized
     * within a session. */
   def ensureIndex(spark: SparkSession, dir: String, nHashes: Int = 32,
       bands: Int = 8): (DataFrame, DataFrame, DataFrame) = {
@@ -79,15 +79,13 @@ object MinhashIndex {
       .empty[String, (DataFrame, DataFrame, DataFrame)])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val bStore = new graft.ingest.SnapshotStore(
-          s"target/graft-minhash/$tag/buckets")
-        val pStore = new graft.ingest.SnapshotStore(
-          s"target/graft-minhash/$tag/postings")
-        val cStore = new graft.ingest.SnapshotStore(
-          s"target/graft-minhash/$tag/canon")
-        def complete = Seq(bStore, pStore, cStore)
-          .forall(_.versions(spark).size >= 2)
-        if (!complete) {
+        val root = s"target/graft-minhash/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "buckets" -> 2, "postings" -> 2, "canon" -> 2)) { b =>
+          val bStore = new graft.ingest.SnapshotStore(s"$b/buckets")
+          val pStore = new graft.ingest.SnapshotStore(s"$b/postings")
+          val cStore = new graft.ingest.SnapshotStore(s"$b/canon")
           val docs = Tables.load(spark, dir, "documents")
           val cut = deltaCutoff(docs)
           val base = docs.filter(col("doc_id") < cut)
@@ -96,27 +94,17 @@ object MinhashIndex {
             TextSim.canonicalMd5(col("text")).as("canon_md5"))
           val baseSh = TextSim.shingleHashesOf(base)
           val deltaSh = TextSim.shingleHashesOf(delta)
-          try {
-            bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
-            pStore.overwrite(baseSh)
-            cStore.overwrite(canonOf(base))
-            // the delivery: one O(delta) append per store
-            bStore.append(TextSim.bandBucketsOf(deltaSh, nHashes, bands))
-            pStore.append(deltaSh)
-            cStore.append(canonOf(delta))
-          } catch { case _: java.io.IOException => () } // lost race: a
-          // concurrent builder committed the identical index
-          // a swallowed lost-race is only legitimate if the OTHER
-          // builder actually finished — an incomplete store here means
-          // a genuine I/O failure (or a builder died mid-sequence);
-          // memoizing a base-only index would silently drop delta
-          // pairs, so fail loudly instead
-          if (!complete) throw new IllegalStateException(
-            s"minhash index build incomplete under target/graft-minhash/$tag " +
-            "— concurrent builder did not commit and this build failed")
+          bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
+          pStore.overwrite(baseSh)
+          cStore.overwrite(canonOf(base))
+          // the delivery: one O(delta) append per store
+          bStore.append(TextSim.bandBucketsOf(deltaSh, nHashes, bands))
+          pStore.append(deltaSh)
+          cStore.append(canonOf(delta))
         }
-        (bStore.read(spark).get, pStore.read(spark).get,
-          cStore.read(spark).get)
+        (new graft.ingest.SnapshotStore(s"$root/buckets").read(spark).get,
+          new graft.ingest.SnapshotStore(s"$root/postings").read(spark).get,
+          new graft.ingest.SnapshotStore(s"$root/canon").read(spark).get)
       })
     }
   }

@@ -81,10 +81,12 @@ object SemanticIndex {
 
   /** Build-or-load the incrementally-maintained index for (dir,
     * params): returns the served FLAGS frame (vec_id, cluster,
-    * is_dup) over base ∪ delta. Two-commit build, recovery-safe like
-    * the IVF delta: an incomplete store (< 2 versions on either side)
-    * rebuilds via overwrite — which resets the dir chain — so a
-    * crashed builder can never double-append the delta. */
+    * is_dup) over base ∪ delta. Two-commit build per store,
+    * single-publish across processes via
+    * [[graft.ingest.StoreBootstrap]] — both stores stage under one
+    * root and rename into place atomically, so a crashed or racing
+    * builder can never publish base-only flags or a double-appended
+    * delta. */
   def ensureIndex(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, threshold: Double = 0.35, seed: Long = 7L)
       : DataFrame = {
@@ -93,45 +95,35 @@ object SemanticIndex {
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val cellStore = new graft.ingest.SnapshotStore(
-          s"target/graft-semantic/$tag/cells", partition = Some("cid"))
-        val flagStore = new graft.ingest.SnapshotStore(
-          s"target/graft-semantic/$tag/flags")
-        def complete = Seq(cellStore, flagStore)
-          .forall(_.versions(spark).size >= 2)
-        if (!complete) {
+        val root = s"target/graft-semantic/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "cells" -> 2, "flags" -> 2)) { b =>
+          val cellStore = new graft.ingest.SnapshotStore(
+            s"$b/cells", partition = Some("cid"))
+          val flagStore = new graft.ingest.SnapshotStore(s"$b/flags")
           val e = Tables.load(spark, dir, "embeddings")
           val cut = deltaCutoff(e)
           val base = e.filter(col("vec_id") < cut)
           val cent = Ivf.trainCentroids(base, k, iters, seed)
           val baseCells = TextSim.assignCells(base, cent)
             .localCheckpoint() // assign once, feed both commits
-          try {
-            cellStore.overwrite(baseCells)
-            flagStore.overwrite(
-              TextSim.cellDupFlags(baseCells, baseCells, threshold))
-            // the delivery: frozen-model assignment of the delta only,
-            // flags probed against the PERSISTED cells ∪ the delta —
-            // one O(delta) append per store
-            val deltaCells = TextSim.assignCells(
-              e.filter(col("vec_id") >= cut), cent).localCheckpoint()
-            val earlier = cellStore.read(spark).get
-              .select("vec_id", "embedding", "cid")
-              .unionByName(deltaCells)
-            cellStore.append(deltaCells)
-            flagStore.append(
-              TextSim.cellDupFlags(deltaCells, earlier, threshold))
-          } catch { case _: java.io.IOException => () } // lost race: a
-          // concurrent builder committed the identical index; an
-          // incomplete store here is a genuine failure — a base-only
-          // index would silently serve pre-delivery flags, so fail
-          // loudly instead (the Ivf.ensureDeltaIndex rule)
-          if (!complete) throw new IllegalStateException(
-            "semantic delta index build incomplete under " +
-            s"target/graft-semantic/$tag — concurrent builder did not " +
-            "commit and this build failed")
+          cellStore.overwrite(baseCells)
+          flagStore.overwrite(
+            TextSim.cellDupFlags(baseCells, baseCells, threshold))
+          // the delivery: frozen-model assignment of the delta only,
+          // flags probed against the PERSISTED cells ∪ the delta —
+          // one O(delta) append per store
+          val deltaCells = TextSim.assignCells(
+            e.filter(col("vec_id") >= cut), cent).localCheckpoint()
+          val earlier = cellStore.read(spark).get
+            .select("vec_id", "embedding", "cid")
+            .unionByName(deltaCells)
+          cellStore.append(deltaCells)
+          flagStore.append(
+            TextSim.cellDupFlags(deltaCells, earlier, threshold))
         }
-        flagStore.read(spark).get
+        new graft.ingest.SnapshotStore(s"$root/flags").read(spark).get
       })
     }
   }

@@ -142,23 +142,18 @@ object SubstringIndex {
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(t, {
-        val store = new graft.ingest.SnapshotStore(
-          s"target/graft-grams/$t/grams")
-        if (store.versions(spark).size < 2) {
+        val root = s"target/graft-grams/$t"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark, "grams" -> 2)) { b =>
+          val st = new graft.ingest.SnapshotStore(s"$b/grams")
           val docs = Tables.load(spark, dir, "documents")
           val cut = MinhashIndex.deltaCutoff(docs)
           def counts(d: DataFrame) = gramsOf(d, gramLen)
             .groupBy("gh").agg(count(lit(1)).as("occ"))
-          try {
-            store.overwrite(counts(docs.filter(col("doc_id") < cut)))
-            store.append(counts(docs.filter(col("doc_id") >= cut)))
-          } catch { case _: java.io.IOException => () } // lost race
-          if (store.versions(spark).size < 2)
-            throw new IllegalStateException(
-              "gram store build incomplete under " +
-              s"target/graft-grams/$t — concurrent builder did not " +
-              "commit and this build failed")
+          st.overwrite(counts(docs.filter(col("doc_id") < cut)))
+          st.append(counts(docs.filter(col("doc_id") >= cut)))
         }
+        val store = new graft.ingest.SnapshotStore(s"$root/grams")
         // the probe side is the PRE-delivery state — the version
         // BEFORE the live one (== the base commit in this two-commit
         // build; under a longer append chain it stays the immediately

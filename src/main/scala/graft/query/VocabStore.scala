@@ -50,32 +50,27 @@ object VocabStore {
   /** Build-or-load the persisted per-delivery count store and return
     * the MERGED (w, n) frame. Base/delta split is the standard
     * newest-20% delivery model ([[MinhashIndex.deltaCutoff]]);
-    * recovery-safe like the other delta stores (an incomplete chain
-    * rebuilds via overwrite, so a crashed builder can never
-    * double-append). */
+    * single-publish across processes via
+    * [[graft.ingest.StoreBootstrap]] (stage-then-rename — a crashed or
+    * racing builder can never publish a half-built or double-appended
+    * chain). */
   def mergedCounts(spark: SparkSession, dir: String): DataFrame = {
     val tag = storeTag(spark, dir)
     val memo = storeMemo.get(spark)(
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
       memo.getOrElseUpdate(tag, {
-        val store = new graft.ingest.SnapshotStore(
-          s"target/graft-vocab/$tag/counts")
-        if (store.versions(spark).size < 2) {
+        val root = s"target/graft-vocab/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark, "counts" -> 2)) { b =>
+          val store = new graft.ingest.SnapshotStore(s"$b/counts")
           val docs = Tables.load(spark, dir, "documents")
           val cut = MinhashIndex.deltaCutoff(docs)
-          try {
-            store.overwrite(countsOf(docs.filter(col("doc_id") < cut)))
-            // the delivery: count ONLY the delta's text
-            store.append(countsOf(docs.filter(col("doc_id") >= cut)))
-          } catch { case _: java.io.IOException => () } // lost race
-          if (store.versions(spark).size < 2)
-            throw new IllegalStateException(
-              "vocab store build incomplete under " +
-              s"target/graft-vocab/$tag — concurrent builder did not " +
-              "commit and this build failed")
+          store.overwrite(countsOf(docs.filter(col("doc_id") < cut)))
+          // the delivery: count ONLY the delta's text
+          store.append(countsOf(docs.filter(col("doc_id") >= cut)))
         }
-        store.read(spark).get
+        new graft.ingest.SnapshotStore(s"$root/counts").read(spark).get
           .groupBy("w").agg(sum(col("n")).as("n"))
           .localCheckpoint() // merge once per session, reuse across
                              // trainer calls and parameterizations
