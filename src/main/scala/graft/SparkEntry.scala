@@ -174,6 +174,11 @@ object SparkEntry {
     // needs_retrain / index_retrain decision — see query.IndexDrift
     "index_drift_check" -> ((s: SparkSession, d: String) =>
       IndexDrift.indexDriftCheck(s, d)),
+    // the gauge's decision APPLIED: post-action panel (retrain resets
+    // the chain -> all-quiet; quiet keeps the pre panel) + the decision
+    // bit — the oracle recomputes the whole gauge->act->re-gauge loop
+    "index_retrain_apply" -> ((s: SparkSession, d: String) =>
+      IndexDrift.indexRetrainApply(s, d)),
     "stream_profile_drift" -> (streaming.ProfileStream.drift _),
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
@@ -1425,6 +1430,75 @@ object SparkEntry {
         |SELECT cell, n_base, n_delta, msd_base, msd_delta, occ_shift,
         |  dist_drift, needs_retrain,
         |  bool_or(needs_retrain) OVER () AS index_retrain
+        |FROM nr ORDER BY cell""".stripMargin,
+    // the retrain loop closed: the PRE gauge decides (same formulas as
+    // index_drift_check), the action is applied by masking is_delta
+    // (retrain resets the chain: every row becomes base, the delta is
+    // empty), and the POST panel is re-gauged over the masked split
+    "index_retrain_apply" ->
+      """WITH cut AS (SELECT max(vec_id) * 4 // 5 + 1 AS c FROM embeddings),
+        |e0 AS (SELECT vec_id, vec_id >= (SELECT c FROM cut) AS is_d,
+        |    CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p_dims AS (SELECT vec_id, is_d, cell, r.d AS d, v[r.d + 1] AS val
+        |  FROM e0, LATERAL (SELECT unnest(range(0, len(v))) AS d) r),
+        |p_cent AS (SELECT cell, d, avg(val) AS m FROM p_dims WHERE NOT is_d GROUP BY cell, d),
+        |p_sq AS (SELECT vec_id, p_dims.cell AS cell, is_d,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM p_dims LEFT JOIN p_cent ON p_dims.cell = p_cent.cell AND p_dims.d = p_cent.d
+        |  GROUP BY vec_id, p_dims.cell, is_d),
+        |p_stats AS (SELECT cell,
+        |    count(*) FILTER (WHERE NOT is_d) AS n_base,
+        |    count(*) FILTER (WHERE is_d) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_d) AS mb,
+        |    avg(sq) FILTER (WHERE is_d) AS md
+        |  FROM p_sq GROUP BY cell),
+        |p_tot AS (SELECT n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER () AS BIGINT) AS td FROM p_stats),
+        |dec AS (SELECT coalesce(bool_or(
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td
+        |    OR CASE WHEN n_base = 0 THEN n_delta > 0
+        |            WHEN n_delta = 0 THEN FALSE
+        |            ELSE msd_delta * 2 > msd_base * 3 END), FALSE) AS r
+        |  FROM p_tot),
+        |e AS (SELECT vec_id, is_d AND NOT (SELECT r FROM dec) AS is_delta,
+        |    cell, v FROM e0),
+        |dims AS (SELECT vec_id, is_delta, cell, r.d AS d, v[r.d + 1] AS val
+        |  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS d) r),
+        |cent AS (SELECT cell, d, avg(val) AS m FROM dims WHERE NOT is_delta GROUP BY cell, d),
+        |sq AS (SELECT vec_id, dims.cell AS cell, is_delta,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM dims LEFT JOIN cent ON dims.cell = cent.cell AND dims.d = cent.d
+        |  GROUP BY vec_id, dims.cell, is_delta),
+        |stats AS (SELECT cell,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_delta) AS mb,
+        |    avg(sq) FILTER (WHERE is_delta) AS md
+        |  FROM sq GROUP BY cell),
+        |tot AS (SELECT cell, n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER () AS BIGINT) AS td FROM stats),
+        |fl AS (SELECT cell, n_base, n_delta, msd_base, msd_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN n_base = 0 THEN n_delta > 0
+        |         WHEN n_delta = 0 THEN FALSE
+        |         ELSE msd_delta * 2 > msd_base * 3 END AS dist_drift
+        |  FROM tot),
+        |nr AS (SELECT *, occ_shift OR dist_drift AS needs_retrain FROM fl)
+        |SELECT cell, n_base, n_delta, msd_base, msd_delta, occ_shift,
+        |  dist_drift, needs_retrain,
+        |  bool_or(needs_retrain) OVER () AS index_retrain,
+        |  (SELECT r FROM dec) AS retrained
         |FROM nr ORDER BY cell""".stripMargin,
     // one block per audited key column; quantile_cont mirrors Spark's
     // exact interpolated percentile over the key-grain size table

@@ -90,6 +90,28 @@ object IndexDrift {
       e.filter(col("vec_id") >= cut))
   }
 
+  /** Driver key `index_retrain_apply`: the gauge panel AFTER applying
+    * its own decision — the oracle-checkable face of the retrain
+    * action ([[Ivf.ensureRetrainedIndex]] is the store-level act; this
+    * key proves the decision's POST-state semantics). If the
+    * pre-gauge fires, the action resets the chain (the full corpus
+    * becomes the new base, the delta is empty), so the post panel
+    * deterministically reads all-quiet — n_delta 0, every flag false;
+    * if it is quiet, the post panel IS the pre panel. `retrained`
+    * records the decision that was applied. Both stages are exact
+    * column algebra, so DuckDB recomputes the whole loop. */
+  def indexRetrainApply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cut = e.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5 + 1
+    val base = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    val retrained = indexDriftOf(base, delta)
+      .agg(coalesce(bool_or(col("index_retrain")), lit(false)))
+      .head().getBoolean(0)
+    val (pb, pd) = if (retrained) (e, e.limit(0)) else (base, delta)
+    indexDriftOf(pb, pd).withColumn("retrained", lit(retrained))
+  }
+
   /** Frame-parameterized core — specs drive a planted distribution
     * shift through it to flip the flags. Both frames carry
     * (vec_id, embedding). */

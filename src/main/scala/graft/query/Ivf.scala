@@ -314,4 +314,107 @@ object Ivf {
     val (cent, cells) = ensureDeltaIndex(spark, dir, nlist, iters, seed)
     probeScore(spark, e, cent, cells, k, nprobe)
   }
+
+  // ----------------------------------------------------- retrain action
+  //
+  // [[IndexDrift]] computes the retrain GAUGE; this is the ACTION it
+  // triggers — the other half of the frozen-model maintenance loop: a
+  // quiet gauge keeps the O(delta) frozen-assignment chain, a fired
+  // gauge swaps the frozen model for one retrained on the FULL current
+  // corpus, rebuilds the inverted file from it, and RESETS the delta
+  // chain (the retrained state becomes the new base; the next delivery
+  // appends against the retrained model). Retraining is O(corpus) by
+  // nature — the gauge exists precisely so that cost is paid only when
+  // the distribution actually moved, not per delivery.
+
+  /** The gauge's decision bit for a (base, delta) split — true when
+    * any cell flags `needs_retrain` ([[IndexDrift.indexDriftOf]]). */
+  private[query] def driftDecision(base: DataFrame, delta: DataFrame)
+      : Boolean =
+    IndexDrift.indexDriftOf(base, delta)
+      .agg(coalesce(bool_or(col("index_retrain")), lit(false)))
+      .head().getBoolean(0)
+
+  /** Frame-level retrain-on-drift core: gauge the split, then either
+    * keep the frozen base-trained model (quiet) or retrain on
+    * base ∪ delta (fired). Returns (centroids, cell assignments of the
+    * full corpus, retrained?). The quiet arm's output is bit-identical
+    * to the frozen delta chain's merged content (assignment is
+    * per-vector deterministic); IvfRetrainSpec drives a planted
+    * distribution shift through the fired arm and pins the recall
+    * restoration. */
+  def retrainIfDrifted(base: DataFrame, delta: DataFrame,
+      nlist: Int = 16, iters: Int = 2, seed: Long = 7L)
+      : (DataFrame, DataFrame, Boolean) = {
+    val retrained = driftDecision(base, delta)
+    val full = base.unionByName(delta)
+    val cent = trainCentroids(if (retrained) full else base,
+      nlist, iters, seed)
+    (cent, assign(full, cent), retrained)
+  }
+
+  private val retrainMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame, Boolean)]]
+
+  /** Store-backed retrain-on-drift serving state for the standard
+    * delivery split: the build evaluates the gauge once and publishes
+    * either the frozen two-commit chain (quiet — identical to
+    * [[ensureDeltaIndex]]'s content) or a retrained single-commit
+    * RESET (fired). The chain length IS the durable record of the
+    * decision: 2 versions = frozen delta chain, 1 version = retrained
+    * reset — so a reloading session recovers `retrained` without
+    * re-running the gauge. Single-publish via
+    * [[graft.ingest.StoreBootstrap]] like every index store. */
+  def ensureRetrainedIndex(spark: SparkSession, dir: String,
+      nlist: Int = 16, iters: Int = 2, seed: Long = 7L)
+      : (DataFrame, DataFrame, Boolean) = {
+    val tag = indexTag(spark, dir, nlist, iters, seed, variant = "retrain")
+    val memo = retrainMemo.get(spark)(scala.collection.mutable.Map
+      .empty[String, (DataFrame, DataFrame, Boolean)])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val root = s"target/graft-ivf/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "centroids" -> 1, "cells" -> 1)) { b =>
+          val centStore = new graft.ingest.SnapshotStore(s"$b/centroids")
+          val cellStore = new graft.ingest.SnapshotStore(
+            s"$b/cells", partition = Some("cid"))
+          val e = Tables.load(spark, dir, "embeddings")
+          val cutoff = deltaCutoff(e)
+          val base = e.filter(col("vec_id") < cutoff)
+          val delta = e.filter(col("vec_id") >= cutoff)
+          if (driftDecision(base, delta)) {
+            val cent = trainCentroids(e, nlist, iters, seed)
+            centStore.overwrite(cent)
+            cellStore.overwrite(assign(e, cent))
+          } else {
+            val cent = trainCentroids(base, nlist, iters, seed)
+            centStore.overwrite(cent)
+            cellStore.overwrite(assign(base, cent))
+            cellStore.append(assign(delta, cent))
+          }
+        }
+        val cellStore = new graft.ingest.SnapshotStore(
+          s"$root/cells", partition = Some("cid"))
+        (new graft.ingest.SnapshotStore(s"$root/centroids")
+            .read(spark).get,
+          cellStore.read(spark).get,
+          cellStore.versions(spark).size == 1)
+      })
+    }
+  }
+
+  /** ANN top-k over the retrain-on-drift serving state — identical to
+    * [[similarityIvfDelta]] when the gauge is quiet (same model, same
+    * chain content), and the recall-restored retrained index when it
+    * fired. */
+  def similarityIvfRetrain(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 8, iters: Int = 2, seed: Long = 7L)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val (cent, cells, _) = ensureRetrainedIndex(spark, dir, nlist,
+      iters, seed)
+    probeScore(spark, e, cent, cells, k, nprobe)
+  }
 }

@@ -63,6 +63,8 @@ class PlanAuditSpec extends SparkSuite {
     "agg_countmin_bound",
     // runs the max(vec_id) base/delta split job on construction
     "index_drift_check",
+    // runs the split job AND the pre-gauge decision on construction
+    "index_retrain_apply",
     // collects the bloom filter (dim count + aggregate) on construction
     "join_bloom_reduced")
   // sanctioned nested-loop joins: tiny broadcast sides by design —

@@ -51,7 +51,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "dedup_winnow", "doc_chunk", "doc_tokens_pos",
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
-    "higher_order_funcs", "index_drift_check",
+    "higher_order_funcs", "index_drift_check", "index_retrain_apply",
     "join_asof", "join_asof_forward",
     "join_asof_tolerance", "map_funcs", "multimodal_audio",
     "multimodal_audio_frames", "multimodal_decode", "multimodal_features",
