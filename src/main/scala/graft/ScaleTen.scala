@@ -46,7 +46,7 @@ object ScaleTen {
   /** Bump on any generator-semantics change: the output cache keys on
     * (base fingerprints, factor, GenVersion) — without it a code change
     * would silently serve the previous corpus. */
-  val GenVersion = 3
+  val GenVersion = 4 // v4: + fresh-draw embeddings (moment-matched)
 
   /** Fresh-draw documents: n docs shaped like `base`. Planted exact
     * duplicates at the base corpus's measured rate via contentId
@@ -135,6 +135,38 @@ object ScaleTen {
         length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** Fresh-draw embeddings: n vectors shaped like `base` — same
+    * dimension and element type, per-DIMENSION mean/std preserved
+    * (each coordinate is a CLT-3 hash draw — the sum of three
+    * uniform[-1,1) draws has unit variance — scaled to the base's
+    * measured per-dim moments), labels redrawn over the base's label
+    * set. Bit-deterministic like [[genDocuments]]; the shape that
+    * matters downstream (sign-quadrant occupancy for the drift gauge,
+    * hyperplane bucket balance for ANN-LSH) follows the per-dim
+    * moments. */
+  private[graft] def genEmbeddings(base: DataFrame, n: Long): DataFrame = {
+    val dim = base.select(size(col("embedding")).as("d")).head().getInt(0)
+    val stats = base
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d").agg(avg("v").as("m"), stddev_pop("v").as("s"))
+      .orderBy("d").collect()
+    val mArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val sArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val nLabels = base.select("label").distinct().count().toInt
+    def u(salt: String, i: Column) =
+      pmod(xxhash64(lit(salt), col("id"), i), lit(2000001))
+        .cast("double") / lit(1000000.0) - lit(1.0)
+    base.sparkSession.range(n).repartition(32)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(mArr, i + 1) + element_at(sArr, i + 1) *
+            (u("e1", i) + u("e2", i) + u("e3", i)))
+            .cast("float")).as("embedding"),
+        pmod(xxhash64(lit("lab"), col("id")), lit(nLabels))
+          .cast("int").as("label"))
+  }
+
   /** Events ×factor: ids strided per replica, identical time span —
     * ×factor daily density and user cardinality, per-user history
     * shape preserved. */
@@ -152,13 +184,13 @@ object ScaleTen {
     * `SparkEntry.queries` entry runs against it unchanged. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val tag = graft.core.Caches.md5Tag(
-      Seq("documents", "events")
+      Seq("documents", "events", "embeddings")
         .map(t => Tables.fingerprint(spark, sfDir, t))
         .mkString(s"$sfDir|x$Factor|v$GenVersion|", "|", ""))
     val path = s"target/graft-scale10/$tag"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = Seq("documents", "events").forall(t =>
+    val complete = Seq("documents", "events", "embeddings").forall(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t.parquet/_SUCCESS")))
     if (!complete) {
       val baseDocs = Tables.load(spark, sfDir, "documents")
@@ -166,6 +198,9 @@ object ScaleTen {
         .write.mode("overwrite").parquet(s"$path/documents.parquet")
       genEvents(Tables.load(spark, sfDir, "events"), Factor)
         .write.mode("overwrite").parquet(s"$path/events.parquet")
+      val baseEmb = Tables.load(spark, sfDir, "embeddings")
+      genEmbeddings(baseEmb, baseEmb.count() * Factor)
+        .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
     }
     path
   }

@@ -129,4 +129,29 @@ class ScaleTenSpec extends AnyFunSuite {
     val Seq(b, s) = Seq(ev, g).map(_.agg(min("ts"), max("ts")).head())
     assert(b === s)
   }
+
+  test("embeddings: schema, per-dim moments and label set preserved") {
+    val baseE = Tables.load(spark, sfDir, "embeddings")
+    val g = ScaleTen.genEmbeddings(baseE, 5000L).cache()
+    assert(g.count() === 5000L)
+    assert(g.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      baseE.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def moments(df: org.apache.spark.sql.DataFrame) = df
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d").agg(avg("v").as("m"), stddev_pop("v").as("s"))
+      .orderBy("d").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val bm = moments(baseE)
+    val gm = moments(g)
+    // CLT-3 draw at 5000 rows: sample moments track the targets within
+    // sampling noise (std of a 5000-sample mean ≈ s/70)
+    bm.zip(gm).zipWithIndex.foreach { case (((m0, s0), (m1, s1)), d) =>
+      assert(math.abs(m1 - m0) < 0.05 * math.max(s0, 1e-6) + 0.005,
+        s"dim $d mean drifted: base $m0 vs gen $m1")
+      assert(math.abs(s1 - s0) < 0.08 * s0 + 1e-6,
+        s"dim $d std drifted: base $s0 vs gen $s1")
+    }
+    assert(g.select("label").distinct().count() ===
+      baseE.select("label").distinct().count())
+  }
 }
