@@ -41,6 +41,20 @@ object HeavyHitterDrive {
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
+      // the window-closing sentinel rides the INITIAL staging (r17, the
+      // IntervalJoinDrive pattern): batch #1 sees every row at the
+      // watermark floor (nothing late), its commit advances the
+      // watermark past every real window, and the engine's no-data
+      // micro-batch emits them — one data batch instead of two, no
+      // mid-drive append. The sentinel's far-future window stays open
+      // in state and is dropped by the inner join below — the `events`
+      // frame predates the staging
+      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+      spark.range(1)
+        .select(lit(-1L).as("event_id"),
+          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+            .as("ts"))
+        .write.mode("append").parquet(eDir)
 
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)
@@ -56,23 +70,6 @@ object HeavyHitterDrive {
           .outputMode("append").start()
         DriveSupport.draining(q) {
           q.processAllAvailable()
-          // ONE sentinel closes every real window (TopKDrive pattern):
-          // the sentinel batch advances the watermark and the engine's
-          // no-data micro-batch (noDataMicroBatches, on by default)
-          // re-fires with it and emits — measured r15, output
-          // identical to the old two-sentinel form, one state-store
-          // commit cycle cheaper. The sentinel's far-future window is
-          // dropped by the inner join below — the `events` frame
-          // predates the appends
-          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days").foreach { shift =>
-            spark.range(1)
-              .select(lit(-1L).as("event_id"),
-                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
-                  .as("ts"))
-              .write.mode("append").parquet(eDir)
-            q.processAllAvailable()
-          }
           val survivors = DriveSupport.pin(spark, spark.table(name))
           val exact = events
             .select(date_trunc("hour", col("ts")).as("window_start"),

@@ -13,18 +13,26 @@ import graft.core.Tables
   * up as a number instead of a hung spec.
   *
   * Mechanics: purchases and views are staged from the REAL events table
-  * into a throwaway landing dir, streamed back through the parquet file
-  * source, joined with watermarks on both sides, and drained through a
-  * memory sink. All real data arrives in trigger #1 (one staged file per
-  * side), so no row is ever late against the watermark and the inner
-  * output is exactly the batch join of the same inputs. For the outer
-  * forms the null-extensions are held in state until the OTHER side's
-  * watermark clears their join range, so the drive appends a far-future
-  * sentinel row to each side and triggers twice more (the watermark
-  * advances one micro-batch behind the data — same nudge-twice pattern
-  * as EventStreamsSpec); sentinel rows (event_id = -1) are filtered out
-  * of the returned frame. Net: the streaming output is bit-identical to
-  * the batch/DuckDB oracle on every row of the real data.
+  * into a landing dir, streamed back through the parquet file source,
+  * joined with watermarks on both sides, and drained through a memory
+  * sink. ALL rows — the real data AND one far-future sentinel per side
+  * (event_id = -1, filtered out of the returned frame) — are staged
+  * BEFORE the query starts, so everything lands in trigger #1, where
+  * the watermark is still at its initial floor and no row can be late.
+  * Batch #1's commit then advances both watermarks past every real
+  * row's join range and the engine's no-data micro-batch flushes the
+  * outer forms' held null-extensions — ONE data batch + one no-data
+  * batch inside a single processAllAvailable, where the r15 form paid
+  * a mid-drive sentinel append plus a second data batch (r17; each
+  * dropped batch is a full state-store load/commit cycle per partition
+  * per side). Net: the streaming output is bit-identical to the
+  * batch/DuckDB oracle on every row of the real data.
+  *
+  * The staged inputs are IMMUTABLE once written (no mid-drive append),
+  * so the trio shares ONE staging per (session, dir) — a per-session
+  * memo; each drive still gets its own checkpoint and sink. The
+  * staging lives under target/ and is swept by a JVM shutdown hook
+  * (one dir per corpus per process, not per drive).
   *
   * The final collect is the memory-sink read-back of a bounded result
   * (the interval join of the SF fixture) — the same driver-side
@@ -38,31 +46,71 @@ import graft.core.Tables
   */
 object IntervalJoinDrive {
 
+  private type Staged =
+    (String, String, org.apache.spark.sql.types.StructType,
+      org.apache.spark.sql.types.StructType)
+
+  private val stageMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, Staged]]
+
+  /** Stage purchases/views (+ the far-future sentinel row each) once
+    * per (session, dir); the three join modes stream the same
+    * immutable files. One file per side per write → everything lands
+    * in trigger #1, where the watermark floor makes lateness
+    * impossible. Returns (purchase dir, view dir, their schemas). */
+  private def stagedInputs(spark: SparkSession, dir: String): Staged = {
+    val memo = stageMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, Staged])
+    memo.synchronized {
+      memo.getOrElseUpdate(dir, {
+        val ws = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target/graft-ivj-stage/" +
+            java.util.UUID.randomUUID()).toAbsolutePath)
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils.deleteQuietly(ws.toFile)
+        }
+        val events = Tables.load(spark, dir, "events")
+        // watermarks require ltz TIMESTAMP
+        // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on ntz); stage as ltz
+        // and cast back on the way out — the session tz is UTC, so the
+        // ntz→ltz→ntz round-trip is identity
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val views = events.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id"),
+            col("ts").cast("timestamp").as("view_ts"), col("value"))
+        val pDir = ws.resolve("purchases").toString
+        val vDir = ws.resolve("views").toString
+        purchases.coalesce(1).write.parquet(pDir)
+        views.coalesce(1).write.parquet(vDir)
+        // the sentinels ride the INITIAL staging: batch #1's commit
+        // advances both watermarks past every real row's range, and the
+        // engine's no-data micro-batch flushes the outer forms' held
+        // null-extensions — no mid-drive append, no second data batch
+        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+        val sentinel = spark.range(1)
+          .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+            (lit(maxTs).cast("timestamp") +
+              expr("INTERVAL 366 days")).as("ts"),
+            lit(0.0).as("value"))
+        sentinel.write.mode("append").parquet(pDir)
+        sentinel.toDF("v_user", "event_id", "view_ts", "value")
+          .write.mode("append").parquet(vDir)
+        (pDir, vDir, purchases.schema, views.schema)
+      })
+    }
+  }
+
   /** Drive one join form ("inner" | "left" | "full") over `dir`'s
     * events table; returns the sentinel-free joined result with a
     * total order. */
   def run(spark: SparkSession, dir: String, mode: String): DataFrame =
     DriveSupport.withWorkspace("graft-ivj") { ws =>
       val name = DriveSupport.sinkName(s"ivj_drive_$mode")
-      val events = Tables.load(spark, dir, "events")
-      // watermarks require ltz TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP
-      // _TYPE on ntz); stage as ltz and cast back on the way out — the
-      // session tz is UTC, so the ntz→ltz→ntz round-trip is identity
-      val purchases = events.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      val views = events.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("event_id"),
-          col("ts").cast("timestamp").as("view_ts"), col("value"))
-      val pDir = ws.resolve("purchases").toString
-      val vDir = ws.resolve("views").toString
-      // one file per side → all real rows land in trigger #1 (no row is
-      // late against the not-yet-advanced watermark)
-      purchases.coalesce(1).write.parquet(pDir)
-      views.coalesce(1).write.parquet(vDir)
-
-      val pStream = spark.readStream.schema(purchases.schema).parquet(pDir)
-      val vStream = spark.readStream.schema(views.schema).parquet(vDir)
+      val (pDir, vDir, pSchema, vSchema) = stagedInputs(spark, dir)
+      val pStream = spark.readStream.schema(pSchema).parquet(pDir)
+      val vStream = spark.readStream.schema(vSchema).parquet(vDir)
       val joined = mode match {
         case "inner" => EventStreams.intervalJoin(pStream, vStream,
           keyed = true)
@@ -79,25 +127,10 @@ object IntervalJoinDrive {
           .option("checkpointLocation", ws.resolve("ckpt").toString)
           .outputMode("append").start()
         DriveSupport.draining(q) {
+          // one call: batch #1 (real rows + staged sentinels, watermark
+          // at its floor) then the engine's no-data batch (flushes the
+          // outer forms' null-extensions under the advanced watermark)
           q.processAllAvailable()
-          if (mode != "inner") {
-            // ONE sentinel advances both watermarks past every real
-            // row's join range; the engine's no-data micro-batch then
-            // flushes the held null-extensions (r15: second sentinel
-            // pass dropped, oracle-identical)
-            val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-            Seq("366 days").foreach { shift =>
-              val sentinel = spark.range(1)
-                .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-                  (lit(maxTs).cast("timestamp") +
-                    expr(s"INTERVAL $shift")).as("ts"),
-                  lit(0.0).as("value"))
-              sentinel.write.mode("append").parquet(pDir)
-              sentinel.toDF("v_user", "event_id", "view_ts", "value")
-                .write.mode("append").parquet(vDir)
-              q.processAllAvailable()
-            }
-          }
           val raw = spark.table(name)
             .filter((col("purchase_id").isNull || col("purchase_id") =!= -1L)
               && (col("view_id").isNull || col("view_id") =!= -1L))

@@ -50,6 +50,17 @@ object SessionDrive {
           col("ts").cast("timestamp").as("ts"), col("value"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
+      // session-closing sentinel staged up front (r17, the
+      // IntervalJoinDrive pattern): batch #1 sees everything at the
+      // watermark floor, the no-data batch emits the closed sessions —
+      // one data batch, no mid-drive append
+      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+      spark.range(1)
+        .select(lit(-1L).as("user_id"),
+          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+            .as("ts"),
+          lit(0.0).as("value"))
+        .write.mode("append").parquet(eDir)
 
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)
@@ -66,16 +77,6 @@ object SessionDrive {
           .outputMode("append").start()
         DriveSupport.draining(q) {
           q.processAllAvailable()
-          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days").foreach { shift =>
-            spark.range(1)
-              .select(lit(-1L).as("user_id"),
-                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
-                  .as("ts"),
-                lit(0.0).as("value"))
-              .write.mode("append").parquet(eDir)
-            q.processAllAvailable()
-          }
           val byUser = Window.partitionBy("user_id")
             .orderBy(col("session_start").asc)
           DriveSupport.pin(spark,
@@ -149,23 +150,20 @@ object SessionDrive {
           try deliver(q) finally q.stop()
         }
         incarnation(_.processAllAvailable())
-        incarnation { q =>
-          events.filter(col("ts") > lit(cut)).coalesce(1)
-            .write.mode("append").parquet(eDir)
-          q.processAllAvailable()
-          // ONE sentinel: append mode only emits watermark-closed
-          // sessions; the watermark advances after the sentinel batch
-          // and the engine's no-data micro-batch emits with it (r15:
-          // second sentinel pass dropped, oracle-identical)
-          val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-          Seq("366 days").foreach { shift =>
-            spark.range(1).select(lit(-1L).as("user_id"),
-                (lit(maxTs) + expr(s"INTERVAL $shift")).as("ts"),
-                lit(0.0).as("value"))
-              .write.mode("append").parquet(eDir)
-            q.processAllAvailable()
-          }
-        }
+        // the tail AND the session-closing sentinel are staged before
+        // incarnation #2 starts (r17, the IntervalJoinDrive pattern):
+        // its single batch replays state from the checkpoint, absorbs
+        // both files at the recovered watermark (which real tail rows
+        // beat by construction — the cut is 30 min behind them), and
+        // the no-data batch emits every closed session
+        val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+        events.filter(col("ts") > lit(cut)).coalesce(1)
+          .write.mode("append").parquet(eDir)
+        spark.range(1).select(lit(-1L).as("user_id"),
+            (lit(maxTs) + expr("INTERVAL 366 days")).as("ts"),
+            lit(0.0).as("value"))
+          .write.mode("append").parquet(eDir)
+        incarnation(_.processAllAvailable())
         val byUser = Window.partitionBy("user_id")
           .orderBy(col("session_start").asc)
         // buf is already driver-side: createDataFrame yields a

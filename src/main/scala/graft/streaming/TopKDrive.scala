@@ -36,6 +36,17 @@ object TopKDrive {
           col("ts").cast("timestamp").as("ts"), col("value"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
+      // window-closing sentinel staged up front (r17, the
+      // IntervalJoinDrive pattern): batch #1 sees everything at the
+      // watermark floor, the no-data batch emits the closed windows —
+      // one data batch, no mid-drive append
+      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+      spark.range(1)
+        .select(lit(-1L).as("event_id"),
+          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+            .as("ts"),
+          lit(-1.0).as("value"))
+        .write.mode("append").parquet(eDir)
 
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)
@@ -45,16 +56,6 @@ object TopKDrive {
           .outputMode("append").start()
         DriveSupport.draining(q) {
           q.processAllAvailable()
-          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days").foreach { shift =>
-            spark.range(1)
-              .select(lit(-1L).as("event_id"),
-                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
-                  .as("ts"),
-                lit(-1.0).as("value"))
-              .write.mode("append").parquet(eDir)
-            q.processAllAvailable()
-          }
           DriveSupport.pin(spark,
               spark.table(name).filter(col("event_id") =!= -1L))
             .select(

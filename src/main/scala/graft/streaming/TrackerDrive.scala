@@ -40,6 +40,19 @@ object TrackerDrive {
           round(col("value") * 100, 0).as("value"))
       val eDir = ws.resolve("events").toString
       events.coalesce(1).write.parquet(eDir)
+      // timeout-firing sentinel staged up front (r17, the
+      // IntervalJoinDrive pattern): batch #1 runs every user's machine
+      // over its full event set at the watermark floor, the commit
+      // advances the watermark, and the no-data batch fires the
+      // event-time timeouts that close the real sessions — one data
+      // batch, no mid-drive append
+      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+      spark.range(1)
+        .select(lit(-1L).as("user_id"), lit("view").as("event_type"),
+          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+            .as("ts"),
+          lit(0.0).as("value"))
+        .write.mode("append").parquet(eDir)
 
       DriveSupport.withStreamConfs(spark) {
         import spark.implicits._
@@ -51,16 +64,6 @@ object TrackerDrive {
           .outputMode("append").start()
         DriveSupport.draining(q) {
           q.processAllAvailable()
-          val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-          Seq("366 days").foreach { shift =>
-            spark.range(1)
-              .select(lit(-1L).as("user_id"), lit("view").as("event_type"),
-                (lit(maxTs).cast("timestamp") + expr(s"INTERVAL $shift"))
-                  .as("ts"),
-                lit(0.0).as("value"))
-              .write.mode("append").parquet(eDir)
-            q.processAllAvailable()
-          }
           val byUser = Window.partitionBy("user_id")
             .orderBy(col("session_start").asc)
           DriveSupport.pin(spark,
