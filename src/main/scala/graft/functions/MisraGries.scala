@@ -32,7 +32,7 @@ import scala.collection.mutable
 case class MisraGriesItems(
     item: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
     with ImplicitCastInputTypes {
   require(k > 0, s"k must be positive, got $k")
 
@@ -42,20 +42,25 @@ case class MisraGriesItems(
   override def dataType: DataType = ArrayType(StringType,
     containsNull = false)
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[String, Long],
-      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = item.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      // keys stay UTF8String: the hot path (incrementing an already-
+      // tracked item — at most k live keys, so virtually every update
+      // past warm-up) does a byte-hash lookup with ZERO allocation;
+      // only an INSERT clones, detaching the key from the reused row
+      // buffer. String materialization happens once per group at eval.
+      val s = v.asInstanceOf[UTF8String]
       buf.get(s) match {
         case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < k => buf.update(s, 1L)
+        case None if buf.size < k => buf.update(s.clone(), 1L)
         case None =>
           // decrement-all: drop one count from every tracked item
-          val dead = mutable.ArrayBuffer.empty[String]
+          val dead = mutable.ArrayBuffer.empty[UTF8String]
           buf.foreach { case (key, c) =>
             if (c == 1L) dead += key else buf.update(key, c - 1)
           }
@@ -65,16 +70,16 @@ case class MisraGriesItems(
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long])
-      : mutable.HashMap[String, Long] = {
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] = {
     other.foreach { case (s, c) =>
       buf.update(s, buf.getOrElse(s, 0L) + c)
     }
     if (buf.size > k) {
       // subtract the (k+1)-th largest counter from all, drop <= 0
       val d = buf.values.toArray.sortBy(-_).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
       buf.foreach { case (key, c) =>
         if (c - d <= 0L) dead += key else buf.update(key, c - d)
       }
@@ -84,19 +89,22 @@ case class MisraGriesItems(
   }
 
   /** Survivor items only (sorted for a stable value) — counters are
-    * merge-order-dependent lower bounds and deliberately not exposed. */
-  override def eval(buf: mutable.HashMap[String, Long]): Any =
-    new GenericArrayData(buf.keys.toArray.sorted
+    * merge-order-dependent lower bounds and deliberately not exposed.
+    * Sorted AS STRINGS (UTF-16 order), exactly as the String-keyed
+    * form did, so the output array order is bit-identical. */
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    new GenericArrayData(buf.keys.map(_.toString).toArray.sorted
       .map(UTF8String.fromString(_)).toArray[Any])
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long])
+      : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     // length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps at
     // 65535 bytes and would throw for a long item mid-shuffle
     buf.foreach { case (s, c) =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = s.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush()
@@ -104,16 +112,15 @@ case class MisraGriesItems(
   }
 
   override def deserialize(bytes: Array[Byte])
-      : mutable.HashMap[String, Long] = {
+      : mutable.HashMap[UTF8String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Long]
     var j = 0
     while (j < n) {
       val b = new Array[Byte](in.readInt())
       in.readFully(b)
-      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
-        in.readLong())
+      buf.update(UTF8String.fromBytes(b), in.readLong())
       j += 1
     }
     buf

@@ -104,6 +104,26 @@ private[streaming] object DriveSupport {
   def draining[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  /** TypedImperativeAggregate plans run under ObjectHashAggregate,
+    * which silently falls back to SORT-based aggregation once a task
+    * sees more than 128 groups (`spark.sql.objectHashAggregate.
+    * sortBased.fallbackThreshold`). The sketch drives group by hourly
+    * window — ~720 groups of a-few-KB buffers each — so the fallback
+    * was sorting the full exploded input by window before aggregating;
+    * hash aggregation is the right regime by orders of magnitude.
+    * Set around the drive, restored after (the [[withStreamConfs]]
+    * discipline), so the knob never leaks into other keys' plans. */
+  def withHashAggHeadroom[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8192")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Largest result `pin` will materialize. The biggest legitimate
     * drive result is the full events table at the benched SF (100k rows
     * at sf0.1); 1M is 10× headroom. A drive whose result exceeds this is

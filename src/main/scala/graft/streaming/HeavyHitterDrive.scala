@@ -40,7 +40,14 @@ object HeavyHitterDrive {
       val events = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
       val eDir = ws.resolve("events").toString
-      events.coalesce(1).write.parquet(eDir)
+      // staged as EIGHT files, not one: the file source maps one small
+      // file to one input partition, so a single-file staging would run
+      // the 32× explode + sketch partial aggregation — this drive's
+      // dominant cost — on ONE task. All files still land in trigger #1
+      // (no maxFilesPerTrigger), so the one-batch drive semantics are
+      // untouched; the MG output exposes only the order-free membership
+      // guarantee, so partial-aggregation parallelism cannot move it
+      events.repartition(8).write.parquet(eDir)
       // the window-closing sentinel rides the INITIAL staging (r17, the
       // IntervalJoinDrive pattern): batch #1 sees every row at the
       // watermark floor (nothing late), its commit advances the
@@ -56,6 +63,10 @@ object HeavyHitterDrive {
             .as("ts"))
         .write.mode("append").parquet(eDir)
 
+      // ~720 hourly-window groups per task: without the headroom the
+      // ObjectHashAggregate fallback was SORTING the 3.2M exploded rows
+      // by window before aggregating (measured: ~0.7 s of the drive)
+      DriveSupport.withHashAggHeadroom(spark) {
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)
         val q = stream
@@ -85,6 +96,7 @@ object HeavyHitterDrive {
               array_contains(col("hh"), col("item")).as("caught"))
             .orderBy("window_start", "item")
         }
+      }
       }
     }
 }

@@ -48,6 +48,9 @@ object TopKDrive {
           lit(-1.0).as("value"))
         .write.mode("append").parquet(eDir)
 
+      // ~720 hourly-window groups: same ObjectHashAggregate fallback as
+      // HeavyHitterDrive — keep the k-bounded buffers in the hash regime
+      DriveSupport.withHashAggHeadroom(spark) {
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)
         val q = EventStreams.windowedTopK(stream)
@@ -63,6 +66,7 @@ object TopKDrive {
               col("rn"), col("event_id"), col("value"))
             .orderBy("window_start", "rn")
         }
+      }
       }
     }
 }
