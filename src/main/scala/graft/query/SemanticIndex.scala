@@ -137,4 +137,99 @@ object SemanticIndex {
     ensureIndex(spark, dir, k, iters, threshold)
       .select(col("vec_id"), col("cluster"), col("is_dup"))
       .orderBy("vec_id")
+
+  // ----------------------------------------------------- retrain action
+  //
+  // The [[Ivf.ensureRetrainedIndex]] shape applied to FLAGS — the
+  // other frozen-model index family the drift gauge watches. A quiet
+  // gauge serves the frozen delta pipeline unchanged; a fired gauge
+  // swaps the frozen model for one retrained on the full corpus and
+  // recomputes every flag under it, which is BY CONSTRUCTION
+  // [[TextSim.dedupSemanticKmeansOf]] of the merged corpus (the
+  // one-shot operator IS the full refit) — so the retrained arm's
+  // semantics are pinned to an existing, already-oracle-shaped
+  // operator rather than a new code path.
+
+  /** Frame-level retrain-on-drift: ([[IndexDrift]]-gauged) flags +
+    * the decision. Quiet ⇒ bit-identical to [[dedupSemanticDeltaOf]];
+    * fired ⇒ bit-identical to the one-shot full refit. */
+  def retrainIfDrifted(e: DataFrame, k: Int = 8, iters: Int = 3,
+      threshold: Double = 0.35): (DataFrame, Boolean) = {
+    val cut = deltaCutoff(e)
+    val retrained = Ivf.driftDecision(
+      e.filter(col("vec_id") < cut), e.filter(col("vec_id") >= cut))
+    if (retrained)
+      (TextSim.dedupSemanticKmeansOf(e, k, iters, threshold), true)
+    else (dedupSemanticDeltaOf(e, k, iters, threshold), false)
+  }
+
+  private val retrainMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, (DataFrame, Boolean)]]
+
+  /** Store-backed retrain-on-drift serving state: quiet gauge
+    * publishes the frozen two-commit chain (content identical to
+    * [[ensureIndex]]); fired gauge publishes a retrained single-commit
+    * RESET of both stores. Chain length = the durable decision record
+    * (the [[Ivf.ensureRetrainedIndex]] convention); single-publish via
+    * [[graft.ingest.StoreBootstrap]]. */
+  def ensureRetrainedIndex(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, threshold: Double = 0.35, seed: Long = 7L)
+      : (DataFrame, Boolean) = {
+    val tag = indexTag(spark, dir, k, iters, threshold, seed) + "-retrain"
+    val memo = retrainMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, (DataFrame, Boolean)])
+    memo.synchronized {
+      memo.getOrElseUpdate(tag, {
+        val root = s"target/graft-semantic/$tag"
+        new graft.ingest.StoreBootstrap(root).ensure(spark)(
+            graft.ingest.StoreBootstrap.chains(spark,
+              "cells" -> 1, "flags" -> 1)) { b =>
+          val cellStore = new graft.ingest.SnapshotStore(
+            s"$b/cells", partition = Some("cid"))
+          val flagStore = new graft.ingest.SnapshotStore(s"$b/flags")
+          val e = Tables.load(spark, dir, "embeddings")
+          val cut = deltaCutoff(e)
+          val base = e.filter(col("vec_id") < cut)
+          val delta = e.filter(col("vec_id") >= cut)
+          if (Ivf.driftDecision(base, delta)) {
+            // fired: full refit, chain RESET to a single version
+            val cent = Ivf.trainCentroids(e, k, iters, seed)
+            val cells = TextSim.assignCells(e, cent).localCheckpoint()
+            cellStore.overwrite(cells)
+            flagStore.overwrite(
+              TextSim.cellDupFlags(cells, cells, threshold))
+          } else {
+            // quiet: the frozen two-commit delta chain (ensureIndex's
+            // exact build, restated so the staging root is this one's)
+            val cent = Ivf.trainCentroids(base, k, iters, seed)
+            val baseCells = TextSim.assignCells(base, cent)
+              .localCheckpoint()
+            cellStore.overwrite(baseCells)
+            flagStore.overwrite(
+              TextSim.cellDupFlags(baseCells, baseCells, threshold))
+            val deltaCells = TextSim.assignCells(delta, cent)
+              .localCheckpoint()
+            val earlier = cellStore.read(spark).get
+              .select("vec_id", "embedding", "cid")
+              .unionByName(deltaCells)
+            cellStore.append(deltaCells)
+            flagStore.append(
+              TextSim.cellDupFlags(deltaCells, earlier, threshold))
+          }
+        }
+        val flagStore = new graft.ingest.SnapshotStore(s"$root/flags")
+        (flagStore.read(spark).get,
+          flagStore.versions(spark).size == 1)
+      })
+    }
+  }
+
+  /** Serving query over the retrain-on-drift state — identical to
+    * [[dedupSemanticDelta]] when the gauge is quiet, the full-refit
+    * flags when it fired. */
+  def dedupSemanticRetrain(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, threshold: Double = 0.35): DataFrame =
+    ensureRetrainedIndex(spark, dir, k, iters, threshold)._1
+      .select(col("vec_id"), col("cluster"), col("is_dup"))
+      .orderBy("vec_id")
 }

@@ -24,43 +24,8 @@ import graft.SparkSuite
   * the frozen delta chain's answers. */
 class IvfRetrainSpec extends SparkSuite {
 
-  /** Fixture-shaped embeddings.parquet (500 × dim-64 float).
-    * Shifted: queries (0..9) + delivery (400..499) in 4 fresh clusters
-    * (ids 100..103 — a direction space disjoint from the base's 0..15
-    * by hash salt). Control: every row from the 16 base clusters. */
   private def writeCorpus(dir: java.nio.file.Path, shifted: Boolean)
-      : String = {
-    val cl =
-      if (shifted)
-        "CASE WHEN vec_id >= 10 AND vec_id < 400 THEN vec_id % 16 " +
-          "ELSE vec_id % 4 + 100 END"
-      else "vec_id % 16"
-    // base clusters tight (0.05 noise); the fresh clusters DIFFUSE
-    // (0.35): wide enough that under the frozen model a member's
-    // nearest-old-centroid ranking varies per member (the cluster
-    // scatters over several cells), narrow enough that members are
-    // still unambiguous mates (within-cluster cos ≈ 0.9 vs ≈ 0.1
-    // across) — so only a retrained centroid can gather them.
-    // Honest bound on the damage: a query's TRUE top-5 are the mates
-    // whose noise aligns with its own, and that alignment also
-    // correlates their frozen-cell choice with the query's — locality
-    // survives any smooth partition (the reason IVF works at all), so
-    // the frozen model degrades to ~0.7, not to the probed fraction;
-    // the spec pins the degradation AND the restoration gap, not a
-    // collapse no real drift produces
-    val noise = s"CASE WHEN ($cl) >= 100 THEN 0.35 ELSE 0.05 END"
-    val emb = expr(
-      s"""transform(sequence(0, 63), i -> cast(
-           (pmod(xxhash64('c', $cl, i), 2000001) / 1000000.0 - 1.0)
-           + ($noise) *
-           (pmod(xxhash64('n', vec_id, i), 2000001) / 1000000.0 - 1.0)
-         as float))""")
-    spark.range(500).select(col("id").as("vec_id"))
-      .withColumn("embedding", emb)
-      .coalesce(1)
-      .write.parquet(s"$dir/embeddings.parquet")
-    dir.toString
-  }
+      : String = DriftFixtures.writeCorpus(spark, dir, shifted)
 
   /** Recall@5 of `approx` against the brute-force truth at `dir`. */
   private def recallOf(dir: String,
