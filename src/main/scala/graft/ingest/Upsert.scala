@@ -448,6 +448,24 @@ class SnapshotStore(val path: String,
     commit(df, appendMode = true)
   }
 
+  /** Append exactly once per `tag` — the idempotence a streaming
+    * `foreachBatch` replay needs: the tag (sanitized) is embedded in
+    * the version DIR name, so a committed delivery is visible in the
+    * live manifest's own dir list and a replayed micro-batch
+    * re-appends nothing. Returns true iff this call committed. A blind
+    * [[append]] is NOT replay-safe (each retry would re-reference a
+    * fresh delta dir); an index maintained from a stream must append
+    * through this. */
+  def appendOnce(df: DataFrame, tag: String): Boolean = {
+    require(bucket.isEmpty, "appendOnce is not supported on bucketed stores")
+    val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
+    val spark = df.sparkSession
+    val committed = manifests(spark).lastOption
+      .exists(_._2.exists(_.endsWith(s"-t$clean")))
+    if (committed) false
+    else { commit(df, appendMode = true, nameTag = Some(clean)); true }
+  }
+
   /** Bucket-grain COPY-ON-WRITE commit (bucketed stores only) — the
     * Mongo-parity write cost the reference's per-record upsert gets for
     * free (data_processor.py:95-113): a weekly delivery must not
@@ -521,12 +539,14 @@ class SnapshotStore(val path: String,
       org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, f.getConf)
   }
 
-  private def commit(df: DataFrame, appendMode: Boolean): Unit = {
+  private def commit(df: DataFrame, appendMode: Boolean,
+      nameTag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
     val committed = manifests(spark)
     val seq = committed.lastOption.map(_._1 + 1).getOrElse(0L)
-    val version = s"v-$seq-${java.util.UUID.randomUUID()}"
+    val version = s"v-$seq-${java.util.UUID.randomUUID()}" +
+      nameTag.map(t => s"-t$t").getOrElse("")
     bucket match {
       case Some((key, n)) =>
         // bucketed layout rides the catalog: an external table entry at

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ingest.SnapshotStore
+import graft.query.TextSim
+
+/** STREAMING maintenance of the persisted minhash index — the missing
+  * third leg of the delta-index story. The batch leg
+  * ([[graft.query.MinhashIndex]]) appends a delivery as one O(delta)
+  * manifest commit; the online leg ([[MinhashStream]]) holds the
+  * bucket postings in streaming state and flags pairs at arrival; this
+  * leg keeps the DURABLE [[SnapshotStore]] index current from a
+  * delivery STREAM — the shape a production pipeline actually runs
+  * (deliveries arrive continuously; the nightly dedup reads the
+  * store, not the stream).
+  *
+  * Exactly-once: structured streaming's `foreachBatch` is
+  * at-least-once — a crashed driver REPLAYS the last uncommitted
+  * micro-batch — and a blind [[SnapshotStore.append]] would
+  * double-append the replayed delivery's postings (the corruption the
+  * store's own commit protocol cannot see, because each retry is a
+  * structurally valid commit). [[SnapshotStore.appendOnce]] closes it:
+  * the batch id is embedded in the version dir name, so a replay
+  * finds its own delivery already referenced by the live manifest and
+  * appends nothing. IndexMaintainSpec replays a batch body verbatim
+  * and pins the store content unchanged.
+  *
+  * Determinism: shingle/band rows are PER-DOCUMENT aggregations, so
+  * the final store content is independent of chunking, arrival order,
+  * and micro-batch boundaries — the served result is bit-identical to
+  * the batch-built index's (`dedup_minhash_delta`'s oracle gates this
+  * key under the same SQL).
+  *
+  * State at scale: NONE — unlike [[MinhashStream]] the stream holds no
+  * state store at all (stateless foreachBatch); the index IS the
+  * state, sharded on disk by the store layout, and each micro-batch's
+  * write cost is O(its delivery). */
+object IndexMaintain {
+
+  /** Driver key `stream_index_delta`: the standard delivery slice
+    * (newest ~20% of doc_ids) arrives as `chunks` micro-batches that
+    * each append-once to a fresh persisted index bootstrapped from the
+    * base slice; the result is the post-stream delta dedup — verified
+    * near-dup pairs with the newer side in the delivery — computed
+    * from the PERSISTED stores only. */
+  def dedupDelta(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,
+      chunks: Int = 4): DataFrame =
+    DriveSupport.withWorkspace("graft-idxm") { ws =>
+      val docs = Tables.load(spark, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+      val base = docs.filter(col("doc_id") < cut)
+      val delta = docs.filter(col("doc_id") >= cut)
+
+      // bootstrap: the pre-stream index state (base postings committed
+      // once — the store the deliveries will extend)
+      val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
+      val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
+      val baseSh = TextSim.shingleHashesOf(base).localCheckpoint()
+      bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
+      pStore.overwrite(baseSh)
+
+      // stage the delivery as `chunks` doc_id-range files; one file
+      // per trigger = one delivery per micro-batch
+      val inDir = ws.resolve("deliveries").toString
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val span = math.max(1L, (maxId - cut) / chunks + 1L)
+      (0 until chunks).foreach { c =>
+        delta.filter(col("doc_id") >= cut + c * span &&
+            col("doc_id") < cut + (c + 1) * span)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+
+      DriveSupport.withStreamConfs(spark) {
+        val q = spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .option("checkpointLocation", ws.resolve("ckpt").toString)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            appendDelivery(b, bStore, pStore, id, nHashes, bands)
+          }.start()
+        DriveSupport.draining(q)(q.processAllAvailable())
+      }
+
+      // the served result, from the PERSISTED stores only — the exact
+      // dedup_minhash_delta shape (newer side in the delivery)
+      DriveSupport.pin(spark,
+        pairsFromStores(spark, bStore, pStore, cut, threshold))
+    }
+
+  /** One delivery's index maintenance — public so the replay spec can
+    * drive it verbatim with a repeated batch id. Shingles once, feeds
+    * both stores, appends EXACTLY ONCE per (store, batch id). */
+  def appendDelivery(batch: DataFrame, bStore: SnapshotStore,
+      pStore: SnapshotStore, batchId: Long, nHashes: Int = 32,
+      bands: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val sh = TextSim.shingleHashesOf(batch).localCheckpoint()
+    bStore.appendOnce(TextSim.bandBucketsOf(sh, nHashes, bands),
+      batchId.toString)
+    pStore.appendOnce(sh, batchId.toString)
+  }
+
+  /** Delta near-dup pairs from the persisted index (the
+    * [[graft.query.MinhashIndex.dedupMinhashDelta]] query shape). */
+  def pairsFromStores(spark: SparkSession, bStore: SnapshotStore,
+      pStore: SnapshotStore, cut: Long, threshold: Double): DataFrame = {
+    val buckets = bStore.read(spark).get
+    val postings = pStore.read(spark).get
+    val cand = buckets.filter(col("doc_id") >= cut).as("y")
+      .join(buckets.as("x"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    TextSim.verifyJaccard(cand, postings, threshold)
+  }
+}

@@ -29,7 +29,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_tws_totals", "stream_session_window", "stream_dedup_drive",
     "stream_topk_window", "stream_session_tracker",
     "stream_heavy_hitters", "stream_dedup_minhash",
-    "stream_profile_drift",
+    "stream_profile_drift", "stream_index_delta",
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q",
     "similarity_ivf_delta", "similarity_ivf_delta_recall_q",

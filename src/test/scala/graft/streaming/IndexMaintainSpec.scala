@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, TestSpark}
+import graft.ingest.SnapshotStore
+
+/** Streaming maintenance of the persisted minhash index
+  * ([[IndexMaintain]]): the foreachBatch replay-safety that
+  * [[SnapshotStore.appendOnce]] exists for, and the
+  * chunking-independence that makes the drive's result bit-equal to
+  * the batch-built index's. */
+class IndexMaintainSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val dir = TestSpark.sfDir
+
+  test("appendOnce: first call commits, replay is a no-op; distinct " +
+      "tags append") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      assert(st.appendOnce(Seq(("b7", 2L)).toDF("k", "v"), "7"))
+      val afterFirst = st.versions(spark)
+      // the REPLAY: same tag, same content — must not commit
+      assert(!st.appendOnce(Seq(("b7", 2L)).toDF("k", "v"), "7"))
+      assert(st.versions(spark) === afterFirst)
+      assert(st.read(spark).get.count() === 2L)
+      // the next delivery appends normally
+      assert(st.appendOnce(Seq(("b8", 3L)).toDF("k", "v"), "8"))
+      assert(st.read(spark).get.count() === 3L)
+      // and a replay of an OLDER delivery is still a no-op (the whole
+      // chain is visible in the live manifest)
+      assert(!st.appendOnce(Seq(("b7", 2L)).toDF("k", "v"), "7"))
+      assert(st.read(spark).get.count() === 3L)
+    }
+  }
+
+  test("a replayed delivery leaves the index bit-unchanged") {
+    withTmpDir { tmp =>
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+      val bS = new SnapshotStore(tmp.resolve("b").toString)
+      val pS = new SnapshotStore(tmp.resolve("p").toString)
+      val baseSh = graft.query.TextSim.shingleHashesOf(
+        docs.filter(col("doc_id") < cut))
+      bS.overwrite(graft.query.TextSim.bandBucketsOf(baseSh, 32, 8))
+      pS.overwrite(baseSh)
+      val delivery = docs.filter(col("doc_id") >= cut)
+      IndexMaintain.appendDelivery(delivery, bS, pS, batchId = 0L)
+      val want = pS.read(spark).get.count()
+      val wantPairs = IndexMaintain
+        .pairsFromStores(spark, bS, pS, cut, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the at-least-once replay: the SAME batch body, verbatim
+      IndexMaintain.appendDelivery(delivery, bS, pS, batchId = 0L)
+      assert(pS.read(spark).get.count() === want,
+        "replay double-appended postings")
+      val gotPairs = IndexMaintain
+        .pairsFromStores(spark, bS, pS, cut, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs === wantPairs)
+      assert(wantPairs.nonEmpty, "vacuous: no delta pairs on fixture")
+    }
+  }
+
+  test("streamed maintenance == the batch-built delta operator") {
+    val streamed = IndexMaintain.dedupDelta(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = graft.query.MinhashIndex.dedupMinhashDelta(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === batch,
+      "stream-maintained index diverges from the batch build")
+    assert(streamed.nonEmpty)
+  }
+
+  test("the final store chain carries one append per delivery chunk") {
+    withTmpDir { tmp =>
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
+      val bS = new SnapshotStore(tmp.resolve("b").toString)
+      val pS = new SnapshotStore(tmp.resolve("p").toString)
+      bS.overwrite(graft.query.TextSim.bandBucketsOf(
+        graft.query.TextSim.shingleHashesOf(
+          docs.filter(col("doc_id") < cut)), 32, 8))
+      pS.overwrite(graft.query.TextSim.shingleHashesOf(
+        docs.filter(col("doc_id") < cut)))
+      val delta = docs.filter(col("doc_id") >= cut)
+      val ids = delta.select("doc_id").collect().map(_.getLong(0)).sorted
+      val (lo, hi) = (ids.head, ids.last)
+      val mid = lo + (hi - lo) / 2
+      IndexMaintain.appendDelivery(
+        delta.filter(col("doc_id") <= mid), bS, pS, 0L)
+      IndexMaintain.appendDelivery(
+        delta.filter(col("doc_id") > mid), bS, pS, 1L)
+      // the LIVE manifest references base + one dir PER delivery (the
+      // O(delta) append shape); retention keeps live + previous
+      // manifests only, so count dirs, not retained versions
+      val liveDirs = pS.read(spark).get.inputFiles
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      assert(liveDirs.length === 3,
+        s"expected base + 2 delivery dirs, got ${liveDirs.length}")
+      val fresh = graft.query.TextSim.shingleHashesOf(docs)
+      assert(pS.read(spark).get.count() === fresh.count())
+      assert(pS.read(spark).get.except(fresh).count() === 0L)
+    }
+  }
+}
