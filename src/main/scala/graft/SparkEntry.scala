@@ -344,6 +344,11 @@ object SparkEntry {
     // see Cluster.dedupKeepBest
     "dedup_keep_best" -> ((s: SparkSession, d: String) => Cluster.dedupKeepBest(s, d)),
     "decontaminate" -> ((s: SparkSession, d: String) => TextSim.decontaminate(s, d)),
+    // embedding-level eval-set contamination (paraphrase leakage the
+    // n-gram form misses) — broadcast eval side, see
+    // TextSim.decontaminateSemantic
+    "decontaminate_semantic" -> ((s: SparkSession, d: String) =>
+      TextSim.decontaminateSemantic(s, d)),
     "similarity_topk" -> ((s: SparkSession, d: String) => TextSim.similarityTopk(s, d)),
     "similarity_lsh" -> ((s: SparkSession, d: String) => TextSim.similarityLsh(s, d)),
     "similarity_ivf" -> ((s: SparkSession, d: String) => Ivf.similarityIvf(s, d)),
@@ -2605,6 +2610,16 @@ object SparkEntry {
         |SELECT tr.doc_id, e.eval_doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         |FROM tr JOIN e USING (s) GROUP BY tr.doc_id, e.eval_doc_id
         |HAVING count(*) >= 2 ORDER BY tr.doc_id, e.eval_doc_id""".stripMargin,
+    "decontaminate_semantic" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 97 <> 0)
+        |SELECT c.vec_id, ev.eval_id,
+        |  round(list_cosine_similarity(c.v, ev.ev), 4) AS cos
+        |FROM c CROSS JOIN ev
+        |WHERE round(list_cosine_similarity(c.v, ev.ev), 4) >= 0.35
+        |ORDER BY vec_id, eval_id""".stripMargin,
     "dedup_levenshtein" ->
       """WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -1278,6 +1278,42 @@ object TextSim {
     decontaminateOf(Tables.fanOut(Tables.load(spark, dir, "documents")), n,
       minOverlap)
 
+  /** Driver key `decontaminate_semantic`: eval-set contamination at
+    * the EMBEDDING level — the modern complement to the n-gram
+    * [[decontaminate]] (paraphrased or translated eval leakage shares
+    * no n-grams but sits at high cosine; the two are run together in
+    * practice, n-gram for verbatim, semantic for re-worded). Eval set
+    * = `vec_id % 97 == 0` (the held-out-suite convention of
+    * [[decontaminateOf]]'s `% 50`); a corpus vector within cosine
+    * `threshold` of ANY eval vector is contaminated, reported per
+    * (corpus, eval) hit with the rounded cosine.
+    *
+    * Scale shape: the eval side is a broadcast model frame — eval
+    * suites are thousands of rows where the corpus is billions, so the
+    * corpus-side scan × |eval| comparisons is the honest brute-force
+    * bound ([[similarityTopk]]'s sanctioned BNLJ class); at very large
+    * eval suites the same pairing rides [[EmbeddingIndex]]'s LSH
+    * buckets, the ANN path every embedding operator here shares. */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    decontaminateSemanticOf(e.filter(col("vec_id") % 97 =!= 0),
+      e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"),
+          col("embedding").as("ev")),
+      threshold)
+  }
+
+  /** [[decontaminateSemantic]]'s core over any corpus/eval frames —
+    * the planted-leak spec path. */
+  def decontaminateSemanticOf(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.35): DataFrame =
+    corpus.crossJoin(broadcast(evalSet))
+      .select(col("vec_id"), col("eval_id"),
+        round(cosine_sim(col("embedding"), col("ev")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_id", "eval_id")
+
   /** [[decontaminate]]'s core over any (doc_id, text) frame (the
     * scaled-copy harness [[graft.Scale]] runs it on replicated
     * corpora). */

@@ -88,6 +88,9 @@ class PlanAuditSpec extends SparkSuite {
     "similarity_lsh_recall", "dedup_simhash_complete", "profile_merge",
     "dedup_semantic", "dedup_semantic_kmeans", "dedup_semantic_recall",
     "dedup_semantic_delta_recall",
+    // broadcast eval-suite side (thousands of rows vs a corpus) — the
+    // similarity_topk sanctioned brute-force class
+    "decontaminate_semantic",
     // 1-row corpus-totals frame broadcast-crossed into the contrib
     // chain — the model-scalar crossJoin shape
     "text_bm25")
