@@ -872,10 +872,16 @@ object TextSim {
     dedupLevenshteinStarOf(Tables.load(spark, dir, "documents"),
       maxRel, minShared, allPairCap, maxShingleDf)
 
-  /** The O(L²) DP verify stage shared by the exact and star-bounded
+  /** The DP verify stage shared by the exact and star-bounded
     * edit-distance forms: length prefilter (a free necessary condition
     * — dist ≥ |len₁−len₂| — that cannot change the result set), then
-    * the integer Levenshtein DP on surviving candidates only. */
+    * the BANDED Levenshtein DP on surviving candidates only: the
+    * 3-arg `levenshtein(t1, t2, k)` walks only the ±k diagonal band
+    * (O(L·k) cells, early exit on -1) instead of the full O(L²)
+    * table. Exactness is free: `dist` is an integer, so
+    * `dist ≤ maxlen·maxRel ⟺ dist ≤ ⌊maxlen·maxRel⌋`, and the banded
+    * form returns the exact distance whenever it is ≤ k — the
+    * surviving rows carry the identical dist the full DP would. */
   private def levVerify(cand: DataFrame, docs: DataFrame,
       maxRel: Double): DataFrame = {
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
@@ -884,8 +890,9 @@ object TextSim {
       .withColumn("maxlen", greatest(length(col("t1")), length(col("t2"))))
       .filter(abs(length(col("t1")) - length(col("t2")))
         <= col("maxlen") * maxRel)
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .filter(col("dist") <= col("maxlen") * maxRel)
+      .withColumn("dist", expr(
+        s"levenshtein(t1, t2, cast(maxlen * $maxRel as int))"))
+      .filter(col("dist") >= 0 && col("dist") <= col("maxlen") * maxRel)
       .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"),
         round(col("dist").cast("double") / col("maxlen"), 6)
           .as("rel_dist"))
