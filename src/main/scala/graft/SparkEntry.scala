@@ -183,6 +183,11 @@ object SparkEntry {
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
     "vocab_coverage" -> ((s: SparkSession, d: String) => TextQuality.vocabCoverage(s, d)),
+    // retrain-trigger gauge for the tokenizer-vocabulary store: OOV
+    // mass + head-token occupancy shift in exact arithmetic — see
+    // TextQuality.vocabDriftCheck (the IndexDrift role for VocabStore)
+    "vocab_drift_check" -> ((s: SparkSession, d: String) =>
+      TextQuality.vocabDriftCheck(s, d)),
     // trained BPE tokenizer (Sennrich '16 merges as deterministic
     // aggregations; vocab-grain encode) — see Bpe; rows-only, hash-
     // gated via tokenize_bpe_contract (round-trip + bounds theorems)
@@ -1602,6 +1607,37 @@ object SparkEntry {
         |  round(CAST(cum_cnt AS DOUBLE) / total, 6) AS cum_share,
         |  (cum_cnt - cnt) * 100 < 90 * total AS in_vocab
         |FROM w ORDER BY vocab_rank""".stripMargin,
+    // the vocabulary drift gauge: OOV mass + head-token occupancy
+    // shift, exact cross-multiplication (the index_drift_check algebra)
+    "vocab_drift_check" ->
+      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |counts AS (SELECT w,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta
+        |  FROM t GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) AS BIGINT) AS td,
+        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
+        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
+        |  FROM counts),
+        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
+        |    CAST(n_delta AS BIGINT) AS n_delta
+        |  FROM counts WHERE n_base > 0
+        |  ORDER BY n_base DESC, w ASC LIMIT 32),
+        |panel AS (SELECT w, n_base, n_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    round(CAST(oov_occ AS DOUBLE) / td, 6) AS oov_rate,
+        |    new_tokens,
+        |    oov_occ * 100 > td AS oov_drift
+        |  FROM head, tot)
+        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
+        |  oov_drift,
+        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
+        |FROM panel ORDER BY w""".stripMargin,
     // second principal direction: the power-iter chain, then division-
     // free deflation (q*rr - (q.r)*r), an integer-derived sign-
     // symmetric shift back into range, and two more matvec passes —

@@ -770,6 +770,68 @@ object TextQuality {
       .orderBy("vocab_rank")
   }
 
+  /** Driver key `vocab_drift_check`: the retrain-trigger gauge for the
+    * TOKENIZER-vocabulary store — [[graft.query.IndexDrift]]'s role
+    * played for [[VocabStore]]: the trained BPE/unigram models freeze a
+    * vocabulary at base time, and the signals tokenizer maintainers
+    * actually watch are (1) the delivery's OOV MASS (share of delta
+    * token occurrences whose token the base never saw — unseen words
+    * fragment into long byte sequences and inflate sequence lengths)
+    * and (2) occupancy shift among the head tokens (a >5-point share
+    * migration re-ranks merges/pieces). Both in exact arithmetic:
+    * occ_shift is the [[IndexDrift]] cross-multiplication
+    * (DECIMAL(38,0) / HUGEINT — no division, no wrap), oov_rate a
+    * rounded ratio; thresholds literal so the decision is
+    * hash-checkable. `vocab_retrain` = any head-token shift OR
+    * oov_rate > 1%.
+    *
+    * Scale shape: one corpus-sized token count collapsing to VOCAB
+    * grain (map-side combinable — the [[vocabCoverage]] pass), a
+    * LIMIT-topV head panel, a broadcast 1-row totals frame (the tfidf
+    * model-scalar crossJoin shape), and windows over ≤ topV rows. */
+  def vocabDriftCheck(spark: SparkSession, dir: String,
+      topV: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = graft.query.MinhashIndex.deltaCutoff(docs)
+    vocabDriftOf(docs.filter(col("doc_id") < cut),
+      docs.filter(col("doc_id") >= cut), topV)
+  }
+
+  /** Frame-parameterized core — specs plant an OOV-heavy delivery
+    * through it to flip the flags. Both frames carry (doc_id, text). */
+  def vocabDriftOf(base: DataFrame, delta: DataFrame, topV: Int = 32)
+      : DataFrame = {
+    val toks = base.withColumn("is_delta", lit(false))
+      .unionByName(delta.withColumn("is_delta", lit(true)))
+      .select(col("is_delta"),
+        explode(TextSim.tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(
+      count(when(!col("is_delta"), lit(1))).as("n_base"),
+      count(when(col("is_delta"), lit(1))).as("n_delta"))
+    val totals = counts.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"),
+      sum(when(col("n_base") === 0, col("n_delta")).otherwise(lit(0L)))
+        .as("oov_occ"),
+      count(when(col("n_base") === 0 && col("n_delta") > 0, lit(1)))
+        .as("new_tokens"))
+    val head = counts.filter(col("n_base") > 0)
+      .orderBy(col("n_base").desc, col("w").asc).limit(topV)
+    val panel = Window.partitionBy(lit(1))
+    head.crossJoin(broadcast(totals))
+      .select(col("w"), col("n_base"), col("n_delta"),
+        (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
+             col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
+          col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
+        round(col("oov_occ").cast("double") / col("td"), 6)
+          .as("oov_rate"),
+        col("new_tokens"),
+        (col("oov_occ") * 100 > col("td")).as("oov_drift"))
+      .select(col("*"),
+        (bool_or(col("occ_shift")).over(panel) || col("oov_drift"))
+          .as("vocab_retrain"))
+      .orderBy("w")
+  }
+
   /** Learned-quality-filter INFERENCE as pure columnar algebra — the
     * fastText/DCLM-style model-scoring stage that ranks documents by a
     * trained linear classifier over hashed bag-of-words features

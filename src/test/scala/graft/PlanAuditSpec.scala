@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSuite {
     // broadcast eval-suite side (thousands of rows vs a corpus) — the
     // similarity_topk sanctioned brute-force class
     "decontaminate_semantic",
+    // 1-row corpus-totals frame broadcast-crossed into the head panel
+    // — the model-scalar crossJoin shape
+    "vocab_drift_check",
     // 1-row corpus-totals frame broadcast-crossed into the contrib
     // chain — the model-scalar crossJoin shape
     "text_bm25")

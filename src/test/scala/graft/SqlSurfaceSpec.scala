@@ -70,7 +70,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "text_novelty", "text_perplexity", "text_repetition",
     "text_stats", "text_surprisal", "text_tfidf",
     "text_tokens", "text_winnow", "try_funcs",
-    "variant_funcs", "variant_safe", "vocab_coverage",
+    "variant_funcs", "variant_safe", "vocab_coverage", "vocab_drift_check",
     "window_lag", "window_range")
 
   /** NTZ-normalized, column-name-sorted row strings (the driver's
