@@ -124,6 +124,26 @@ object MinhashIndex {
     * FULL persisted bucket table; verification joins the persisted
     * postings — no document is re-shingled at query time. Same output
     * contract as [[TextSim.dedupMinhash]]: (d1, d2, jaccard). */
+  /** Star-bounded near-dup pairs AMONG `ids`, served from the
+    * PERSISTED index — the curate chain's pair stage without
+    * re-shingling the corpus: postings and buckets are per-doc rows
+    * ([[TextSim.shingleHashesOf]]'s scaladoc guarantee), so
+    * semi-filtering the stored tables to the survivor set yields
+    * exactly [[TextSim.dedupMinhashStarOf]](survivors)'s inputs and
+    * bit-identical pairs (CurateIndexSpec pins it). This is the
+    * production shape: the weekly curation pass reads the maintained
+    * index, it does not re-derive it from text. */
+  def starPairsFromIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, threshold: Double = 0.8, allPairCap: Int = 32)
+      : DataFrame = {
+    val (buckets, postings, _) = ensureIndex(spark, dir)
+    val keep = ids.select("doc_id")
+    TextSim.verifyJaccard(
+      TextSim.starCandidates(
+        buckets.join(keep, Seq("doc_id"), "left_semi"), allPairCap),
+      postings.join(keep, Seq("doc_id"), "left_semi"), threshold)
+  }
+
   def dedupMinhashDelta(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8)
       : DataFrame = {

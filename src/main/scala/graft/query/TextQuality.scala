@@ -189,7 +189,8 @@ object TextQuality {
     */
   def curateFull(spark: SparkSession, dir: String,
       capacity: Int = 2048): DataFrame =
-    curateFullOf(Tables.load(spark, dir, "documents"), capacity)
+    curateFullOf(Tables.load(spark, dir, "documents"), capacity,
+      pairsOf = Some(indexPairs(spark, dir)))
 
   /** [[curateFull]]'s core over any (doc_id, source, text) frame (the
     * decade harnesses run it on generated corpora).
@@ -210,10 +211,20 @@ object TextQuality {
   def curateScrub(spark: SparkSession, dir: String,
       capacity: Int = 2048): DataFrame =
     curateFullOf(Tables.load(spark, dir, "documents"), capacity,
-      scrubSpans = true)
+      scrubSpans = true, pairsOf = Some(indexPairs(spark, dir)))
+
+  /** Dir-level pair source for the chain: the PERSISTED minhash index
+    * filtered to the canonical survivors
+    * ([[MinhashIndex.starPairsFromIndex]] — bit-identical to the
+    * recompute, CurateIndexSpec). */
+  private def indexPairs(spark: SparkSession, dir: String)
+      : DataFrame => DataFrame =
+    canon => MinhashIndex.starPairsFromIndex(spark, dir,
+      canon.select("doc_id"), threshold = 0.8)
 
   def curateFullOf(docs: DataFrame, capacity: Int = 2048,
-      scrubSpans: Boolean = false): DataFrame = {
+      scrubSpans: Boolean = false,
+      pairsOf: Option[DataFrame => DataFrame] = None): DataFrame = {
     // stage 1: canonical dedup over the raw corpus
     val wDedup = Window.partitionBy("canon_md5").orderBy(col("doc_id").asc)
     val canon = docs
@@ -227,7 +238,8 @@ object TextQuality {
     // is the dedup_minhash_recall contract)
     // star-bounded candidates: the closure consumes connectivity only,
     // so degenerate buckets cost O(B) edges, not O(B²) pairs
-    val pairs = TextSim.dedupMinhashStarOf(canon, threshold = 0.8)
+    val pairs = pairsOf.getOrElse((c: DataFrame) =>
+      TextSim.dedupMinhashStarOf(c, threshold = 0.8))(canon)
     val labels = Cluster.connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val reps0 = canon.join(labels, Seq("doc_id"), "left")
