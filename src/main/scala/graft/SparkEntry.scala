@@ -200,6 +200,11 @@ object SparkEntry {
     "tokenize_unigram_contract" -> ((s: SparkSession, d: String) => Unigram.tilingContract(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "doc_chunk" -> ((s: SparkSession, d: String) => Sampling.docChunk(s, d)),
+    // chunk-grain exact dedup (the retrieval-store step downstream of
+    // doc_chunk): duplicate-group summary with canonical first-seen
+    // location — see Sampling.dedupChunks
+    "dedup_chunks" -> ((s: SparkSession, d: String) =>
+      Sampling.dedupChunks(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
@@ -1737,6 +1742,29 @@ object SparkEntry {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c WHERE chunk_start = 0 OR len(chunk) > 32
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chunk-grain exact dedup: the doc_chunk pipeline grouped on the
+    // digest, canonical = first-seen by (doc_id, chunk_idx)
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start,
+        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s),
+        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
+        |    CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
+        |g AS (SELECT chunk_md5, doc_id, chunk_idx, n_chunk_tokens,
+        |    CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies,
+        |    row_number() OVER (PARTITION BY chunk_md5
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM f)
+        |SELECT chunk_md5, doc_id AS canon_doc_id,
+        |  chunk_idx AS canon_chunk_idx, n_copies, n_chunk_tokens
+        |FROM g WHERE rn = 1 AND n_copies >= 2
+        |ORDER BY chunk_md5""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_slice(list_filter(string_split_regex(lower(text), '\s+'),

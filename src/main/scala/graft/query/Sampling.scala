@@ -180,6 +180,32 @@ object Sampling {
     chunkOf(Tables.load(spark, dir, "documents"), win, stride)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Driver key `dedup_chunks`: exact dedup at the CHUNK grain — the
+    * retrieval-store step downstream of [[docChunk]]: identical chunks
+    * (boilerplate, shared passages, exact-dup documents sliced on the
+    * same stride) would embed and be retrieved once per copy, so the
+    * store keeps the corpus-first occurrence of every repeated chunk
+    * digest and drops the rest. Output is the duplicate-group summary:
+    * each repeated `chunk_md5` with its canonical (first-seen by
+    * (doc_id, chunk_idx)) location and copy count. Token joins are
+    * injective (tokens carry no whitespace), so a shared digest means
+    * identical token content — `n_chunk_tokens` is group-constant.
+    * Scale shape: one hash groupBy on the digest (map-side
+    * combinable), the [[graft.query.TextSim]] exact-dedup pattern one
+    * grain down. */
+  def dedupChunks(spark: SparkSession, dir: String,
+      win: Int = 64, stride: Int = 32): DataFrame =
+    chunkOf(Tables.load(spark, dir, "documents"), win, stride)
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_chunk_tokens")).as("n_chunk_tokens"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("c.doc_id").as("canon_doc_id"),
+        col("c.chunk_idx").as("canon_chunk_idx"), col("n_copies"),
+        col("n_chunk_tokens"))
+      .orderBy("chunk_md5")
+
   /** [[docChunk]]'s core over any (doc_id, text) frame — per-row
     * stateless column algebra, so the SAME plan runs on a batch frame
     * and inside a streaming micro-batch

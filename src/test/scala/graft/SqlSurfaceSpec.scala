@@ -40,7 +40,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "curate_budget", "curate_delta", "curate_e2e",
     "curate_full", "curate_scrub", "curate_scrub_delta",
     "date_arith_funcs", "decontaminate", "decontaminate_semantic",
-    "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_cluster",
+    "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_chunks", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",
     "dedup_minhash_delta", "dedup_minhash_recall", "dedup_ngram",

@@ -84,6 +84,36 @@ class SamplingSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.docChunk(spark, dir, 16, 17))
   }
 
+  test("dedup_chunks: a stride-aligned shared passage dedups to its " +
+      "first-seen location; unique chunks never surface") {
+    import spark.implicits._
+    val passage = (1 to 64).map(i => s"p$i").mkString(" ")
+    val fillerA = (1 to 32).map(i => s"a$i").mkString(" ")
+    val fillerB = (1 to 64).map(i => s"b$i").mkString(" ")
+    // doc 1 and doc 2 carry the SAME 64-token passage at stride-aligned
+    // offsets (0 and 64); doc 3 is all-unique
+    val docs = Seq(
+      (1L, s"$passage $fillerA"),
+      (2L, s"$fillerB $passage"),
+      (3L, (1 to 96).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val groups = Sampling.chunkOf(docs)
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .select(col("c.doc_id"), col("c.chunk_idx"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(groups.contains((1L, 0L, 2L)),
+      s"shared passage must dedup to doc 1 chunk 0: ${groups.mkString(",")}")
+    assert(groups.forall(_._1 != 3L), "unique doc surfaced as dup")
+    // the driver key's shape on the fixture: non-vacuous, canonical
+    // is first-seen, n_copies >= 2 everywhere
+    val fx = Sampling.dedupChunks(spark, dir).collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(_.getAs[Long]("n_copies") >= 2L))
+  }
+
   test("pack_sequences: offsets stay within capacity and bins are contiguous per shard") {
     val out = Sampling.packSequences(spark, dir, capacity = 512).collect()
     assert(out.nonEmpty)
