@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, Cluster, Contracts, EmbeddingIndex, Events, Finders, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, ChunkIndex, Cluster, Contracts, EmbeddingIndex, Events, Finders, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -138,6 +138,10 @@ object SparkEntry {
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
     "sample_stratified" -> ((s: SparkSession, d: String) => Sampling.sampleStratified(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
+    // source-grain token-budget allocation (the data-recipe planning
+    // panel; exact BIGINT floor arithmetic) — see Sampling.mixBudgetPlan
+    "mix_budget_plan" -> ((s: SparkSession, d: String) =>
+      Sampling.mixBudgetPlan(s, d)),
     // DSIR importance weights: hashed-unigram log-ratio vs the target
     // slice — see Sampling.sampleImportance
     "sample_importance" -> ((s: SparkSession, d: String) => Sampling.sampleImportance(s, d)),
@@ -188,6 +192,10 @@ object SparkEntry {
     // TextQuality.vocabDriftCheck (the IndexDrift role for VocabStore)
     "vocab_drift_check" -> ((s: SparkSession, d: String) =>
       TextQuality.vocabDriftCheck(s, d)),
+    // the gauge panel AFTER applying its own decision — the
+    // index_retrain_apply shape for the vocabulary store
+    "vocab_retrain_apply" -> ((s: SparkSession, d: String) =>
+      TextQuality.vocabRetrainApply(s, d)),
     // trained BPE tokenizer (Sennrich '16 merges as deterministic
     // aggregations; vocab-grain encode) — see Bpe; rows-only, hash-
     // gated via tokenize_bpe_contract (round-trip + bounds theorems)
@@ -205,6 +213,10 @@ object SparkEntry {
     // location — see Sampling.dedupChunks
     "dedup_chunks" -> ((s: SparkSession, d: String) =>
       Sampling.dedupChunks(s, d)),
+    // O(delta) form: delivery chunks probed against the persisted
+    // base chunk-digest store — see query.ChunkIndex
+    "dedup_chunks_delta" -> ((s: SparkSession, d: String) =>
+      ChunkIndex.dedupChunksDelta(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
@@ -1343,6 +1355,24 @@ object SparkEntry {
         |SELECT doc_id, source, mix_threshold FROM t
         |WHERE md5(CAST(doc_id AS VARCHAR)) < mix_threshold
         |ORDER BY doc_id""".stripMargin,
+    // the data-recipe planning panel: same weight groups as
+    // sample_mixture's thresholds, all-BIGINT floor arithmetic
+    "mix_budget_plan" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+        |      WHEN 0 THEN 5 WHEN 1 THEN 15 WHEN 2 THEN 35
+        |      ELSE 75 END AS BIGINT) AS weight
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM s)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  CAST(100000 * weight // w_total AS BIGINT) AS target_tokens,
+        |  CAST((100000 * weight // w_total) * 1000 // n_tokens AS BIGINT) AS epochs_x1000,
+        |  (100000 * weight // w_total) > n_tokens AS oversubscribed
+        |FROM s, t ORDER BY source""".stripMargin,
     // DSIR twin: identical md5-prefix bucketing, add-one-smoothed
     // log-ratios, and the sorted-list sequential fold (list_reduce over
     // a 0.0-prepended sorted list == Spark's aggregate over sort_array)
@@ -1643,6 +1673,55 @@ object SparkEntry {
         |  oov_drift,
         |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
         |FROM panel ORDER BY w""".stripMargin,
+    // the decision recomputed, then the panel re-run on the post-state
+    // (fired gauge => full corpus becomes base, delta empty)
+    "vocab_retrain_apply" ->
+      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |t0 AS (SELECT doc_id >= (SELECT c FROM cut) AS is_d,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |p_counts AS (SELECT w,
+        |    count(*) FILTER (WHERE NOT is_d) AS n_base,
+        |    count(*) FILTER (WHERE is_d) AS n_delta
+        |  FROM t0 GROUP BY w),
+        |p_tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) AS BIGINT) AS td,
+        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ
+        |  FROM p_counts),
+        |p_head AS (SELECT w, n_base, n_delta FROM p_counts
+        |  WHERE n_base > 0 ORDER BY n_base DESC, w ASC LIMIT 32),
+        |dec AS (SELECT coalesce(bool_or(
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td), FALSE)
+        |    OR coalesce(bool_or(oov_occ * 100 > td), FALSE) AS r
+        |  FROM p_head, p_tot),
+        |t AS (SELECT is_d AND NOT (SELECT r FROM dec) AS is_delta, w FROM t0),
+        |counts AS (SELECT w,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta
+        |  FROM t GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) AS BIGINT) AS td,
+        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
+        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
+        |  FROM counts),
+        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
+        |    CAST(n_delta AS BIGINT) AS n_delta
+        |  FROM counts WHERE n_base > 0
+        |  ORDER BY n_base DESC, w ASC LIMIT 32),
+        |panel AS (SELECT w, n_base, n_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(oov_occ AS DOUBLE) / td, 6) END AS oov_rate,
+        |    new_tokens,
+        |    oov_occ * 100 > td AS oov_drift
+        |  FROM head, tot)
+        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
+        |  oov_drift,
+        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain,
+        |  (SELECT r FROM dec) AS retrained
+        |FROM panel ORDER BY w""".stripMargin,
     // second principal direction: the power-iter chain, then division-
     // free deflation (q*rr - (q.r)*r), an integer-derived sign-
     // symmetric shift back into range, and two more matvec passes —
@@ -1765,6 +1844,32 @@ object SparkEntry {
         |  chunk_idx AS canon_chunk_idx, n_copies, n_chunk_tokens
         |FROM g WHERE rn = 1 AND n_copies >= 2
         |ORDER BY chunk_md5""".stripMargin,
+    // the delta form IS the full-corpus keep-first rule restricted to
+    // delivery rows — the oracle re-runs the whole-corpus canonical
+    // computation and keeps the non-canonical delivery chunks
+    "dedup_chunks_delta" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start,
+        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s),
+        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |g AS (SELECT chunk_md5, doc_id, chunk_idx,
+        |    first_value(doc_id) OVER w AS canon_doc_id,
+        |    first_value(chunk_idx) OVER w AS canon_chunk_idx
+        |  FROM f WINDOW w AS (PARTITION BY chunk_md5
+        |    ORDER BY doc_id, chunk_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT doc_id, chunk_idx, chunk_md5, canon_doc_id, canon_chunk_idx
+        |FROM g, cut
+        |WHERE doc_id >= cut.c
+        |  AND (doc_id != canon_doc_id OR chunk_idx != canon_chunk_idx)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_slice(list_filter(string_split_regex(lower(text), '\s+'),

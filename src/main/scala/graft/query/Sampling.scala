@@ -69,6 +69,55 @@ object Sampling {
       .otherwise("c0")       // ≈ 75%
   }
 
+  /** Driver key `mix_budget_plan`: the SOURCE-grain token-budget
+    * allocation panel — the "data recipe" planning step run before any
+    * document is sampled (the published pretraining-mix tables: per
+    * source, how many tokens the mix wants vs how many exist, and the
+    * implied epoch count when the want exceeds the have — the
+    * data-constrained regime of Muennighoff '23, arXiv:2305.16264).
+    * Weights are [[mixtureThreshold]]'s rate groups as integers
+    * (5/15/35/75 — THE single mixing-rate definition, so plan and
+    * apply cannot drift); `target_tokens = B·w/Σw` and
+    * `epochs_x1000 = target·1000/have` in BIGINT floor division — no
+    * doubles anywhere, the panel is exact on both engines.
+    *
+    * Scale shape: one narrow corpus scan (size(tokens) per doc — no
+    * explode), a source-grain aggregate (map-side combinable; sources
+    * number in the dozens), and a 1-row totals frame broadcast-crossed
+    * back in (the tfidf model-scalar shape). Nothing here grows with
+    * corpus width at any scale. */
+  def mixBudgetPlan(spark: SparkSession, dir: String,
+      budget: Long = 100000L): DataFrame = {
+    val bySource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(TextSim.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("weight", mixtureWeight)
+    val totals = bySource.agg(sum(col("weight")).as("w_total"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"),
+        // DIV, not `/`: Spark's `/` is double division; the plan must
+        // stay in exact BIGINT floor arithmetic on both engines
+        expr(s"CAST(${budget}L * weight DIV w_total AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("epochs_x1000",
+        expr("CAST(target_tokens * 1000L DIV n_tokens AS BIGINT)"))
+      .withColumn("oversubscribed",
+        col("target_tokens") > col("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** [[mixtureThreshold]]'s rate groups as integer mixing WEIGHTS —
+    * the same grouping rule, so the plan panel and the apply-side
+    * sampler read one definition. */
+  private[query] def mixtureWeight: Column = {
+    val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+    when(grp === 0, 5L).when(grp === 1, 15L)
+      .when(grp === 2, 35L).otherwise(75L)
+  }
+
   /** Importance resampling weights (DSIR — Xie et al. '23,
     * arXiv:2302.03169): score every training document by how much its
     * hashed-n-gram feature profile leans toward a TARGET distribution

@@ -809,6 +809,31 @@ object TextQuality {
       docs.filter(col("doc_id") >= cut), topV)
   }
 
+  /** Driver key `vocab_retrain_apply`: the vocabulary gauge panel
+    * AFTER applying its own decision — [[graft.query.IndexDrift
+    * .indexRetrainApply]]'s shape played for the tokenizer-vocabulary
+    * store. A fired pre-gauge means the trainers re-run over the
+    * merged corpus ([[VocabStore.mergedCounts]] makes that
+    * incremental), so the post-state's base IS the full corpus and
+    * the delta is empty — the post panel deterministically reads
+    * all-quiet (n_delta 0, every flag false, oov_rate 0); a quiet
+    * pre-gauge leaves the frozen vocabulary serving and the post
+    * panel IS the pre panel. `retrained` records the applied
+    * decision. Both stages are exact column algebra, so DuckDB
+    * recomputes the whole gauge→act→re-gauge loop. */
+  def vocabRetrainApply(spark: SparkSession, dir: String,
+      topV: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = graft.query.MinhashIndex.deltaCutoff(docs)
+    val base = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut)
+    val retrained = vocabDriftOf(base, delta, topV)
+      .agg(coalesce(bool_or(col("vocab_retrain")), lit(false)))
+      .head().getBoolean(0)
+    val (pb, pd) = if (retrained) (docs, docs.limit(0)) else (base, delta)
+    vocabDriftOf(pb, pd, topV).withColumn("retrained", lit(retrained))
+  }
+
   /** Frame-parameterized core — specs plant an OOV-heavy delivery
     * through it to flip the flags. Both frames carry (doc_id, text). */
   def vocabDriftOf(base: DataFrame, delta: DataFrame, topV: Int = 32)
@@ -834,7 +859,10 @@ object TextQuality {
         (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
              col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
           col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
-        round(col("oov_occ").cast("double") / col("td"), 6)
+        // td = 0 (an empty delivery — the retrained arm of
+        // vocabRetrainApply) must not hit IEEE 0/0: engines disagree
+        when(col("td") === 0, lit(0.0))
+          .otherwise(round(col("oov_occ").cast("double") / col("td"), 6))
           .as("oov_rate"),
         col("new_tokens"),
         (col("oov_occ") * 100 > col("td")).as("oov_drift"))

@@ -47,6 +47,8 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_semantic_delta",
     // builds/loads the persisted LSH bucket index on construction
     "dedup_embedding_ann_delta", "dedup_embedding_ann_delta_recall",
+    // builds/loads the persisted chunk-digest store on construction
+    "dedup_chunks_delta",
     // builds/loads the persisted image-fingerprint store (codec
     // roundtrip in mapPartitions) on construction
     "dedup_phash_delta",
@@ -65,6 +67,8 @@ class PlanAuditSpec extends SparkSuite {
     "index_drift_check",
     // runs the split job AND the pre-gauge decision on construction
     "index_retrain_apply",
+    // same shape for the vocabulary store
+    "vocab_retrain_apply",
     // collects the bloom filter (dim count + aggregate) on construction
     "join_bloom_reduced")
   // sanctioned nested-loop joins: tiny broadcast sides by design —
@@ -94,6 +98,9 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row corpus-totals frame broadcast-crossed into the head panel
     // — the model-scalar crossJoin shape
     "vocab_drift_check",
+    // 1-row weight-total frame broadcast-crossed into the source panel
+    // — the model-scalar crossJoin shape
+    "mix_budget_plan",
     // 1-row corpus-totals frame broadcast-crossed into the contrib
     // chain — the model-scalar crossJoin shape
     "text_bm25")

@@ -40,7 +40,8 @@ class SqlSurfaceSpec extends SparkSuite {
     "curate_budget", "curate_delta", "curate_e2e",
     "curate_full", "curate_scrub", "curate_scrub_delta",
     "date_arith_funcs", "decontaminate", "decontaminate_semantic",
-    "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_chunks", "dedup_cluster",
+    "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_chunks",
+    "dedup_chunks_delta", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",
     "dedup_minhash_delta", "dedup_minhash_recall", "dedup_ngram",
@@ -52,6 +53,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
     "higher_order_funcs", "index_drift_check", "index_retrain_apply",
+    "vocab_retrain_apply", "mix_budget_plan",
     "join_asof", "join_asof_forward",
     "join_asof_tolerance", "map_funcs", "multimodal_audio",
     "multimodal_audio_frames", "multimodal_decode", "multimodal_features",

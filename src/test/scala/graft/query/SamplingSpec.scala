@@ -114,6 +114,24 @@ class SamplingSpec extends SparkSuite {
     assert(fx.forall(_.getAs[Long]("n_copies") >= 2L))
   }
 
+  test("mix_budget_plan: exact allocation invariants hold on the fixture") {
+    val budget = 100000L
+    val plan = Sampling.mixBudgetPlan(spark, dir, budget).collect()
+    assert(plan.nonEmpty)
+    val wTotal = plan.map(_.getAs[Long]("weight")).sum
+    plan.foreach { r =>
+      val (w, have, target, epochs) = (r.getAs[Long]("weight"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("epochs_x1000"))
+      assert(Set(5L, 15L, 35L, 75L)(w))
+      assert(target === budget * w / wTotal, "floor-division drift")
+      assert(epochs === target * 1000L / have)
+      assert(r.getAs[Boolean]("oversubscribed") === (target > have))
+    }
+    // floor division can only under-allocate, never over
+    assert(plan.map(_.getAs[Long]("target_tokens")).sum <= budget)
+  }
+
   test("pack_sequences: offsets stay within capacity and bins are contiguous per shard") {
     val out = Sampling.packSequences(spark, dir, capacity = 512).collect()
     assert(out.nonEmpty)
