@@ -137,8 +137,11 @@ object Cluster {
     * (DegenerateBucketSpec plants a 10k-doc bucket and counts). */
   def dedupClusterMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxRounds: Int = 30): DataFrame =
+    // pairs served from the PERSISTED minhash index (bit-identical by
+    // the per-doc-rows guarantee — MinhashIndex.starPairsAll) instead
+    // of re-shingling the corpus per run
     dedupClusterOf(spark, dir,
-      TextSim.dedupMinhashStar(spark, dir, threshold), maxRounds)
+      MinhashIndex.starPairsAll(spark, dir, threshold), maxRounds)
 
   /** Edge-source-parameterized core: transitive closure over `pairs`
     * (columns d1, d2), singletons projected from the full corpus. */
@@ -186,7 +189,8 @@ object Cluster {
     * (full hash gate — same licensing as dedup_cluster_minhash). */
   def dedupKeepBest(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxRounds: Int = 30): DataFrame = {
-    val pairs = TextSim.dedupMinhashStar(spark, dir, threshold)
+    // index-backed pair stage — the dedupClusterMinhash rationale
+    val pairs = MinhashIndex.starPairsAll(spark, dir, threshold)
     val labels = connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")), maxRounds)
     val quality = Tables.load(spark, dir, "documents")

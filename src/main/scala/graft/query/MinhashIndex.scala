@@ -144,6 +144,22 @@ object MinhashIndex {
       postings.join(keep, Seq("doc_id"), "left_semi"), threshold)
   }
 
+  /** [[starPairsFromIndex]] over the WHOLE corpus — no survivor
+    * semi-filter, the stored bucket/posting tables feed the star
+    * expansion directly. Bit-identical to
+    * [[TextSim.dedupMinhashStar]] by the same per-doc-rows guarantee
+    * (the store holds exactly the full corpus's rows: base commit +
+    * delivery append); the consumers that cluster the ENTIRE corpus
+    * ([[Cluster.dedupClusterMinhash]], [[Cluster.dedupKeepBest]])
+    * read the maintained index instead of re-shingling every
+    * document per run. */
+  def starPairsAll(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, allPairCap: Int = 32): DataFrame = {
+    val (buckets, postings, _) = ensureIndex(spark, dir)
+    TextSim.verifyJaccard(
+      TextSim.starCandidates(buckets, allPairCap), postings, threshold)
+  }
+
   def dedupMinhashDelta(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8)
       : DataFrame = {

@@ -233,8 +233,15 @@ object TextSim {
     * grams pair quadratically and signal template, not provenance). */
   def dedupWinnow(spark: SparkSession, dir: String, minShared: Int = 2,
       dfCap: Int = 1000): DataFrame = {
+    // localCheckpoint: the fingerprint frame is referenced FOUR times
+    // (hot derivation + the anti-join and both self-join sides), and
+    // each reference re-ran the whole two-window winnow pipeline —
+    // 8 scans / 8 Windows in the executed plan, 3.1 s → checkpointing
+    // the selected-fp frame runs it once (the curate-survivor
+    // convention)
     val fps = textWinnow(spark, dir)
       .select("doc_id", "fp").distinct()
+      .localCheckpoint()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp")
     val cold = fps.join(hot, Seq("fp"), "left_anti")

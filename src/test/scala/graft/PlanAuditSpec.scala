@@ -13,6 +13,9 @@ class PlanAuditSpec extends SparkSuite {
 
   private val expensive = Set(
     "dedup_cluster", "dedup_cluster_minhash", "curate_full",
+    // index build + component-find jobs on construction (the
+    // dedup_cluster_minhash shape)
+    "dedup_keep_best",
     "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control",
     "ingest_e2e_diff", "scan_zorder",
@@ -49,6 +52,9 @@ class PlanAuditSpec extends SparkSuite {
     "dedup_embedding_ann_delta", "dedup_embedding_ann_delta_recall",
     // builds/loads the persisted chunk-digest store on construction
     "dedup_chunks_delta",
+    // eager localCheckpoint of the shared fingerprint frame runs the
+    // winnow pipeline on construction
+    "dedup_winnow",
     // builds/loads the persisted image-fingerprint store (codec
     // roundtrip in mapPartitions) on construction
     "dedup_phash_delta",
