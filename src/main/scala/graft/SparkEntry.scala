@@ -447,6 +447,11 @@ object SparkEntry {
     // same pigeonhole-complete construction — see Phash.dedupPhashDelta
     "dedup_phash_delta" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Phash.dedupPhashDelta(s, d)),
+    // the retrain gauge for the perceptual-fingerprint store (per-bit
+    // occupancy shift + novelty mass, store-served — zero decode at
+    // gauge time) — see Phash.phashDriftCheck
+    "phash_drift_check" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Phash.phashDriftCheck(s, d)),
     // audio-fingerprint dedup through the REAL WAV roundtrip:
     // re-encoded-width/gain/DC-offset/upsampled twins share one
     // Haitsma–Kalker-style hash — see multimodal.AudioFp (chunk-LSH
@@ -671,6 +676,48 @@ object SparkEntry {
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |    AND b.doc_id >= (SELECT c FROM cut))
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the gauge twin: identical bit recomputation from the pixel
+    // formula; per-bit occupancy in exact cross-multiplication,
+    // novelty via the full-fingerprint key
+    "phash_drift_check" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |px AS (SELECT doc_id, anchor,
+        |    list_transform(range(0, 288), i ->
+        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
+        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
+        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
+        |  FROM g),
+        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
+        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
+        |  ) AS grid FROM px),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
+        |    array_to_string(bits, '') AS fp FROM bits),
+        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
+        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
+        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
+        |pb AS (SELECT t.b AS bit,
+        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
+        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
+        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
+        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
+        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
+        |    novel_occ * 2 > td AS novelty_drift
+        |  FROM pb, tot, nov)
+        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
+        |  novelty_drift,
+        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
+        |FROM panel ORDER BY bit""".stripMargin,
     // the integer-algebra twin of dedup_audio: the oracle recomputes
     // each document's 64-bit Haitsma–Kalker-style fingerprint from the
     // SHARED sample formula alone (groups of 5 share an anchor

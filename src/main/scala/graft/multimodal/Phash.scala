@@ -240,4 +240,73 @@ object Phash {
     chunkLshPairs(ensureIndex(spark, dir), "phash", Some(cut),
       maxHamming)
   }
+
+  /** Driver key `phash_drift_check`: the retrain-trigger gauge for the
+    * PERCEPTUAL-fingerprint store — [[graft.query.IndexDrift]]'s role
+    * played for the third frozen-store family (embedding index /
+    * vocabulary / perceptual fingerprints). The signals a
+    * perceptual-index maintainer watches: (1) per-BIT occupancy shift
+    * of the 64 dHash gradient bits (a >5-point share migration means
+    * the delivery's visual statistics — gradient orientations — moved,
+    * so the chunk-LSH bucket geometry tuned on the base no longer
+    * balances) and (2) NOVELTY mass (share of delivery items whose
+    * exact fingerprint the base never produced — all-new content ⇒
+    * the stored fingerprints stop being representative). Both exact:
+    * occ_shift is the [[graft.query.IndexDrift]] cross-multiplication
+    * (DECIMAL(38,0) / HUGEINT — no division, no wrap at any corpus
+    * size), novelty an integer comparison + one rounded ratio.
+    *
+    * Scale shape: the gauge reads the PERSISTED store only — zero
+    * decode work at gauge time; one 64-way bit explode over
+    * item-grain rows (map-side-combinable per-bit sums), one
+    * anti-join on the 64-bit key, two 1-row totals frames
+    * broadcast-crossed in (the model-scalar shape), a window over 64
+    * rows. */
+  def phashDriftCheck(spark: SparkSession, dir: String): DataFrame = {
+    val fps = ensureIndex(spark, dir)
+    val cut = deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    phashDriftOf(fps.filter(col("doc_id") < cut),
+      fps.filter(col("doc_id") >= cut))
+  }
+
+  /** Frame-parameterized core — specs plant shifted fingerprint
+    * frames through it to flip each arm independently. Both frames
+    * carry (doc_id, phash). */
+  def phashDriftOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val tagged = base.select(col("doc_id"), col("phash"))
+        .withColumn("is_delta", lit(false))
+      .unionByName(delta.select(col("doc_id"), col("phash"))
+        .withColumn("is_delta", lit(true)))
+    val perBit = tagged
+      .select(col("is_delta"), col("phash"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("b",
+        expr("shiftright(phash, cast(bit as int)) & 1L"))
+      .groupBy("bit")
+      .agg(sum(when(!col("is_delta"), col("b"))).as("n1_base"),
+        sum(when(col("is_delta"), col("b"))).as("n1_delta"),
+        count(when(!col("is_delta"), lit(1))).as("tb"),
+        count(when(col("is_delta"), lit(1))).as("td"))
+    val novel = delta.join(base.select("phash").distinct(),
+        Seq("phash"), "left_anti")
+      .agg(count(lit(1)).as("novel_occ"))
+    val panel = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perBit.crossJoin(broadcast(novel))
+      .select(col("bit").cast("long").as("bit"),
+        coalesce(col("n1_base"), lit(0L)).as("n1_base"),
+        coalesce(col("n1_delta"), lit(0L)).as("n1_delta"),
+        (abs(col("n1_delta").cast("decimal(38,0)") * col("tb") -
+             col("n1_base").cast("decimal(38,0)") * col("td")) * 20 >
+          col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
+        when(col("td") === 0, lit(0.0))
+          .otherwise(round(col("novel_occ").cast("double") / col("td"),
+            6)).as("novel_rate"),
+        (col("novel_occ") * 2 > col("td")).as("novelty_drift"))
+      .select(col("*"),
+        (bool_or(col("occ_shift")).over(panel) || col("novelty_drift"))
+          .as("fp_retrain"))
+      .orderBy("bit")
+  }
 }

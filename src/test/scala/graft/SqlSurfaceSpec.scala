@@ -45,7 +45,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",
     "dedup_lev_curated", "dedup_lev_star", "dedup_levenshtein",
     "dedup_minhash_delta", "dedup_minhash_recall", "dedup_ngram",
-    "dedup_phash_delta",
+    "dedup_phash_delta", "phash_drift_check",
     "dedup_ngram_star", "dedup_phash", "dedup_semantic",
     "dedup_substring", "dedup_substring_apply", "dedup_substring_delta",
     "dedup_video", "dedup_video_delta",

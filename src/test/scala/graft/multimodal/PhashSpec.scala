@@ -81,4 +81,57 @@ class PhashSpec extends SparkSuite {
     assert(viaDelta.nonEmpty,
       "no delta pairs — vacuous (planted groups of 5 span the cutoff)")
   }
+
+  test("drift gauge: a planted bit-occupancy migration flips " +
+      "occ_shift; novelty stays quiet when fingerprints repeat") {
+    import spark.implicits._
+    // base: bit 0 set in half the items; delta reuses ONLY base
+    // fingerprints (novelty quiet) but bit 0's share goes to 1.0
+    val base = (0L until 20L).map(i => (i, if (i % 2 == 0) 1L else 0L))
+      .toDF("doc_id", "phash")
+    val delta = (100L until 110L).map(i => (i, 1L))
+      .toDF("doc_id", "phash")
+    val p = Phash.phashDriftOf(base, delta).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(0L).getAs[Boolean]("occ_shift"),
+      "bit-0 share 0.5 -> 1.0 must flip occ_shift")
+    assert(!p(0L).getAs[Boolean]("novelty_drift"),
+      "delta fingerprints all exist in the base")
+    assert(p(0L).getAs[Double]("novel_rate") === 0.0)
+    assert(p.values.forall(_.getAs[Boolean]("fp_retrain")))
+    assert(p.size === 64)
+  }
+
+  test("drift gauge: all-new fingerprints flip the novelty arm " +
+      "even with occupancy preserved") {
+    import spark.implicits._
+    // delta mirrors the base's per-bit occupancy exactly (half the
+    // items have bit 5 set) but every fingerprint value is new
+    val base = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) 32L else 0L)).toDF("doc_id", "phash")
+    val delta = (100L until 120L).map(i =>
+      (i, if (i % 2 == 0) 32L + 2L else 2L)).toDF("doc_id", "phash")
+    val p = Phash.phashDriftOf(base, delta).collect()
+    assert(p.forall(_.getAs[Boolean]("novelty_drift")))
+    assert(p.forall(_.getAs[Double]("novel_rate") === 1.0))
+    val bit5 = p.find(_.getLong(0) == 5L).get
+    assert(!bit5.getAs[Boolean]("occ_shift"),
+      "bit-5 share is preserved — occ arm must stay quiet")
+    assert(p.forall(_.getAs[Boolean]("fp_retrain")))
+  }
+
+  test("drift gauge on the fixture: store-served panel is internally " +
+      "consistent (decision = any occ flag OR novelty)") {
+    val rows = Phash.phashDriftCheck(spark, graft.TestSpark.sfDir)
+      .collect()
+    assert(rows.length === 64)
+    val any = rows.exists(_.getAs[Boolean]("occ_shift")) ||
+      rows.head.getAs[Boolean]("novelty_drift")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("fp_retrain") === any)
+      assert(r.getAs[Long]("n1_base") >= 0L)
+      assert(r.getAs[Double]("novel_rate") ===
+        rows.head.getAs[Double]("novel_rate"))
+    }
+  }
 }
