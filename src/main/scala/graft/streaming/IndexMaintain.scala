@@ -46,36 +46,73 @@ object IndexMaintain {
     * base slice; the result is the post-stream delta dedup — verified
     * near-dup pairs with the newer side in the delivery — computed
     * from the PERSISTED stores only. */
+  private type Staged = (String, String, Long,
+    org.apache.spark.sql.types.StructType)
+
+  private val stageMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, Staged]]
+
+  /** Bootstrap + staging, once per (session, dir, params): the
+    * PRISTINE pre-stream index (base postings committed once) and the
+    * immutable delivery files. Both are read-only after creation —
+    * each drive run COPIES the pristine store into its own workspace
+    * (an O(store-bytes) file copy instead of an O(base-corpus)
+    * shingle+commit recompute per measured pass; the IntervalJoinDrive
+    * shared-staging precedent) and appends to the copy. */
+  private def stagedBootstrap(spark: SparkSession, dir: String,
+      nHashes: Int, bands: Int, chunks: Int): Staged = {
+    val memo = stageMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, Staged])
+    memo.synchronized {
+      memo.getOrElseUpdate(s"$dir|$nHashes|$bands|$chunks", {
+        val ws = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target/graft-idxm-stage/" +
+            java.util.UUID.randomUUID()).toAbsolutePath)
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils.deleteQuietly(ws.toFile)
+        }
+        val docs = Tables.load(spark, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = maxId * 4 / 5 + 1
+        val base = docs.filter(col("doc_id") < cut)
+        val delta = docs.filter(col("doc_id") >= cut)
+        val idxDir = ws.resolve("idx").toString
+        val bStore = new SnapshotStore(s"$idxDir/buckets")
+        val pStore = new SnapshotStore(s"$idxDir/postings")
+        val baseSh = TextSim.shingleHashesOf(base).localCheckpoint()
+        bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
+        pStore.overwrite(baseSh)
+        // stage the delivery as `chunks` doc_id-range files; one file
+        // per trigger = one delivery per micro-batch
+        val inDir = ws.resolve("deliveries").toString
+        val span = math.max(1L, (maxId - cut) / chunks + 1L)
+        (0 until chunks).foreach { c =>
+          delta.filter(col("doc_id") >= cut + c * span &&
+              col("doc_id") < cut + (c + 1) * span)
+            .coalesce(1).write.mode("append").parquet(inDir)
+        }
+        (idxDir, inDir, cut, delta.schema)
+      })
+    }
+  }
+
   def dedupDelta(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,
       chunks: Int = 4): DataFrame =
     DriveSupport.withWorkspace("graft-idxm") { ws =>
-      val docs = Tables.load(spark, dir, "documents")
-      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
-      val base = docs.filter(col("doc_id") < cut)
-      val delta = docs.filter(col("doc_id") >= cut)
-
-      // bootstrap: the pre-stream index state (base postings committed
-      // once — the store the deliveries will extend)
+      val (pristineIdx, inDir, cut, deltaSchema) =
+        stagedBootstrap(spark, dir, nHashes, bands, chunks)
+      // this run's OWN index: a file copy of the pristine bootstrap —
+      // the stream below appends to the copy, the pristine state
+      // serves the next run (SnapshotStore manifests reference version
+      // dirs by RELATIVE name, so a copied root is self-contained)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
       val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
       val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
-      val baseSh = TextSim.shingleHashesOf(base).localCheckpoint()
-      bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
-      pStore.overwrite(baseSh)
-
-      // stage the delivery as `chunks` doc_id-range files; one file
-      // per trigger = one delivery per micro-batch
-      val inDir = ws.resolve("deliveries").toString
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
-      (0 until chunks).foreach { c =>
-        delta.filter(col("doc_id") >= cut + c * span &&
-            col("doc_id") < cut + (c + 1) * span)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
 
       DriveSupport.withStreamConfs(spark) {
-        val q = spark.readStream.schema(delta.schema)
+        val q = spark.readStream.schema(deltaSchema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .writeStream
           .option("checkpointLocation", ws.resolve("ckpt").toString)
