@@ -56,6 +56,36 @@ private[streaming] object DriveSupport {
   def sinkName(tag: String): String =
     s"t_${tag}_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  private val stageMemo = new graft.core.Caches.PerSession[
+    scala.collection.mutable.Map[String, Any]]
+
+  /** Build-once IMMUTABLE staging per (session, key): drives whose
+    * input files never change after creation (events + up-front
+    * sentinels, banded arrivals, reshaped cells, bootstrapped index
+    * state) pay the staging jobs once per session instead of once per
+    * measured pass — only the STREAM belongs in the measured path.
+    * `build` writes its files under a fresh target/ dir (swept by a
+    * JVM shutdown hook, one per key per process) and returns whatever
+    * handles the drive needs (dirs, schemas, scalars). Do NOT use for
+    * drives that append mid-drive (DedupDrive's re-delivery, the
+    * restart flows) — their staging mutates and must stay per-run. */
+  def stagedOnce[T](spark: org.apache.spark.sql.SparkSession,
+      key: String)(build: Path => T): T = {
+    val memo = stageMemo.get(spark)(
+      scala.collection.mutable.Map.empty[String, Any])
+    memo.synchronized {
+      memo.getOrElseUpdate(key, {
+        val ws = Files.createDirectories(Paths.get(
+          "target/graft-stage/" + java.util.UUID.randomUUID())
+          .toAbsolutePath)
+        sys.addShutdownHook {
+          org.apache.commons.io.FileUtils.deleteQuietly(ws.toFile)
+        }
+        build(ws)
+      }).asInstanceOf[T]
+    }
+  }
+
   /** SPARK_GRAFT_STATE_PROVIDER=rocksdb|hdfs overrides the state store
     * provider for every drive that doesn't pin one itself (mirrors
     * StreamScale's switch) — this is how the bench records the drive

@@ -39,29 +39,35 @@ object HeavyHitterDrive {
       val name = DriveSupport.sinkName("hh_drive")
       val events = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
-      val eDir = ws.resolve("events").toString
-      // staged as EIGHT files, not one: the file source maps one small
-      // file to one input partition, so a single-file staging would run
-      // the 32× explode + sketch partial aggregation — this drive's
-      // dominant cost — on ONE task. All files still land in trigger #1
-      // (no maxFilesPerTrigger), so the one-batch drive semantics are
-      // untouched; the MG output exposes only the order-free membership
-      // guarantee, so partial-aggregation parallelism cannot move it
-      events.repartition(8).write.parquet(eDir)
-      // the window-closing sentinel rides the INITIAL staging (r17, the
-      // IntervalJoinDrive pattern): batch #1 sees every row at the
-      // watermark floor (nothing late), its commit advances the
-      // watermark past every real window, and the engine's no-data
-      // micro-batch emits them — one data batch instead of two, no
-      // mid-drive append. The sentinel's far-future window stays open
-      // in state and is dropped by the inner join below — the `events`
-      // frame predates the staging
-      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-      spark.range(1)
-        .select(lit(-1L).as("event_id"),
-          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
-            .as("ts"))
-        .write.mode("append").parquet(eDir)
+      // immutable staging (events + up-front sentinel), once per
+      // session — see DriveSupport.stagedOnce
+      val eDir = DriveSupport.stagedOnce(spark, s"hh|$dir") { sws =>
+        val d = sws.resolve("events").toString
+        // staged as EIGHT files, not one: the file source maps one
+        // small file to one input partition, so a single-file staging
+        // would run the 32× explode + sketch partial aggregation —
+        // this drive's dominant cost — on ONE task. All files still
+        // land in trigger #1 (no maxFilesPerTrigger), so the one-batch
+        // drive semantics are untouched; the MG output exposes only
+        // the order-free membership guarantee, so partial-aggregation
+        // parallelism cannot move it
+        events.repartition(8).write.parquet(d)
+        // the window-closing sentinel rides the INITIAL staging (r17,
+        // the IntervalJoinDrive pattern): batch #1 sees every row at
+        // the watermark floor (nothing late), its commit advances the
+        // watermark past every real window, and the engine's no-data
+        // micro-batch emits them — one data batch instead of two, no
+        // mid-drive append. The sentinel's far-future window stays
+        // open in state and is dropped by the inner join below — the
+        // `events` frame predates the staging
+        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+        spark.range(1)
+          .select(lit(-1L).as("event_id"),
+            (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+              .as("ts"))
+          .write.mode("append").parquet(d)
+        d
+      }
 
       // ~720 hourly-window groups per task: without the headroom the
       // ObjectHashAggregate fallback was SORTING the 3.2M exploded rows

@@ -49,52 +49,39 @@ object IndexMaintain {
   private type Staged = (String, String, Long,
     org.apache.spark.sql.types.StructType)
 
-  private val stageMemo = new graft.core.Caches.PerSession[
-    scala.collection.mutable.Map[String, Staged]]
-
   /** Bootstrap + staging, once per (session, dir, params): the
     * PRISTINE pre-stream index (base postings committed once) and the
     * immutable delivery files. Both are read-only after creation —
     * each drive run COPIES the pristine store into its own workspace
     * (an O(store-bytes) file copy instead of an O(base-corpus)
-    * shingle+commit recompute per measured pass; the IntervalJoinDrive
-    * shared-staging precedent) and appends to the copy. */
+    * shingle+commit recompute per measured pass;
+    * [[DriveSupport.stagedOnce]]) and appends to the copy. */
   private def stagedBootstrap(spark: SparkSession, dir: String,
-      nHashes: Int, bands: Int, chunks: Int): Staged = {
-    val memo = stageMemo.get(spark)(
-      scala.collection.mutable.Map.empty[String, Staged])
-    memo.synchronized {
-      memo.getOrElseUpdate(s"$dir|$nHashes|$bands|$chunks", {
-        val ws = java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get("target/graft-idxm-stage/" +
-            java.util.UUID.randomUUID()).toAbsolutePath)
-        sys.addShutdownHook {
-          org.apache.commons.io.FileUtils.deleteQuietly(ws.toFile)
-        }
-        val docs = Tables.load(spark, dir, "documents")
-        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-        val cut = maxId * 4 / 5 + 1
-        val base = docs.filter(col("doc_id") < cut)
-        val delta = docs.filter(col("doc_id") >= cut)
-        val idxDir = ws.resolve("idx").toString
-        val bStore = new SnapshotStore(s"$idxDir/buckets")
-        val pStore = new SnapshotStore(s"$idxDir/postings")
-        val baseSh = TextSim.shingleHashesOf(base).localCheckpoint()
-        bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
-        pStore.overwrite(baseSh)
-        // stage the delivery as `chunks` doc_id-range files; one file
-        // per trigger = one delivery per micro-batch
-        val inDir = ws.resolve("deliveries").toString
-        val span = math.max(1L, (maxId - cut) / chunks + 1L)
-        (0 until chunks).foreach { c =>
-          delta.filter(col("doc_id") >= cut + c * span &&
-              col("doc_id") < cut + (c + 1) * span)
-            .coalesce(1).write.mode("append").parquet(inDir)
-        }
-        (idxDir, inDir, cut, delta.schema)
-      })
+      nHashes: Int, bands: Int, chunks: Int): Staged =
+    DriveSupport.stagedOnce(spark,
+        s"idxm|$dir|$nHashes|$bands|$chunks") { ws =>
+      val docs = Tables.load(spark, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId * 4 / 5 + 1
+      val base = docs.filter(col("doc_id") < cut)
+      val delta = docs.filter(col("doc_id") >= cut)
+      val idxDir = ws.resolve("idx").toString
+      val bStore = new SnapshotStore(s"$idxDir/buckets")
+      val pStore = new SnapshotStore(s"$idxDir/postings")
+      val baseSh = TextSim.shingleHashesOf(base).localCheckpoint()
+      bStore.overwrite(TextSim.bandBucketsOf(baseSh, nHashes, bands))
+      pStore.overwrite(baseSh)
+      // stage the delivery as `chunks` doc_id-range files; one file
+      // per trigger = one delivery per micro-batch
+      val inDir = ws.resolve("deliveries").toString
+      val span = math.max(1L, (maxId - cut) / chunks + 1L)
+      (0 until chunks).foreach { c =>
+        delta.filter(col("doc_id") >= cut + c * span &&
+            col("doc_id") < cut + (c + 1) * span)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      (idxDir, inDir, cut, delta.schema)
     }
-  }
 
   def dedupDelta(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,

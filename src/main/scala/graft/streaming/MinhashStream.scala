@@ -123,20 +123,32 @@ object MinhashStream {
     * pair set — equal to the batch operator's, so the oracle is the
     * full exact-Jaccard ≥ 0.8 pair sweep (the same
     * banding-completeness license as dedup_cluster_minhash). */
-  def dedup(spark: SparkSession, dir: String, threshold: Double = 0.8)
-      : DataFrame =
-    DriveSupport.withWorkspace("graft-mhstream") { ws =>
-      import spark.implicits._
-      val name = DriveSupport.sinkName("mh_dedup")
+  /** Stage the banded arrival files once per (session, dir) — the
+    * shingle+band pass and the staged files are immutable, so only
+    * the STREAM belongs in the measured path
+    * ([[DriveSupport.stagedOnce]]); each drive run keeps its own
+    * checkpoint and sink. */
+  private def stagedArrivals(spark: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) =
+    DriveSupport.stagedOnce(spark, s"mhstream|$dir") { ws =>
       val rows = bandedDocs(spark, dir)
       val inDir = ws.resolve("arrivals").toString
       // range-partitioned staging: four files ≈ four arrival cohorts,
       // so near-dup pairs genuinely straddle trigger boundaries
       rows.repartitionByRange(4, col("doc_id"))
         .write.parquet(inDir)
+      (inDir, rows.schema)
+    }
+
+  def dedup(spark: SparkSession, dir: String, threshold: Double = 0.8)
+      : DataFrame =
+    DriveSupport.withWorkspace("graft-mhstream") { ws =>
+      import spark.implicits._
+      val name = DriveSupport.sinkName("mh_dedup")
+      val (inDir, schema) = stagedArrivals(spark, dir)
 
       DriveSupport.withStreamConfs(spark) {
-        val stream = spark.readStream.schema(rows.schema)
+        val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val q = machine(stream.as[BandArrival], threshold)
           .toDF()

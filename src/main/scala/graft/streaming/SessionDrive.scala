@@ -48,19 +48,24 @@ object SessionDrive {
       val events = Tables.load(spark, dir, "events")
         .select(col("user_id"),
           col("ts").cast("timestamp").as("ts"), col("value"))
-      val eDir = ws.resolve("events").toString
-      events.coalesce(1).write.parquet(eDir)
-      // session-closing sentinel staged up front (r17, the
-      // IntervalJoinDrive pattern): batch #1 sees everything at the
-      // watermark floor, the no-data batch emits the closed sessions —
-      // one data batch, no mid-drive append
-      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-      spark.range(1)
-        .select(lit(-1L).as("user_id"),
-          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
-            .as("ts"),
-          lit(0.0).as("value"))
-        .write.mode("append").parquet(eDir)
+      // immutable staging (events + up-front sentinel), once per
+      // session — see DriveSupport.stagedOnce
+      val eDir = DriveSupport.stagedOnce(spark, s"session|$dir") { sws =>
+        val d = sws.resolve("events").toString
+        events.coalesce(1).write.parquet(d)
+        // session-closing sentinel staged up front (r17, the
+        // IntervalJoinDrive pattern): batch #1 sees everything at the
+        // watermark floor, the no-data batch emits the closed
+        // sessions — one data batch, no mid-drive append
+        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+        spark.range(1)
+          .select(lit(-1L).as("user_id"),
+            (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+              .as("ts"),
+            lit(0.0).as("value"))
+          .write.mode("append").parquet(d)
+        d
+      }
 
       DriveSupport.withStreamConfs(spark) {
         val stream = spark.readStream.schema(events.schema).parquet(eDir)

@@ -34,19 +34,24 @@ object TopKDrive {
       val events = Tables.load(spark, dir, "events")
         .select(col("event_id"),
           col("ts").cast("timestamp").as("ts"), col("value"))
-      val eDir = ws.resolve("events").toString
-      events.coalesce(1).write.parquet(eDir)
-      // window-closing sentinel staged up front (r17, the
-      // IntervalJoinDrive pattern): batch #1 sees everything at the
-      // watermark floor, the no-data batch emits the closed windows —
-      // one data batch, no mid-drive append
-      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-      spark.range(1)
-        .select(lit(-1L).as("event_id"),
-          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
-            .as("ts"),
-          lit(-1.0).as("value"))
-        .write.mode("append").parquet(eDir)
+      // immutable staging (events + up-front sentinel), once per
+      // session — see DriveSupport.stagedOnce
+      val eDir = DriveSupport.stagedOnce(spark, s"topk|$dir") { sws =>
+        val d = sws.resolve("events").toString
+        events.coalesce(1).write.parquet(d)
+        // window-closing sentinel staged up front (r17, the
+        // IntervalJoinDrive pattern): batch #1 sees everything at the
+        // watermark floor, the no-data batch emits the closed windows
+        // — one data batch, no mid-drive append
+        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+        spark.range(1)
+          .select(lit(-1L).as("event_id"),
+            (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+              .as("ts"),
+            lit(-1.0).as("value"))
+          .write.mode("append").parquet(d)
+        d
+      }
 
       // ~720 hourly-window groups: same ObjectHashAggregate fallback as
       // HeavyHitterDrive — keep the k-bounded buffers in the hash regime

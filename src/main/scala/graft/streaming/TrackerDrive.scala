@@ -38,21 +38,26 @@ object TrackerDrive {
         .select(col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"),
           round(col("value") * 100, 0).as("value"))
-      val eDir = ws.resolve("events").toString
-      events.coalesce(1).write.parquet(eDir)
-      // timeout-firing sentinel staged up front (r17, the
-      // IntervalJoinDrive pattern): batch #1 runs every user's machine
-      // over its full event set at the watermark floor, the commit
-      // advances the watermark, and the no-data batch fires the
-      // event-time timeouts that close the real sessions — one data
-      // batch, no mid-drive append
-      val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
-      spark.range(1)
-        .select(lit(-1L).as("user_id"), lit("view").as("event_type"),
-          (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
-            .as("ts"),
-          lit(0.0).as("value"))
-        .write.mode("append").parquet(eDir)
+      // immutable staging (events + up-front sentinel), once per
+      // session — see DriveSupport.stagedOnce
+      val eDir = DriveSupport.stagedOnce(spark, s"tracker|$dir") { sws =>
+        val d = sws.resolve("events").toString
+        events.coalesce(1).write.parquet(d)
+        // timeout-firing sentinel staged up front (r17, the
+        // IntervalJoinDrive pattern): batch #1 runs every user's
+        // machine over its full event set at the watermark floor, the
+        // commit advances the watermark, and the no-data batch fires
+        // the event-time timeouts that close the real sessions — one
+        // data batch, no mid-drive append
+        val maxTs = events.agg(max(col("ts"))).head().getAs[Any](0)
+        spark.range(1)
+          .select(lit(-1L).as("user_id"), lit("view").as("event_type"),
+            (lit(maxTs).cast("timestamp") + expr("INTERVAL 366 days"))
+              .as("ts"),
+            lit(0.0).as("value"))
+          .write.mode("append").parquet(d)
+        d
+      }
 
       DriveSupport.withStreamConfs(spark) {
         import spark.implicits._

@@ -38,8 +38,13 @@ object TwsDrive {
         .select(col("user_id"), col("event_type"),
           col("ts").cast("timestamp").as("ts"),
           round(col("value") * 100, 0).as("value"))
-      val eDir = ws.resolve("events").toString
-      events.coalesce(1).write.parquet(eDir)
+      // immutable staging, once per session — see
+      // DriveSupport.stagedOnce
+      val eDir = DriveSupport.stagedOnce(spark, s"tws|$dir") { sws =>
+        val d = sws.resolve("events").toString
+        events.coalesce(1).write.parquet(d)
+        d
+      }
 
       DriveSupport.withStreamConfs(spark, provider = Some(
         "org.apache.spark.sql.execution.streaming." +
