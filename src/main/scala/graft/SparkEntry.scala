@@ -464,6 +464,10 @@ object SparkEntry {
     // hash gate — see AudioFp.dedupAudioDelta
     "dedup_audio_delta" -> ((s: SparkSession, d: String) =>
       graft.multimodal.AudioFp.dedupAudioDelta(s, d)),
+    // the retrain gauge for the audio-fingerprint store (shared
+    // bit-occupancy + novelty algebra — Phash.bitDriftOf)
+    "audio_drift_check" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.AudioFp.audioDriftCheck(s, d)),
     // perceptual video dedup through the REAL mux→BMFF-demux→JPEG-
     // decode roundtrip: generationally re-encoded / 2x-temporally-
     // upsampled / freeze-frame-padded twins share one collapsed
@@ -477,7 +481,11 @@ object SparkEntry {
     // mux->demux->decode roundtrip) — full hash gate — see
     // VideoFp.dedupVideoDelta
     "dedup_video_delta" -> ((s: SparkSession, d: String) =>
-      graft.multimodal.VideoFp.dedupVideoDelta(s, d)))
+      graft.multimodal.VideoFp.dedupVideoDelta(s, d)),
+    // the retrain gauge for the video-sequence store (sequence-length
+    // occupancy + novelty — see VideoFp.videoDriftCheck)
+    "video_drift_check" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.VideoFp.videoDriftCheck(s, d)))
 
   /** Gaps-and-islands session oracle — shared by the batch
     * (`stream_session`) and native-session_window-drive
@@ -747,6 +755,44 @@ object SparkEntry {
         |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    // the audio gauge twin: identical H-K bit recomputation from the
+    // sample formula; the phash_drift_check panel algebra verbatim
+    "audio_drift_check" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |ah AS (SELECT doc_id, (anchor * 2654435761) % 1000003 AS a1 FROM g),
+        |m AS (SELECT doc_id, list_transform(range(0, 340), i ->
+        |    (a1 + i * i * (a1 % 97 + 3) + i * (a1 % 89 + 7)
+        |     + (i * i * i) % 1009 * (a1 % 83 + 11)) % 121 - 60) AS m
+        |  FROM ah),
+        |s AS (SELECT doc_id, list_transform(range(0, 85), ci ->
+        |    m[ci * 4 + 1] + m[ci * 4 + 2] + m[ci * 4 + 3] + m[ci * 4 + 4]) AS s FROM m),
+        |d AS (SELECT doc_id, list_transform(range(0, 68), di ->
+        |    s[(di // 4) * 5 + (di % 4) + 1] - s[(di // 4) * 5 + (di % 4) + 2]) AS d FROM s),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN d[((b // 4) + 1) * 4 + (b % 4) + 1] > d[(b // 4) * 4 + (b % 4) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM d),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
+        |    array_to_string(bits, '') AS fp FROM bits),
+        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
+        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
+        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
+        |pb AS (SELECT t.b AS bit,
+        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
+        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
+        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
+        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
+        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
+        |    novel_occ * 2 > td AS novelty_drift
+        |  FROM pb, tot, nov)
+        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
+        |  novelty_drift,
+        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
+        |FROM panel ORDER BY bit""".stripMargin,
     // the delta twin: identical hash recomputation, pairs restricted
     // to the newer-side-in-the-delivery slice (chunk-LSH completeness
     // is per-pair, so the restriction loses nothing — the
@@ -800,6 +846,44 @@ object SparkEntry {
         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
         |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
+    // the video gauge twin: identical collapsed-sequence
+    // recomputation; sequence-length occupancy panel + vseq novelty
+    "video_drift_check" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS anchor FROM documents),
+        |fr AS (SELECT doc_id, anchor, unnest(range(0, anchor % 3 + 3)) AS f FROM g),
+        |h AS (SELECT doc_id, f, array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN
+        |      list_sum(list_transform(range(0, (i % 8) + 2), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |      >
+        |      list_sum(list_transform(range(0, (i % 8) + 1), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |    THEN '1' ELSE '0' END), '') AS fh FROM fr),
+        |seqs AS (SELECT doc_id, list(fh ORDER BY f) AS hs FROM h GROUP BY doc_id),
+        |coll AS (SELECT doc_id, list_filter(hs, (x, i) -> i = 1 OR x <> hs[i - 1]) AS cs FROM seqs),
+        |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |f2 AS (SELECT doc_id, vseq, n_frames,
+        |    doc_id >= (SELECT c FROM cut) AS is_d FROM v),
+        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f2
+        |  WHERE is_d AND vseq NOT IN (SELECT vseq FROM f2 WHERE NOT is_d)),
+        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f2),
+        |pl AS (SELECT n_frames,
+        |    CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS n_base,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS n_delta
+        |  FROM f2 GROUP BY n_frames),
+        |panel AS (SELECT n_frames, n_base, n_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
+        |    novel_occ * 2 > td AS novelty_drift
+        |  FROM pl, tot, nov)
+        |SELECT n_frames, n_base, n_delta, occ_shift, novel_rate,
+        |  novelty_drift,
+        |  bool_or(occ_shift) OVER () OR novelty_drift AS seq_retrain
+        |FROM panel ORDER BY n_frames""".stripMargin,
     // the delta twin: identical sequence recomputation, pairs
     // restricted to the newer-side-in-the-delivery slice
     // (equality-join completeness is per-pair)

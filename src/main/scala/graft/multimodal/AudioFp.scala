@@ -204,4 +204,18 @@ object AudioFp {
     Phash.chunkLshPairs(ensureIndex(spark, dir), "afp", Some(cut),
       maxHamming)
   }
+
+  /** Driver key `audio_drift_check`: the retrain-trigger gauge for the
+    * AUDIO-fingerprint store — [[Phash.phashDriftCheck]]'s shape for
+    * the second perceptual family (the H-K-style hash packs gradient
+    * bit b as `1L << b` exactly like dHash, so the per-bit occupancy
+    * + full-hash novelty algebra is SHARED — [[Phash.bitDriftOf]]).
+    * Store-served: zero WAV decode at gauge time. */
+  def audioDriftCheck(spark: SparkSession, dir: String): DataFrame = {
+    val fps = ensureIndex(spark, dir)
+    val cut = Phash.deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    Phash.bitDriftOf(fps.filter(col("doc_id") < cut),
+      fps.filter(col("doc_id") >= cut), "afp")
+  }
 }

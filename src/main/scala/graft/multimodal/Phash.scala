@@ -273,11 +273,23 @@ object Phash {
   /** Frame-parameterized core — specs plant shifted fingerprint
     * frames through it to flip each arm independently. Both frames
     * carry (doc_id, phash). */
-  def phashDriftOf(base: DataFrame, delta: DataFrame): DataFrame = {
-    val tagged = base.select(col("doc_id"), col("phash"))
-        .withColumn("is_delta", lit(false))
-      .unionByName(delta.select(col("doc_id"), col("phash"))
-        .withColumn("is_delta", lit(true)))
+  def phashDriftOf(base: DataFrame, delta: DataFrame): DataFrame =
+    bitDriftOf(base, delta, "phash")
+
+  /** The gauge over ANY 64-bit-fingerprint store — shared by the
+    * image ([[phashDriftCheck]]) and audio
+    * ([[AudioFp.audioDriftCheck]]) families: their stores are both
+    * (doc_id, <64-bit hash>) and both hashes pack gradient bit b as
+    * `1L << b`, so per-bit occupancy and full-hash novelty read the
+    * same way. */
+  private[multimodal] def bitDriftOf(base0: DataFrame,
+      delta0: DataFrame, hashCol: String): DataFrame = {
+    val base = base0.select(col("doc_id"),
+      col(hashCol).as("phash"))
+    val delta = delta0.select(col("doc_id"),
+      col(hashCol).as("phash"))
+    val tagged = base.withColumn("is_delta", lit(false))
+      .unionByName(delta.withColumn("is_delta", lit(true)))
     val perBit = tagged
       .select(col("is_delta"), col("phash"),
         explode(expr("sequence(0, 63)")).as("bit"))

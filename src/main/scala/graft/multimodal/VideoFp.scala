@@ -230,4 +230,55 @@ object VideoFp {
       Tables.load(spark, dir, "documents").select("doc_id"))
     seqPairs(ensureIndex(spark, dir), Some(cut))
   }
+
+  /** Driver key `video_drift_check`: the retrain-trigger gauge for
+    * the VIDEO-sequence store — the third perceptual gauge. A
+    * collapsed frame-hash sequence is not a fixed-width hash, so the
+    * bit-occupancy arm doesn't apply; the signals that DO read on a
+    * sequence store: (1) occupancy shift across sequence LENGTHS
+    * (n_frames — a shift means the delivery's temporal structure
+    * moved: longer cuts, more scene changes) in the exact
+    * cross-multiplication, and (2) NOVELTY mass (delivery sequences
+    * the base never produced). Store-served: zero demux/decode at
+    * gauge time. */
+  def videoDriftCheck(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = ensureIndex(spark, dir)
+    val cut = Phash.deltaCutoff(
+      Tables.load(spark, dir, "documents").select("doc_id"))
+    videoDriftOf(seqs.filter(col("doc_id") < cut),
+      seqs.filter(col("doc_id") >= cut))
+  }
+
+  /** Frame-parameterized core — both frames carry
+    * (doc_id, vseq, n_frames). */
+  def videoDriftOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val tagged = base.select(col("doc_id"), col("vseq"),
+        col("n_frames")).withColumn("is_delta", lit(false))
+      .unionByName(delta.select(col("doc_id"), col("vseq"),
+        col("n_frames")).withColumn("is_delta", lit(true)))
+    val perLen = tagged.groupBy("n_frames")
+      .agg(count(when(!col("is_delta"), lit(1))).as("n_base"),
+        count(when(col("is_delta"), lit(1))).as("n_delta"))
+    val totals = tagged.agg(
+      count(when(!col("is_delta"), lit(1))).as("tb"),
+      count(when(col("is_delta"), lit(1))).as("td"))
+    val novel = delta.join(base.select("vseq").distinct(),
+        Seq("vseq"), "left_anti")
+      .agg(count(lit(1)).as("novel_occ"))
+    val panel = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perLen.crossJoin(broadcast(totals)).crossJoin(broadcast(novel))
+      .select(col("n_frames"), col("n_base"), col("n_delta"),
+        (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
+             col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
+          col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
+        when(col("td") === 0, lit(0.0))
+          .otherwise(round(col("novel_occ").cast("double") / col("td"),
+            6)).as("novel_rate"),
+        (col("novel_occ") * 2 > col("td")).as("novelty_drift"))
+      .select(col("*"),
+        (bool_or(col("occ_shift")).over(panel) || col("novelty_drift"))
+          .as("seq_retrain"))
+      .orderBy("n_frames")
+  }
 }

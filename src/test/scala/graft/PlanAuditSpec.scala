@@ -58,8 +58,8 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted image-fingerprint store (codec
     // roundtrip in mapPartitions) on construction
     "dedup_phash_delta",
-    // store-served gauge: builds/loads the same store + the split job
-    "phash_drift_check",
+    // store-served gauges: build/load the same stores + the split job
+    "phash_drift_check", "audio_drift_check", "video_drift_check",
     // build/load the persisted audio/video fingerprint stores (codec
     // roundtrips in mapPartitions) on construction
     "dedup_audio_delta", "dedup_video_delta",

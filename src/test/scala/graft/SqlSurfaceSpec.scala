@@ -40,6 +40,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "curate_budget", "curate_delta", "curate_e2e",
     "curate_full", "curate_scrub", "curate_scrub_delta",
     "date_arith_funcs", "decontaminate", "decontaminate_semantic",
+    "audio_drift_check", "video_drift_check",
     "dedup_audio", "dedup_audio_delta", "dedup_canonical", "dedup_chunks",
     "dedup_chunks_delta", "dedup_cluster",
     "dedup_cluster_minhash", "dedup_embedding", "dedup_keep_best",

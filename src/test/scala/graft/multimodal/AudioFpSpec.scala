@@ -102,4 +102,18 @@ class AudioFpSpec extends SparkSuite {
     assert(viaDelta.nonEmpty,
       "no delta pairs — vacuous (planted groups of 5 span the cutoff)")
   }
+
+  test("drift gauge on the fixture: store-served panel is internally " +
+      "consistent (the shared bitDriftOf core; arm flips covered by " +
+      "PhashSpec)") {
+    val rows = AudioFp.audioDriftCheck(spark, dir).collect()
+    assert(rows.length === 64)
+    val any = rows.exists(_.getAs[Boolean]("occ_shift")) ||
+      rows.head.getAs[Boolean]("novelty_drift")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("fp_retrain") === any)
+      assert(r.getAs[Double]("novel_rate") ===
+        rows.head.getAs[Double]("novel_rate"))
+    }
+  }
 }

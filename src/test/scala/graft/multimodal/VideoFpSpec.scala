@@ -105,4 +105,48 @@ class VideoFpSpec extends SparkSuite {
     assert(viaDelta.nonEmpty,
       "no delta pairs — vacuous (planted groups of 4 span the cutoff)")
   }
+
+  test("drift gauge: a sequence-length migration flips occ_shift; " +
+      "novelty stays quiet when sequences repeat") {
+    import spark.implicits._
+    // base: half the items 2-frame, half 3-frame; delta reuses ONLY
+    // base sequences but all mass moves to the 3-frame one
+    val base = (0L until 20L).map(i =>
+      if (i % 2 == 0) (i, "a|b", 2L) else (i, "a|b|c", 3L))
+      .toDF("doc_id", "vseq", "n_frames")
+    val delta = (100L until 110L).map(i => (i, "a|b|c", 3L))
+      .toDF("doc_id", "vseq", "n_frames")
+    val p = VideoFp.videoDriftOf(base, delta).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(3L).getAs[Boolean]("occ_shift"),
+      "3-frame share 0.5 -> 1.0 must flip occ_shift")
+    assert(!p(3L).getAs[Boolean]("novelty_drift"))
+    assert(p(3L).getAs[Double]("novel_rate") === 0.0)
+    assert(p.values.forall(_.getAs[Boolean]("seq_retrain")))
+  }
+
+  test("drift gauge: all-new sequences flip the novelty arm with " +
+      "length occupancy preserved") {
+    import spark.implicits._
+    val base = (0L until 20L).map(i => (i, s"x${i % 2}|y", 2L))
+      .toDF("doc_id", "vseq", "n_frames")
+    val delta = (100L until 120L).map(i => (i, s"n$i|m", 2L))
+      .toDF("doc_id", "vseq", "n_frames")
+    val p = VideoFp.videoDriftOf(base, delta).collect()
+    assert(p.forall(_.getAs[Boolean]("novelty_drift")))
+    assert(p.forall(_.getAs[Double]("novel_rate") === 1.0))
+    assert(p.forall(!_.getAs[Boolean]("occ_shift")),
+      "length occupancy is preserved — occ arm must stay quiet")
+    assert(p.forall(_.getAs[Boolean]("seq_retrain")))
+  }
+
+  test("drift gauge on the fixture: store-served panel is internally " +
+      "consistent") {
+    val rows = VideoFp.videoDriftCheck(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val any = rows.exists(_.getAs[Boolean]("occ_shift")) ||
+      rows.head.getAs[Boolean]("novelty_drift")
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("seq_retrain") === any))
+  }
 }
