@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, ChunkIndex, Cluster, Contracts, EmbeddingIndex, Events, Finders, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, ChunkIndex, Cluster, Contracts, EmbeddingIndex, Events, Finders, FuzzyJoin, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -133,6 +133,10 @@ object SparkEntry {
     // before the join shuffle — see BloomJoin (result == plain join,
     // no false negatives)
     "join_bloom_reduced" -> (BloomJoin.joinBloomReduced _),
+    // edit-distance join (entity resolution): Ed-Join prefix-filter
+    // blocking + banded levenshtein verify — see FuzzyJoin
+    "join_fuzzy" -> ((s: SparkSession, d: String) =>
+      FuzzyJoin.joinFuzzy(s, d)),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -1468,6 +1472,23 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // fuzzy join: the oracle states the UNBLOCKED truth (full
+    // levenshtein predicate over probes × part), so the hash gate
+    // proves the Ed-Join prefix filter's completeness end-to-end;
+    // verification-scale cross join on the oracle side only
+    "join_fuzzy" ->
+      """WITH probes AS (SELECT p_partkey AS probe_id,
+        |    concat(substring(p_name, 1, 2), substring(p_name, 4)) AS probe_name
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |m AS (SELECT probe_id, probe_name, p_partkey, p_name,
+        |    CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+        |  FROM probes CROSS JOIN part
+        |  WHERE levenshtein(probe_name, p_name) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dist, p_partkey) AS rn FROM m)
+        |SELECT probe_id, probe_name, p_partkey AS match_key,
+        |  p_name AS match_name, dist
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,
