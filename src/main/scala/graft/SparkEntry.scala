@@ -403,6 +403,12 @@ object SparkEntry {
     // streaming.IndexMaintain
     "stream_index_delta" -> ((s: SparkSession, d: String) =>
       streaming.IndexMaintain.dedupDelta(s, d)),
+    // store COMPACTION proven under the same exact oracle: append 4
+    // deliveries, compact the chain to one commit, replay a delivery
+    // (the _applied_tags sidecar must no-op it), serve the pairs —
+    // see IndexMaintain.dedupDeltaCompacted
+    "index_compact_check" -> ((s: SparkSession, d: String) =>
+      streaming.IndexMaintain.dedupDeltaCompacted(s, d)),
     // --- contract keys: the approximate families' bound/recall/
     // completeness contracts as hash-gated booleans (see Contracts) ---
     "agg_approx_distinct_bound" -> (Contracts.approxDistinctBound _),
@@ -3095,6 +3101,23 @@ object SparkEntry {
     // identical output contract to dedup_minhash_delta: the streamed
     // appendOnce maintenance yields a bit-identical persisted index
     "stream_index_delta" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
+        |WHERE d2 >= cut.c
+        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    // the compacted chain must serve bit-identical content: same oracle
+    "index_compact_check" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle

@@ -461,9 +461,70 @@ class SnapshotStore(val path: String,
     val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
     val spark = df.sparkSession
     val committed = manifests(spark).lastOption
-      .exists(_._2.exists(_.endsWith(s"-t$clean")))
+      .exists(_._2.exists(_.endsWith(s"-t$clean"))) ||
+      sidecarTags(spark).contains(clean)
     if (committed) false
     else { commit(df, appendMode = true, nameTag = Some(clean)); true }
+  }
+
+  private def appliedTagsPath = new Path(s"$path/_applied_tags")
+
+  /** The durable applied-tags memory: [[appendOnce]] embeds each tag
+    * in its version DIR name, but [[compact]] collapses those dirs
+    * away — without this sidecar a delivery REPLAYED after a
+    * compaction would no longer find its tag in the live manifest and
+    * would re-append, exactly the cross-commit corruption appendOnce
+    * exists to prevent. The sidecar carries the union of
+    * compacted-away tags forward; appendOnce consults both. */
+  private[graft] def sidecarTags(spark: SparkSession): Set[String] = {
+    val f = fs(spark)
+    if (!f.exists(appliedTagsPath)) Set.empty
+    else {
+      val in = f.open(appliedTagsPath)
+      try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def dirTags(dirs: Seq[String]): Set[String] =
+    dirs.flatMap("-t([A-Za-z0-9_-]+)$".r
+      .findFirstMatchIn(_).map(_.group(1))).toSet
+
+  /** COMPACT the live snapshot: rewrite its content (a chain of N
+    * version dirs after N deliveries) as ONE fresh commit — the
+    * maintenance pass a long-lived delta chain needs so reads stop
+    * paying an N-way union. Content is bit-preserved (the new commit
+    * is written FROM the live read), and the exactly-once memory
+    * survives: the compacted-away dirs' `-t` tags are folded into the
+    * [[sidecarTags]] sidecar BEFORE the flip (tmp-file + atomic
+    * rename-with-overwrite; a crash between sidecar and overwrite
+    * leaves a superset of the dir-visible tags — harmless, the check
+    * is a union). Like production compaction jobs this assumes a
+    * single-maintainer compaction window: a writer racing the
+    * compaction itself is the caller's lock to take (the per-commit
+    * protocol still prevents torn state — the loser's rename fails). */
+  def compact(spark: SparkSession): Unit = {
+    require(bucket.isEmpty, "compact is not supported on bucketed stores")
+    manifests(spark).lastOption.foreach { case (seq, dirs) =>
+      if (dirs.size > 1) {
+        val tags = sidecarTags(spark) ++ dirTags(dirs)
+        if (tags.nonEmpty) {
+          val f = fs(spark)
+          val tmp = new Path(
+            s"$path/.applied-tags-tmp-${java.util.UUID.randomUUID()}")
+          val out = f.create(tmp, true)
+          try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            f.getUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, appliedTagsPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+        overwrite(readVersion(spark, seq, dirs))
+      }
+    }
   }
 
   /** Bucket-grain COPY-ON-WRITE commit (bucketed stores only) — the

@@ -142,4 +142,44 @@ object IndexMaintain {
       .distinct()
     TextSim.verifyJaccard(cand, postings, threshold)
   }
+
+  /** Driver key `index_compact_check`: the store-lifecycle maintenance
+    * pass proven correct under the full hash gate. A long-lived delta
+    * chain (base + one appendOnce commit per delivery) accumulates
+    * version dirs until reads pay an N-way union;
+    * [[SnapshotStore.compact]] rewrites the live content as ONE
+    * commit. This key drives the whole loop per run: copy the
+    * pristine bootstrap, append the four deliveries (appendOnce, the
+    * streamed-maintenance write path), COMPACT both stores, then
+    * REPLAY a delivery — the replay must be a no-op even though
+    * compaction erased the tag-bearing dirs (the `_applied_tags`
+    * sidecar is the memory) — and serve the delta pairs from the
+    * compacted stores. The oracle is `dedup_minhash_delta`'s exact
+    * SQL: bit-identical content or the gate fails. */
+  def dedupDeltaCompacted(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,
+      chunks: Int = 4): DataFrame =
+    DriveSupport.withWorkspace("graft-idxc") { ws =>
+      val (pristineIdx, inDir, cut, _) =
+        stagedBootstrap(spark, dir, nHashes, bands, chunks)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
+      val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
+      val staged = spark.read.parquet(inDir)
+      val maxId = staged.agg(max(col("doc_id"))).head().getLong(0)
+      val span = math.max(1L, (maxId - cut) / chunks + 1L)
+      def chunk(c: Int) = staged.filter(
+        col("doc_id") >= cut + c * span &&
+          col("doc_id") < cut + (c + 1) * span)
+      (0 until chunks).foreach(c =>
+        appendDelivery(chunk(c), bStore, pStore, c.toLong,
+          nHashes, bands))
+      bStore.compact(spark); pStore.compact(spark)
+      // the replay beat: delivery #1 again, post-compaction — the
+      // sidecar must make it a no-op or the pairs below double-count
+      appendDelivery(chunk(1), bStore, pStore, 1L, nHashes, bands)
+      DriveSupport.pin(spark,
+        pairsFromStores(spark, bStore, pStore, cut, threshold))
+    }
 }

@@ -108,4 +108,57 @@ class IndexMaintainSpec extends SparkSuite {
       assert(pS.read(spark).get.except(fresh).count() === 0L)
     }
   }
+
+  test("compact: content bit-preserved, chain collapsed to one dir, " +
+      "and a replayed delivery stays a no-op via the tags sidecar") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      assert(st.appendOnce(Seq(("d7", 2L)).toDF("k", "v"), "7"))
+      assert(st.appendOnce(Seq(("d8", 3L)).toDF("k", "v"), "8"))
+      val before = st.read(spark).get.collect()
+        .map(_.toString).sorted.toSeq
+      st.compact(spark)
+      assert(st.read(spark).get.collect()
+        .map(_.toString).sorted.toSeq === before,
+        "compaction changed content")
+      val liveDirs = st.read(spark).get.inputFiles
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      assert(liveDirs.length === 1,
+        s"expected one compacted dir, got ${liveDirs.length}")
+      // the replay beat: the tag-bearing dirs are gone; only the
+      // sidecar can stop the re-append
+      assert(st.sidecarTags(spark) === Set("7", "8"))
+      assert(!st.appendOnce(Seq(("d7", 2L)).toDF("k", "v"), "7"),
+        "replay re-appended after compaction")
+      assert(st.read(spark).get.count() === 3L)
+      // and a genuinely NEW delivery still lands
+      assert(st.appendOnce(Seq(("d9", 4L)).toDF("k", "v"), "9"))
+      assert(st.read(spark).get.count() === 4L)
+      // a second compaction folds the new tag in too
+      st.compact(spark)
+      assert(st.sidecarTags(spark) === Set("7", "8", "9"))
+      assert(!st.appendOnce(Seq(("d9", 4L)).toDF("k", "v"), "9"))
+    }
+  }
+
+  test("compact on a single-dir store is a no-op") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      val vs = st.versions(spark)
+      st.compact(spark)
+      assert(st.versions(spark) === vs)
+    }
+  }
+
+  test("driver key flow: compacted stores serve the exact delta " +
+      "pairs and the post-compact replay does not double-count") {
+    val got = IndexMaintain.dedupDeltaCompacted(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.query.MinhashIndex.dedupMinhashDelta(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "vacuous: no delta pairs on the fixture")
+  }
 }
