@@ -54,9 +54,24 @@ object Bench {
     val calibration: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, _) => s.range(0L, 3L << 30, 1L, 32)
         .selectExpr("sum(xxhash64(id)) AS h")
+    // calibration_shuffle_work: the same idea for the SHUFFLE/
+    // scheduler path — constant work, data-independent, but routed
+    // through a real exchange (hash repartition + wide-key aggregate).
+    // Added after the r17 continuation gate caught the box in a state
+    // where pure-CPU throughput was FASTER (fixed_work ×0.72) while
+    // every exchange-bearing key ran ×1.3–2 slower, including keys
+    // whose code had not changed in weeks — a drift dimension the
+    // CPU-only calibration is blind to by construction. With both
+    // keys in the artifact, bench_compare can normalize each side.
+    val calibrationShuffle: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0L, 1L << 24, 1L, 32)
+        .selectExpr("pmod(xxhash64(id), 65536) AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+        .agg(org.apache.spark.sql.functions.sum("sv").as("t"))
     val benched = SparkEntry.queries.view
       .filterKeys(k => !excluded(k) && only.forall(_(k))).toMap +
-      ("calibration_fixed_work" -> calibration)
+      ("calibration_fixed_work" -> calibration) +
+      ("calibration_shuffle_work" -> calibrationShuffle)
     require(benched.size > 1, "SPARK_GRAFT_BENCH_ONLY matched no keys")
     // untimed warmup pass: compiles every plan's codegen + fills caches
     benched.foreach { case (_, fn) =>

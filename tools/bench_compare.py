@@ -51,6 +51,13 @@ ABS_SLACK = 0.1  # seconds; additive scheduler jitter on tiny keys
 # and from regression candidacy; falls back to the field-inferred
 # shift when either artifact predates it.
 CAL_KEY = "calibration_fixed_work"
+# the shuffle/scheduler-path twin (added r17 continuation): the box can
+# drift in PARALLEL-EXCHANGE throughput while pure-CPU throughput
+# improves (observed: fixed_work x0.72 with every exchange-bearing key
+# x1.3-2 slower, untouched code included). When BOTH artifacts carry
+# this key, its ratio normalizes the gate instead — it dominates the
+# cost profile of the benched field.
+CAL_SHUFFLE_KEY = "calibration_shuffle_work"
 
 
 def load(path: str) -> dict:
@@ -112,19 +119,24 @@ def main() -> None:
         print(f"WARNING: provider changed ({old_prov} -> {new_prov}) — "
               "streaming drive timings are NOT comparable across "
               "providers; re-baseline or rerun with the old provider")
-    field = [k for k in common if k != CAL_KEY]
+    field = [k for k in common if k not in (CAL_KEY, CAL_SHUFFLE_KEY)]
     old_total = sum(old["queries"][k] for k in field)
     new_total = sum(new["queries"][k] for k in field)
     field_shift = new_total / old_total
     print(f"common keys: {len(field)}  "
           f"totals: {old_total:.1f}s -> {new_total:.1f}s  "
           f"field-inferred shift x{field_shift:.2f}")
-    if CAL_KEY in old["queries"] and CAL_KEY in new["queries"] \
-            and old["queries"][CAL_KEY] > 0 and new["queries"][CAL_KEY] > 0:
-        shift = new["queries"][CAL_KEY] / old["queries"][CAL_KEY]
-        print(f"measured box shift x{shift:.2f} (calibration key "
-              f"{old['queries'][CAL_KEY]:.2f}s -> "
-              f"{new['queries'][CAL_KEY]:.2f}s) — used for normalization")
+    # prefer the shuffle-path calibration when both artifacts carry it
+    # (it matches the field's cost profile); fall back to the CPU one
+    cal = next((k for k in (CAL_SHUFFLE_KEY, CAL_KEY)
+                if k in old["queries"] and k in new["queries"]
+                and old["queries"][k] > 0 and new["queries"][k] > 0),
+               None)
+    if cal is not None:
+        shift = new["queries"][cal] / old["queries"][cal]
+        print(f"measured box shift x{shift:.2f} (calibration key {cal} "
+              f"{old['queries'][cal]:.2f}s -> "
+              f"{new['queries'][cal]:.2f}s) — used for normalization")
         # sanity clamp: the shift comes from ONE key's ratio, so a lone
         # slow pass on that key alone would scale EVERY gate with it; a
         # real box-state swing beyond 2x in either direction has never
