@@ -217,8 +217,8 @@ object Upsert {
     * bucket-count-bounded, never data-bounded). */
   def commitDeltaCow(store: SnapshotStore, snapshot: DataFrame,
       delta: DataFrame, key: String, version: Seq[Column] = Nil,
-      mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"))
-      : Set[Int] = {
+      mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"),
+      tags: Set[String] = Set.empty): Set[Int] = {
     val (bKey, n) = store.bucket.getOrElse(sys.error(
       "commitDeltaCow requires a bucketed store"))
     require(bKey == key,
@@ -229,8 +229,37 @@ object Upsert {
     val merged = mergeFieldsJoin(
       snapshot.filter(bucketOf.isin(touched.toSeq: _*)), delta, key,
       version, mergeWholly)
-    store.overwriteCow(merged, touched)
+    store.overwriteCow(merged, touched, tags)
     touched
+  }
+
+  /** [[commitDeltaCow]] EXACTLY ONCE per `tag` — the bucketed store's
+    * [[SnapshotStore.appendOnce]], closing the lifecycle gap the
+    * append-mode stores closed in r17: the CoW merge is idempotent
+    * under an IMMEDIATE replay (the version vector decides winners),
+    * but a delivery replayed AFTER a newer delivery merged the same
+    * keys would re-rank against the now-older version column and is
+    * only safe when every caller threads a total version order — the
+    * tag memory removes that obligation entirely. Each CoW commit
+    * writes the previous generation's [[SnapshotStore.sidecarTags]]
+    * PLUS its own tag into the new version dir (single-dir manifests,
+    * so the sidecar is THE carrier — there are no tag-named dirs to
+    * fall back on), atomic with the commit; a replayed delivery finds
+    * its tag in the live sidecar and commits nothing. A plain
+    * [[SnapshotStore.overwrite]] starts a new generation and retires
+    * the memory with the content it guarded. Returns Some(touched
+    * bucket ids) iff this call committed, None on a replay. */
+  def commitDeltaCowOnce(store: SnapshotStore, snapshot: DataFrame,
+      delta: DataFrame, key: String, tag: String,
+      version: Seq[Column] = Nil,
+      mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"))
+      : Option[Set[Int]] = {
+    val spark = delta.sparkSession
+    val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
+    val prev = store.sidecarTags(spark)
+    if (prev.contains(clean)) None
+    else Some(commitDeltaCow(store, snapshot, delta, key, version,
+      mergeWholly, tags = prev + clean))
   }
 }
 
@@ -467,25 +496,48 @@ class SnapshotStore(val path: String,
     else { commit(df, appendMode = true, nameTag = Some(clean)); true }
   }
 
-  private def appliedTagsPath = new Path(s"$path/_applied_tags")
-
-  /** The durable applied-tags memory: [[appendOnce]] embeds each tag
-    * in its version DIR name, but [[compact]] collapses those dirs
-    * away — without this sidecar a delivery REPLAYED after a
-    * compaction would no longer find its tag in the live manifest and
-    * would re-append, exactly the cross-commit corruption appendOnce
-    * exists to prevent. The sidecar carries the union of
-    * compacted-away tags forward; appendOnce consults both. */
+  /** The durable applied-tags memory, scoped to the LIVE manifest's
+    * GENERATION: [[appendOnce]] embeds each tag in its version DIR
+    * name, but [[compact]] collapses those dirs away — without a
+    * sidecar a delivery REPLAYED after a compaction would no longer
+    * find its tag in the live manifest and would re-append, exactly
+    * the cross-commit corruption appendOnce exists to prevent. The
+    * memory lives in an `_applied_tags` file INSIDE a version dir
+    * (underscore prefix — invisible to Spark's file listing, like
+    * `_SUCCESS`), so it is atomic with the commit that wrote it (the
+    * dir is fully written before the manifest rename) and is RETIRED
+    * with the data it guards: a plain [[overwrite]] publishes a fresh
+    * dir with no sidecar, starting a new generation with no tag
+    * residue — a tag consumed against content a later overwrite
+    * replaced must not suppress a legitimate re-delivery against the
+    * new content. Reads are the union over the live manifest's dirs
+    * (an append chain keeps its compacted head dir referenced, so the
+    * folded tags stay visible until the next overwrite/compact). */
   private[graft] def sidecarTags(spark: SparkSession): Set[String] = {
     val f = fs(spark)
-    if (!f.exists(appliedTagsPath)) Set.empty
-    else {
-      val in = f.open(appliedTagsPath)
-      try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
+    manifests(spark).lastOption.map(_._2).getOrElse(Nil).flatMap { d =>
+      val p = new Path(s"$path/$d/_applied_tags")
+      if (!f.exists(p)) Nil
+      else {
+        val in = f.open(p)
+        try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  /** Write `tags` as `version`'s in-dir sidecar — must run after the
+    * dir's data files and before [[publish]], so the memory is atomic
+    * with the commit (a crash pre-publish leaves both as one
+    * age-swept orphan; there is no window where the tags and the data
+    * they guard disagree). */
+  private def writeTagsSidecar(f: org.apache.hadoop.fs.FileSystem,
+      version: String, tags: Set[String]): Unit = {
+    val out = f.create(new Path(s"$path/$version/_applied_tags"), true)
+    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def dirTags(dirs: Seq[String]): Set[String] =
@@ -497,33 +549,27 @@ class SnapshotStore(val path: String,
     * maintenance pass a long-lived delta chain needs so reads stop
     * paying an N-way union. Content is bit-preserved (the new commit
     * is written FROM the live read), and the exactly-once memory
-    * survives: the compacted-away dirs' `-t` tags are folded into the
-    * [[sidecarTags]] sidecar BEFORE the flip (tmp-file + atomic
-    * rename-with-overwrite; a crash between sidecar and overwrite
-    * leaves a superset of the dir-visible tags — harmless, the check
-    * is a union). Like production compaction jobs this assumes a
-    * single-maintainer compaction window: a writer racing the
-    * compaction itself is the caller's lock to take (the per-commit
-    * protocol still prevents torn state — the loser's rename fails). */
+    * survives: the compacted-away dirs' `-t` tags (plus any
+    * previously-folded sidecar) are folded into the new dir's own
+    * [[sidecarTags]] sidecar, written WITH the dir before the manifest
+    * flip — atomic with the commit, no sidecar-vs-data ordering window
+    * at all. NOT unsupported-bucketed by accident: a bucketed store's
+    * manifests are single-dir by construction ([[append]] is
+    * disallowed; [[overwrite]]/[[overwriteCow]] both publish one dir),
+    * so a union chain can never form — compaction is unnecessary
+    * there, not missing. A writer racing the compaction commits
+    * through the same manifest protocol: the loser's rename fails
+    * LOUDLY, no torn state and no lost tag in either interleaving
+    * (CompactAppendRaceSpec holds both at the commit point
+    * cross-process and audits the survivor state), and the loser's
+    * retry re-derives from the winner's manifest — which [[compact]]
+    * and [[appendOnce]] both do by construction on entry. */
   def compact(spark: SparkSession): Unit = {
     require(bucket.isEmpty, "compact is not supported on bucketed stores")
     manifests(spark).lastOption.foreach { case (seq, dirs) =>
-      if (dirs.size > 1) {
-        val tags = sidecarTags(spark) ++ dirTags(dirs)
-        if (tags.nonEmpty) {
-          val f = fs(spark)
-          val tmp = new Path(
-            s"$path/.applied-tags-tmp-${java.util.UUID.randomUUID()}")
-          val out = f.create(tmp, true)
-          try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            f.getUri, spark.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, appliedTagsPath,
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        }
-        overwrite(readVersion(spark, seq, dirs))
-      }
+      if (dirs.size > 1)
+        commit(readVersion(spark, seq, dirs), appendMode = false,
+          tagsSidecar = sidecarTags(spark) ++ dirTags(dirs))
     }
   }
 
@@ -553,15 +599,26 @@ class SnapshotStore(val path: String,
     * their inodes live. Same crash/race story as [[overwrite]] — the
     * version dir is fully written (links included) before the atomic
     * manifest rename publishes it. On an empty store this IS
-    * [[overwrite]]. */
-  def overwriteCow(merged: DataFrame, touched: Set[Int]): Unit = {
+    * [[overwrite]].
+    *
+    * `tags` — the generation's exactly-once memory, written as the new
+    * version dir's [[sidecarTags]] sidecar (atomic with the commit).
+    * A CoW commit retires the previous dir, so a caller that needs
+    * cross-delivery replay protection ([[Upsert.commitDeltaCowOnce]])
+    * passes the previous generation's tags PLUS its own — the sidecar
+    * rides every delivery forward, exactly the compacted-chain story
+    * [[compact]] gives append-mode stores. */
+  def overwriteCow(merged: DataFrame, touched: Set[Int],
+      tags: Set[String] = Set.empty): Unit = {
     val (key, n) = bucket.getOrElse(sys.error(
       "overwriteCow requires a bucketed store"))
     require(touched.forall(b => b >= 0 && b < n),
       s"touched bucket ids must be in [0, $n)")
     val spark = merged.sparkSession
     val committed = manifests(spark)
-    if (committed.isEmpty) { overwrite(merged); return }
+    if (committed.isEmpty) {
+      commit(merged, appendMode = false, tagsSidecar = tags); return
+    }
     val f = fs(spark)
     val seq = committed.last._1 + 1
     // bucketed manifests are single-dir by construction (append is
@@ -580,6 +637,7 @@ class SnapshotStore(val path: String,
         case _ => () // touched bucket or non-data file (_SUCCESS)
       }
     }
+    if (tags.nonEmpty) writeTagsSidecar(f, version, tags)
     publish(spark, committed, seq, version, version)
   }
 
@@ -601,7 +659,8 @@ class SnapshotStore(val path: String,
   }
 
   private def commit(df: DataFrame, appendMode: Boolean,
-      nameTag: Option[String] = None): Unit = {
+      nameTag: Option[String] = None,
+      tagsSidecar: Set[String] = Set.empty): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
     val committed = manifests(spark)
@@ -633,6 +692,7 @@ class SnapshotStore(val path: String,
             df.write.mode("overwrite").parquet(s"$path/$version")
         }
     }
+    if (tagsSidecar.nonEmpty) writeTagsSidecar(f, version, tagsSidecar)
     val body =
       if (appendMode)
         (committed.lastOption.map(_._2).getOrElse(Nil) :+ version)

@@ -119,6 +119,50 @@ class BucketedCowSpec extends SparkSuite {
     }
   }
 
+  test("commitDeltaCowOnce: a replayed delivery commits nothing, the " +
+      "tag memory rides every CoW commit forward, and a plain " +
+      "overwrite retires it") {
+    withTmpDir { dir =>
+      val store = new SnapshotStore(dir.resolve("prod").toString,
+        bucket = Some(("code", nBuckets)))
+      store.overwrite(snapData)
+      // first delivery commits
+      val t1 = Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        deltaData, key = "code", tag = "wk-01",
+        version = Seq(col("v")), mergeWholly = Set.empty)
+      assert(t1.isDefined && t1.get.nonEmpty)
+      val afterFirst = sortedRows(store.read(spark).get)
+      val versionsAfterFirst = store.versions(spark)
+      // the at-least-once replay: same delivery, same tag — no commit,
+      // no new version, content bit-unchanged
+      assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        deltaData, key = "code", tag = "wk-01",
+        version = Seq(col("v")), mergeWholly = Set.empty).isEmpty)
+      assert(store.versions(spark) === versionsAfterFirst)
+      assert(sortedRows(store.read(spark).get) === afterFirst)
+      // a second delivery carries the FIRST's tag forward (CoW commits
+      // retire the previous dir — the sidecar is the only carrier), so
+      // a stale replay of delivery 1 AFTER delivery 2 still no-ops:
+      // the out-of-interleaving case a blindly-idempotent merge would
+      // get wrong once version columns collide
+      val delta2 = Seq(("code3", "newer3", 2000L)).toDF("code", "name", "v")
+      assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        delta2, key = "code", tag = "wk-02",
+        version = Seq(col("v")), mergeWholly = Set.empty).isDefined)
+      assert(store.sidecarTags(spark) === Set("wk-01", "wk-02"))
+      assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        deltaData, key = "code", tag = "wk-01",
+        version = Seq(col("v")), mergeWholly = Set.empty).isEmpty)
+      // a rebuild-from-scratch overwrite starts a new generation: the
+      // old tags no longer guard anything and must not suppress
+      store.overwrite(snapData)
+      assert(store.sidecarTags(spark) === Set.empty)
+      assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        deltaData, key = "code", tag = "wk-01",
+        version = Seq(col("v")), mergeWholly = Set.empty).isDefined)
+    }
+  }
+
   test("cow on an empty store degrades to a plain overwrite") {
     withTmpDir { dir =>
       val store = new SnapshotStore(dir.resolve("prod").toString,

@@ -142,6 +142,25 @@ class IndexMaintainSpec extends SparkSuite {
     }
   }
 
+  test("a plain overwrite starts a NEW generation: tags consumed " +
+      "against the replaced content must not suppress a re-delivery") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      assert(st.appendOnce(Seq(("d7", 2L)).toDF("k", "v"), "7"))
+      st.compact(spark) // tag 7 now lives only in the sidecar
+      assert(st.sidecarTags(spark) === Set("7"))
+      // a rebuild-from-scratch: the overwrite retires the chain AND
+      // its tag memory with it (the r17-advice hazard — a root-level
+      // sidecar would survive here and silently DROP the re-delivery)
+      st.overwrite(Seq(("base2", 9L)).toDF("k", "v"))
+      assert(st.sidecarTags(spark) === Set.empty)
+      assert(st.appendOnce(Seq(("d7", 2L)).toDF("k", "v"), "7"),
+        "stale previous-generation tag suppressed a legitimate append")
+      assert(st.read(spark).get.count() === 2L)
+    }
+  }
+
   test("compact on a single-dir store is a no-op") {
     withTmpDir { tmp =>
       val st = new SnapshotStore(tmp.resolve("s").toString)
