@@ -221,6 +221,13 @@ object SparkEntry {
     // base chunk-digest store — see query.ChunkIndex
     "dedup_chunks_delta" -> ((s: SparkSession, d: String) =>
       ChunkIndex.dedupChunksDelta(s, d)),
+    // the chunk-digest store maintained from a delivery STREAM
+    // (foreachBatch + appendOnce — the stream_index_delta pattern on a
+    // second store family); store content is micro-batch-boundary
+    // independent, so the key runs under dedup_chunks_delta's exact
+    // oracle — see streaming.ChunkMaintain
+    "stream_chunks_delta" -> ((s: SparkSession, d: String) =>
+      streaming.ChunkMaintain.dedupChunksStream(s, d)),
     // --- event-time windows (B17–B18) ---
     "stream_tumbling" -> (Events.tumbling _),
     "stream_sliding" -> (Events.sliding _),
@@ -1528,7 +1535,9 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM s)
         |SELECT source, n_docs, n_tokens, weight,
         |  CAST(100000 * weight // w_total AS BIGINT) AS target_tokens,
-        |  CAST((100000 * weight // w_total) * 1000 // n_tokens AS BIGINT) AS epochs_x1000,
+        |  CAST(CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE (100000 * weight // w_total) * 1000 // n_tokens
+        |    END AS BIGINT) AS epochs_x1000,
         |  (100000 * weight // w_total) > n_tokens AS oversubscribed
         |FROM s, t ORDER BY source""".stripMargin,
     // DSIR twin: identical md5-prefix bucketing, add-one-smoothed
@@ -2006,6 +2015,31 @@ object SparkEntry {
     // delivery rows — the oracle re-runs the whole-corpus canonical
     // computation and keeps the non-canonical delivery chunks
     "dedup_chunks_delta" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start,
+        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s),
+        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |g AS (SELECT chunk_md5, doc_id, chunk_idx,
+        |    first_value(doc_id) OVER w AS canon_doc_id,
+        |    first_value(chunk_idx) OVER w AS canon_chunk_idx
+        |  FROM f WINDOW w AS (PARTITION BY chunk_md5
+        |    ORDER BY doc_id, chunk_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT doc_id, chunk_idx, chunk_md5, canon_doc_id, canon_chunk_idx
+        |FROM g, cut
+        |WHERE doc_id >= cut.c
+        |  AND (doc_id != canon_doc_id OR chunk_idx != canon_chunk_idx)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // identical output contract to dedup_chunks_delta: the streamed
+    // appendOnce maintenance yields a bit-identical persisted store
+    "stream_chunks_delta" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),

@@ -50,7 +50,13 @@ object ChunkIndex {
     * [[Sampling.dedupChunks]] canonical stage at digest grain. */
   private def digestsOf(docs: DataFrame, win: Int, stride: Int)
       : DataFrame =
-    Sampling.chunkOf(docs, win, stride)
+    digestsOfChunks(Sampling.chunkOf(docs, win, stride))
+
+  /** The digest-grain collapse over an already-chunked frame — shared
+    * with the STREAMING maintainer ([[graft.streaming.ChunkMaintain]]),
+    * which chunks each delivery once and feeds both its stores. */
+  private[graft] def digestsOfChunks(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy("chunk_md5")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
       .select(col("chunk_md5"), col("c.doc_id").as("canon_doc_id"),
@@ -133,7 +139,7 @@ object ChunkIndex {
   }
 
   /** Frame-level digest table, exposed for the spec's store-free
-    * equivalence harness. */
-  private[query] def digestsOfFrame(docs: DataFrame, win: Int = 64,
+    * equivalence harness and the streaming maintainer's bootstrap. */
+  private[graft] def digestsOfFrame(docs: DataFrame, win: Int = 64,
       stride: Int = 32): DataFrame = digestsOf(docs, win, stride)
 }

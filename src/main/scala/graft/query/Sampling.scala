@@ -102,8 +102,14 @@ object Sampling {
         // stay in exact BIGINT floor arithmetic on both engines
         expr(s"CAST(${budget}L * weight DIV w_total AS BIGINT)")
           .as("target_tokens"))
+      // n_tokens = 0 (a source whose documents all tokenize empty —
+      // degenerate but reachable): epoch count is undefined, and the
+      // engines DISAGREE on bare division by zero (Spark DIV yields
+      // NULL, DuckDB errors) — guard explicitly on both sides
       .withColumn("epochs_x1000",
-        expr("CAST(target_tokens * 1000L DIV n_tokens AS BIGINT)"))
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr("CAST(target_tokens * 1000L DIV n_tokens AS BIGINT)")))
       .withColumn("oversubscribed",
         col("target_tokens") > col("n_tokens"))
       .orderBy("source")
