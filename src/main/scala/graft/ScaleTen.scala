@@ -46,7 +46,7 @@ object ScaleTen {
   /** Bump on any generator-semantics change: the output cache keys on
     * (base fingerprints, factor, GenVersion) — without it a code change
     * would silently serve the previous corpus. */
-  val GenVersion = 4 // v4: + fresh-draw embeddings (moment-matched)
+  val GenVersion = 5 // v5: + relational constellation (part fresh-named)
 
   /** Fresh-draw documents: n docs shaped like `base`. Planted exact
     * duplicates at the base corpus's measured rate via contentId
@@ -179,28 +179,109 @@ object ScaleTen {
       .reduce(_.unionByName(_))
   }
 
+  /** Part ×factor with FRESH names (r17 verdict task #6 — the
+    * join_fuzzy decade row needs name mass, not name replicas):
+    * replica 0 is the base verbatim; replicas stride p_partkey (so the
+    * strided lineitem's l_partkey references stay exact) and redraw
+    * p_name from the base's measured name-word vocabulary and
+    * words-per-name range — the gram-frequency structure Ed-Join's
+    * prefix filter keys on grows the way a 10× catalog would, instead
+    * of every gram's DF inflating ×10 with zero new grams. Other
+    * columns ride the replica unchanged (shape-preserved). */
+  private[graft] def genPart(base: DataFrame, factor: Int): DataFrame = {
+    val vocab = base.select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    val wc = base.select(size(split(col("p_name"), " ")).as("nw"))
+      .agg(min("nw").as("lo"), max("nw").as("hi")).head()
+    val (minW, maxW) = (wc.getInt(0), wc.getInt(1))
+    val stride = base.agg(max("p_partkey")).head().getLong(0) + 1L
+    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
+    def h(tag: String, cols: Column*): Column =
+      xxhash64((lit(tag) +: cols): _*)
+    (0 until factor).map { i =>
+      if (i == 0) base
+      else {
+        val keyed = base
+          .withColumn("p_partkey", col("p_partkey") + lit(i * stride))
+        val nWords = (pmod(h("pnlen", col("p_partkey")),
+          lit(maxW - minW + 1)) + lit(minW)).cast("int")
+        keyed.withColumn("p_name", array_join(
+          transform(sequence(lit(0), nWords - 1), p =>
+            element_at(vocabArr, (pmod(h("pnw", col("p_partkey"), p),
+              lit(vocab.length)) + 1).cast("int"))), " "))
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Key-strided ×factor replication (the [[genEvents]] regime for the
+    * relational constellation): every replica shifts the named key
+    * columns by replica × stride, so join fan-outs, per-order line
+    * counts and value/time distributions are preserved exactly while
+    * key cardinality and per-day density grow ×factor. Strides are
+    * passed in (one per KEY SPACE, computed from that key's OWNING
+    * table) — deriving them per referencing table would desynchronize
+    * a foreign key from its dimension the moment their maxima differ
+    * (an order with no lineitems, a part never ordered). */
+  private[graft] def replicateKeyed(base: DataFrame, factor: Int,
+      strides: Seq[(String, Long)]): DataFrame =
+    (0 until factor).map { i =>
+      strides.foldLeft(base) { case (df, (c, s)) =>
+        df.withColumn(c, col(c) + lit(i * s)) }
+    }.reduce(_.unionByName(_))
+
+  private val DecadeTables = Seq("documents", "events", "embeddings",
+    "part", "orders", "lineitem", "customer", "supplier", "nation",
+    "region")
+
   /** Build (or reuse) the decade-up dir; returns its path. Layout
-    * matches the driver fixture (`<dir>/<table>.parquet`) so every
-    * `SparkEntry.queries` entry runs against it unchanged. */
+    * matches the driver fixture (`<dir>/<table>.parquet`) — the FULL
+    * table set, so every `SparkEntry.queries` entry (relational keys
+    * included) runs against it unchanged. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val tag = graft.core.Caches.md5Tag(
-      Seq("documents", "events", "embeddings")
+      Seq("documents", "events", "embeddings", "part", "orders",
+          "lineitem")
         .map(t => Tables.fingerprint(spark, sfDir, t))
         .mkString(s"$sfDir|x$Factor|v$GenVersion|", "|", ""))
     val path = s"target/graft-scale10/$tag"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = Seq("documents", "events", "embeddings").forall(t =>
+    val complete = DecadeTables.forall(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t.parquet/_SUCCESS")))
     if (!complete) {
+      def write(df: DataFrame, t: String): Unit =
+        df.write.mode("overwrite").parquet(s"$path/$t.parquet")
       val baseDocs = Tables.load(spark, sfDir, "documents")
-      genDocuments(baseDocs, baseDocs.count() * Factor)
-        .write.mode("overwrite").parquet(s"$path/documents.parquet")
-      genEvents(Tables.load(spark, sfDir, "events"), Factor)
-        .write.mode("overwrite").parquet(s"$path/events.parquet")
+      write(genDocuments(baseDocs, baseDocs.count() * Factor),
+        "documents")
+      write(genEvents(Tables.load(spark, sfDir, "events"), Factor),
+        "events")
       val baseEmb = Tables.load(spark, sfDir, "embeddings")
-      genEmbeddings(baseEmb, baseEmb.count() * Factor)
-        .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+      write(genEmbeddings(baseEmb, baseEmb.count() * Factor),
+        "embeddings")
+      // one stride per KEY SPACE, from the key's owning table
+      def strideOf(t: String, k: String): Long =
+        Tables.load(spark, sfDir, t).agg(max(col(k)))
+          .head().getLong(0) + 1L
+      val (pkS, okS, ckS, skS) = (strideOf("part", "p_partkey"),
+        strideOf("orders", "o_orderkey"),
+        strideOf("customer", "c_custkey"),
+        strideOf("supplier", "s_suppkey"))
+      write(genPart(Tables.load(spark, sfDir, "part"), Factor), "part")
+      write(replicateKeyed(Tables.load(spark, sfDir, "orders"), Factor,
+        Seq("o_orderkey" -> okS, "o_custkey" -> ckS)), "orders")
+      write(replicateKeyed(Tables.load(spark, sfDir, "lineitem"),
+        Factor, Seq("l_orderkey" -> okS, "l_partkey" -> pkS,
+          "l_suppkey" -> skS)), "lineitem")
+      write(replicateKeyed(Tables.load(spark, sfDir, "customer"),
+        Factor, Seq("c_custkey" -> ckS)), "customer")
+      write(replicateKeyed(Tables.load(spark, sfDir, "supplier"),
+        Factor, Seq("s_suppkey" -> skS)), "supplier")
+      // fixed dimension tables ride along verbatim: nation/region key
+      // spaces are part of the data model, not the scale
+      write(Tables.load(spark, sfDir, "nation"), "nation")
+      write(Tables.load(spark, sfDir, "region"), "region")
     }
     path
   }

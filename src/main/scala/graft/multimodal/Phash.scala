@@ -309,12 +309,10 @@ object Phash {
       .select(col("bit").cast("long").as("bit"),
         coalesce(col("n1_base"), lit(0L)).as("n1_base"),
         coalesce(col("n1_delta"), lit(0L)).as("n1_delta"),
-        (abs(col("n1_delta").cast("decimal(38,0)") * col("tb") -
-             col("n1_base").cast("decimal(38,0)") * col("td")) * 20 >
-          col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
-        when(col("td") === 0, lit(0.0))
-          .otherwise(round(col("novel_occ").cast("double") / col("td"),
-            6)).as("novel_rate"),
+        graft.query.DriftGauge.occShift(col("n1_delta"), col("n1_base"),
+          col("td"), col("tb")).as("occ_shift"),
+        graft.query.DriftGauge.safeRate(col("novel_occ"), col("td"))
+          .as("novel_rate"),
         (col("novel_occ") * 2 > col("td")).as("novelty_drift"))
       .select(col("*"),
         (bool_or(col("occ_shift")).over(panel) || col("novelty_drift"))

@@ -40,11 +40,14 @@ import graft.core.Tables
   * rollup (the de-skew aggregate — no Window over unbounded keys). */
 object FuzzyJoin {
 
-  /** Positional q-grams (distinct) of a string column. */
+  /** Positional q-grams (distinct) of a string column. Built with the
+    * native Column DSL (not an expr-string splice, which only parses
+    * for bare unqualified column names): works for any input
+    * expression — aliased, qualified, derived. */
   private def grams(c: Column, q: Int): Column =
-    array_distinct(expr(
-      s"""transform(sequence(1, greatest(length(${c.toString}) - ${q - 1}, 1)),
-         |  i -> substring(${c.toString}, i, $q))""".stripMargin))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
+      i => c.substr(i, lit(q))))
 
   /** Driver key `join_fuzzy`: dirty probes (every 50th part name with
     * the 3rd character deleted) matched to `part` at Levenshtein ≤ `k`,

@@ -149,9 +149,8 @@ object IndexDrift {
       sum(col("n_delta")).over(all).as("td"))
     val flagged = withTotals.select(col("cell"), col("n_base"),
       col("n_delta"), col("msd_base"), col("msd_delta"),
-      (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
-           col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
-        col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
+      DriftGauge.occShift(col("n_delta"), col("n_base"),
+        col("td"), col("tb")).as("occ_shift"),
       when(col("n_base") === 0, col("n_delta") > 0)
         .when(col("n_delta") === 0, lit(false))
         .otherwise(col("msd_delta") * 2 > col("msd_base") * 3)

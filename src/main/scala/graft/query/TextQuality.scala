@@ -856,14 +856,9 @@ object TextQuality {
     val panel = Window.partitionBy(lit(1))
     head.crossJoin(broadcast(totals))
       .select(col("w"), col("n_base"), col("n_delta"),
-        (abs(col("n_delta").cast("decimal(38,0)") * col("tb") -
-             col("n_base").cast("decimal(38,0)") * col("td")) * 20 >
-          col("tb").cast("decimal(38,0)") * col("td")).as("occ_shift"),
-        // td = 0 (an empty delivery — the retrained arm of
-        // vocabRetrainApply) must not hit IEEE 0/0: engines disagree
-        when(col("td") === 0, lit(0.0))
-          .otherwise(round(col("oov_occ").cast("double") / col("td"), 6))
-          .as("oov_rate"),
+        DriftGauge.occShift(col("n_delta"), col("n_base"),
+          col("td"), col("tb")).as("occ_shift"),
+        DriftGauge.safeRate(col("oov_occ"), col("td")).as("oov_rate"),
         col("new_tokens"),
         (col("oov_occ") * 100 > col("td")).as("oov_drift"))
       .select(col("*"),

@@ -57,7 +57,18 @@ private[streaming] object DriveSupport {
     s"t_${tag}_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
   private val stageMemo = new graft.core.Caches.PerSession[
-    scala.collection.mutable.Map[String, Any]]
+    java.util.concurrent.ConcurrentHashMap[String, StagedSlot]]
+
+  /** One staged value: inserted into the memo map cheaply (the build
+    * thunk deferred to the lazy val), so the map never blocks on a
+    * build — the lazy initializer's monitor is scoped to THIS key
+    * alone, and concurrent first-runs of different drives stage in
+    * parallel. Carries the call site's declared result class so a key
+    * collision across call sites fails with the cause named, not a
+    * ClassCastException far from it. */
+  private final class StagedSlot(val cls: Class[_], thunk: () => Any) {
+    lazy val value: Any = thunk()
+  }
 
   /** Build-once IMMUTABLE staging per (session, key): drives whose
     * input files never change after creation (events + up-front
@@ -70,11 +81,12 @@ private[streaming] object DriveSupport {
     * drives that append mid-drive (DedupDrive's re-delivery, the
     * restart flows) — their staging mutates and must stay per-run. */
   def stagedOnce[T](spark: org.apache.spark.sql.SparkSession,
-      key: String)(build: Path => T): T = {
+      key: String)(build: Path => T)(
+      implicit ct: scala.reflect.ClassTag[T]): T = {
     val memo = stageMemo.get(spark)(
-      scala.collection.mutable.Map.empty[String, Any])
-    memo.synchronized {
-      memo.getOrElseUpdate(key, {
+      new java.util.concurrent.ConcurrentHashMap[String, StagedSlot])
+    val slot = memo.computeIfAbsent(key,
+      _ => new StagedSlot(ct.runtimeClass, () => {
         val ws = Files.createDirectories(Paths.get(
           "target/graft-stage/" + java.util.UUID.randomUUID())
           .toAbsolutePath)
@@ -82,8 +94,12 @@ private[streaming] object DriveSupport {
           org.apache.commons.io.FileUtils.deleteQuietly(ws.toFile)
         }
         build(ws)
-      }).asInstanceOf[T]
-    }
+      }))
+    require(slot.cls == ct.runtimeClass,
+      s"stagedOnce key collision: '$key' was staged as ${slot.cls} " +
+        s"but is requested as ${ct.runtimeClass} — two call sites " +
+        "share a key; disambiguate the key strings")
+    slot.value.asInstanceOf[T]
   }
 
   /** SPARK_GRAFT_STATE_PROVIDER=rocksdb|hdfs overrides the state store

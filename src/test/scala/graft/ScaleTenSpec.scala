@@ -130,6 +130,69 @@ class ScaleTenSpec extends AnyFunSuite {
     assert(b === s)
   }
 
+  test("part: fresh names from the base vocabulary, strided keys, " +
+      "base replica verbatim") {
+    val baseP = Tables.load(spark, sfDir, "part")
+    val g = ScaleTen.genPart(baseP, 3).cache()
+    assert(g.count() === baseP.count() * 3)
+    assert(g.select("p_partkey").distinct().count() === g.count())
+    assert(g.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      baseP.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // replica 0 IS the base (strided keys partition cleanly above it)
+    val stride = baseP.agg(max("p_partkey")).head().getLong(0) + 1L
+    assert(g.filter(col("p_partkey") < stride).except(baseP)
+      .count() === 0L)
+    // fresh-name replicas draw from the base's measured name-word
+    // vocabulary and words-per-name range — gram mass grows with new
+    // names, not by inflating every base gram's DF ×factor
+    val baseVocab = baseP
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val genWords = g.filter(col("p_partkey") >= stride)
+      .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(genWords.subsetOf(baseVocab))
+    val wc = baseP.select(size(split(col("p_name"), " ")).as("nw"))
+      .agg(min("nw"), max("nw")).head()
+    val gwc = g.select(size(split(col("p_name"), " ")).as("nw"))
+      .agg(min("nw"), max("nw")).head()
+    assert(gwc.getInt(0) >= wc.getInt(0) && gwc.getInt(1) <= wc.getInt(1))
+    assert(g.select("p_name").distinct().count() >
+      baseP.select("p_name").distinct().count(),
+      "replicas must add NEW name mass")
+  }
+
+  test("keyed replication preserves referential integrity and join " +
+      "fan-out across the strided constellation") {
+    val part = Tables.load(spark, sfDir, "part")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def strideOf(df: org.apache.spark.sql.DataFrame, k: String): Long =
+      df.agg(max(col(k))).head().getLong(0) + 1L
+    val (pkS, okS) = (strideOf(part, "p_partkey"),
+      strideOf(orders, "o_orderkey"))
+    val gPart = ScaleTen.genPart(part, 3)
+    val gOrders = ScaleTen.replicateKeyed(orders, 3,
+      Seq("o_orderkey" -> okS))
+    val gLi = ScaleTen.replicateKeyed(li, 3,
+      Seq("l_orderkey" -> okS, "l_partkey" -> pkS))
+    // every foreign key resolves (stride consistency: the owning
+    // table's key space, not the referencing table's max)
+    assert(gLi.join(gPart, col("l_partkey") === col("p_partkey"),
+      "left_anti").count() === 0L)
+    assert(gLi.join(gOrders, col("l_orderkey") === col("o_orderkey"),
+      "left_anti").count() === 0L)
+    // fan-out preserved exactly: lines-per-order histogram is the
+    // base's with every count ×3
+    val baseHist = li.groupBy("l_orderkey").count()
+      .groupBy("count").count().orderBy("count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val genHist = gLi.groupBy("l_orderkey").count()
+      .groupBy("count").count().orderBy("count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(genHist === baseHist.map { case (k, n) => (k, n * 3) })
+  }
+
   test("embeddings: schema, per-dim moments and label set preserved") {
     val baseE = Tables.load(spark, sfDir, "embeddings")
     val g = ScaleTen.genEmbeddings(baseE, 5000L).cache()

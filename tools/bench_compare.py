@@ -126,17 +126,36 @@ def main() -> None:
     print(f"common keys: {len(field)}  "
           f"totals: {old_total:.1f}s -> {new_total:.1f}s  "
           f"field-inferred shift x{field_shift:.2f}")
-    # prefer the shuffle-path calibration when both artifacts carry it
-    # (it matches the field's cost profile); fall back to the CPU one
-    cal = next((k for k in (CAL_SHUFFLE_KEY, CAL_KEY)
-                if k in old["queries"] and k in new["queries"]
-                and old["queries"][k] > 0 and new["queries"][k] > 0),
+    # Both calibration axes, printed whenever available: the CPU key
+    # and the shuffle-path key drift INDEPENDENTLY (r17: CPU x0.83
+    # while the shuffle path ran x1.56), and a comparison normalized by
+    # whichever one happens to exist can silently switch basis between
+    # runs. Print every ratio we have, normalize by the shuffle one
+    # when present (it matches the field's cost profile), and warn when
+    # the two axes disagree beyond the 50% band — that is exactly the
+    # asymmetric-drift regime where one single-key shift mis-scales the
+    # other cost class and per-key verdicts need a manual read.
+    ratios = {}
+    for k in (CAL_SHUFFLE_KEY, CAL_KEY):
+        if (k in old["queries"] and k in new["queries"]
+                and old["queries"][k] > 0 and new["queries"][k] > 0):
+            ratios[k] = new["queries"][k] / old["queries"][k]
+            print(f"calibration {k}: {old['queries'][k]:.2f}s -> "
+                  f"{new['queries'][k]:.2f}s  x{ratios[k]:.2f}")
+    if len(ratios) == 2:
+        r_shuffle, r_cpu = ratios[CAL_SHUFFLE_KEY], ratios[CAL_KEY]
+        if r_cpu > 0 and abs(r_shuffle / r_cpu - 1) > 0.5:
+            print(f"WARNING: calibration axes disagree beyond the 50% "
+                  f"band (shuffle x{r_shuffle:.2f} vs CPU x{r_cpu:.2f}) "
+                  "— asymmetric box drift; the single normalization "
+                  "shift below mis-scales the other cost class, read "
+                  "per-key verdicts against their own class")
+    cal = next((k for k in (CAL_SHUFFLE_KEY, CAL_KEY) if k in ratios),
                None)
     if cal is not None:
-        shift = new["queries"][cal] / old["queries"][cal]
-        print(f"measured box shift x{shift:.2f} (calibration key {cal} "
-              f"{old['queries'][cal]:.2f}s -> "
-              f"{new['queries'][cal]:.2f}s) — used for normalization")
+        shift = ratios[cal]
+        print(f"measured box shift x{shift:.2f} (calibration key {cal})"
+              " — used for normalization")
         # sanity clamp: the shift comes from ONE key's ratio, so a lone
         # slow pass on that key alone would scale EVERY gate with it; a
         # real box-state swing beyond 2x in either direction has never
