@@ -12,17 +12,30 @@ import graft.core.Tables
   * interval/bloom: record linkage of misspelled names against a
   * master table.
   *
-  * Blocking is the Ed-Join PREFIX FILTER (Xiao, Wang, Lin '08,
-  * VLDB — "Ed-Join: an efficient algorithm for similarity joins with
-  * edit distance constraints"): order every string's positional
-  * q-grams by global rarity and keep only the first k·q + 1 — one
-  * edit destroys at most q overlapping q-grams, so two strings within
-  * edit distance k MUST share a gram inside both prefixes; disjoint
-  * prefixes prove distance > k. Candidates are therefore the
-  * equality join of two prefix-gram tables (rare grams by
-  * construction — fan-out tracks rare-gram postings, not the corpus),
-  * and the verify stage is the banded 3-arg `levenshtein(l, r, k)`
-  * (O(len·k) band, exact by the repo's dedup_levenshtein argument).
+  * Blocking is the DELETION-NEIGHBORHOOD scheme (FastSS — Bocek,
+  * Hunt, Stiller '07, "Fast Similarity Search in Large Dictionaries";
+  * the same signature SymSpell made the industry standard for
+  * spell-correction at scale): every string emits all variants with
+  * ≤ k characters deleted, and the candidate set is the EQUALITY join
+  * of the two variant tables. Completeness is the FastSS lemma: an
+  * optimal alignment with e ≤ k edits turns each substitution into
+  * one deletion on each side and each insert/delete into one deletion
+  * on one side, so ed(s,t) ≤ k guarantees a shared variant with ≤ k
+  * deletions per side; conversely a shared variant bounds ed ≤ 2k, so
+  * the banded 3-arg `levenshtein(l, r, k)` verify (O(len·k) band,
+  * exact by the repo's dedup_levenshtein argument) decides every
+  * candidate.
+  *
+  * Why not Ed-Join's gram-prefix filter (the r17 implementation):
+  * measured at ×10 reference size (200k names over a ~92-word
+  * catalog vocabulary, ScaleTen v5) the q-gram posting lists
+  * SATURATE — a q-gram carries at most q characters of entropy, so
+  * on low-entropy string populations every "rare" gram still has
+  * thousands of postings and the candidate join degrades toward
+  * all-pairs (q=2: 120 s, q=3: 57–84 s serving at ×10, vs 3.4 s at
+  * the base size). Deletion signatures carry the WHOLE string minus
+  * k characters — their selectivity tracks true near-match mass, not
+  * vocabulary entropy. SCALE.md round-18 records both curves.
   *
   * The probe table is derived deterministically from the reference
   * (every 50th part's name with its 3rd character deleted — edit
@@ -30,30 +43,58 @@ import graft.core.Tables
   * and state the UNBLOCKED truth: the full `levenshtein ≤ k`
   * predicate over probes × part, best match per probe (min distance,
   * ties to the lowest key). The hash gate therefore proves the
-  * prefix filter's completeness on the fixture corpus end-to-end.
+  * deletion blocking's completeness on the fixture corpus end-to-end.
   *
-  * Scale shape: one gram-df pass (vocabulary-grain, map-side
-  * combinable), per-string prefix selection as a bounded sort over
-  * ~|name| grams (collect_list per string key, ≤ ~30 rows — the
-  * bounded-window class), one equality join on rare grams, banded
-  * verify on the candidate set only, and a probe-grain min(struct)
-  * rollup (the de-skew aggregate — no Window over unbounded keys). */
+  * Scale shape: signature volume is Σ C(len, ≤k) ≈ len^k/k! variants
+  * per string (~460 rows for a 30-char name at k=2) — linear in the
+  * table, the documented FastSS space-for-time trade; at 100 TB the
+  * reference-side variant table is built ONCE and persisted as an
+  * index (the SymSpell dictionary; a [[graft.ingest.SnapshotStore]]
+  * chain with O(delta) appendOnce maintenance, like every store
+  * here), while the probe side explodes only the dirty delivery.
+  * Variants ride as xxhash64 keys (16 bytes/row in the exchange, not
+  * 30-char strings); a hash collision can only ADD a candidate —
+  * equal strings hash equal — and the exact verify kills it. The
+  * |Δlen| ≤ k bound rides the join as an exact-safe prune, and the
+  * best match is a map-side-combinable min(struct) rollup — no
+  * Window over unbounded keys, no cross product anywhere. */
 object FuzzyJoin {
 
-  /** Positional q-grams (distinct) of a string column. Built with the
-    * native Column DSL (not an expr-string splice, which only parses
-    * for bare unqualified column names): works for any input
-    * expression — aliased, qualified, derived. */
-  private def grams(c: Column, q: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
-      i => c.substr(i, lit(q))))
+  /** All variants of string column `c` with at most `k` characters
+    * deleted (the string itself included), distinct, as an array.
+    * Native Column DSL throughout — works for any input expression.
+    * Implemented for k ∈ {1, 2}: the record-linkage regime this
+    * operator serves; depth-3 neighborhoods cube the signature volume
+    * and a corpus needing ed > 2 linkage wants a different operator
+    * (dedup_levenshtein's shingle-candidate form). */
+  private[query] def deleteVariants(c: Column, k: Int): Column = {
+    require(k >= 1 && k <= 2,
+      s"deletion neighborhoods implemented for k in {1, 2}, got $k")
+    val n = length(c)
+    val empty = array().cast("array<string>")
+    val d0 = array(c)
+    // delete position i (1-based); substr(pos, len) with len ≥ the
+    // remaining tail is a safe over-ask
+    val d1 = transform(sequence(lit(1), greatest(n, lit(1))),
+      i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, n)))
+    // delete positions i < j
+    val d2 = flatten(transform(
+      sequence(lit(1), greatest(n - 1, lit(1))),
+      i => transform(sequence(i + 1, greatest(n, i + 1)),
+        j => concat(c.substr(lit(1), i - 1),
+          c.substr(i + 1, j - i - 1), c.substr(j + 1, n)))))
+    // a sequence() whose start exceeds its stop runs DESCENDING, so
+    // each tier is gated to the lengths that own it
+    val tiers = Seq(d0, when(n >= 1, d1).otherwise(empty)) ++
+      (if (k >= 2) Seq(when(n >= 2, d2).otherwise(empty)) else Nil)
+    array_distinct(concat(tiers: _*))
+  }
 
   /** Driver key `join_fuzzy`: dirty probes (every 50th part name with
     * the 3rd character deleted) matched to `part` at Levenshtein ≤ `k`,
     * best match per probe. */
-  def joinFuzzy(spark: SparkSession, dir: String, k: Int = 2,
-      q: Int = 2): DataFrame = {
+  def joinFuzzy(spark: SparkSession, dir: String, k: Int = 2)
+      : DataFrame = {
     val parts = Tables.load(spark, dir, "part")
       .select(col("p_partkey"), col("p_name"))
     val probes = parts.filter(col("p_partkey") % 50 === 0)
@@ -61,64 +102,22 @@ object FuzzyJoin {
         concat(substring(col("p_name"), 1, 2),
           expr("substring(p_name, 4)")).as("probe_name"))
 
-    val prefixLen = k * q + 1
-    // one gram table over BOTH sides: the global rarity order must be
-    // shared or the prefix-filter completeness lemma breaks
-    val sides = parts.select(lit(false).as("is_probe"),
-        col("p_partkey").as("sid"), col("p_name").as("str"))
-      .unionByName(probes.select(lit(true).as("is_probe"),
-        col("probe_id").as("sid"), col("probe_name").as("str")))
-    val gramRows = sides
-      .select(col("is_probe"), col("sid"),
-        length(col("str")).as("len"),
-        explode(grams(col("str"), q)).as("gram"))
-    val gramDf = gramRows.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-    // per-string prefix: the prefixLen globally-rarest grams (ties by
-    // gram text — deterministic); ≤ ~|name| rows per string key, the
-    // bounded-collect class
-    val prefixes = gramRows.join(gramDf, "gram")
-      .groupBy("is_probe", "sid", "len")
-      .agg(slice(array_sort(collect_list(struct(col("df"),
-        col("gram")))), 1, prefixLen).as("pre"))
-      .select(col("is_probe"), col("sid"), col("len"),
-        explode(col("pre.gram")).as("gram"))
+    // reference-side signature table — the part a production pipeline
+    // persists as an index and maintains O(delta)
+    val refSig = parts
+      .select(col("p_partkey"), length(col("p_name")).as("r_len"),
+        explode(deleteVariants(col("p_name"), k)).as("v"))
+      .select(col("p_partkey"), col("r_len"),
+        xxhash64(col("v")).as("vh"))
+    val probeSig = probes
+      .select(col("probe_id"), length(col("probe_name")).as("p_len"),
+        explode(deleteVariants(col("probe_name"), k)).as("v"))
+      .select(col("probe_id"), col("p_len"), xxhash64(col("v")).as("vh"))
     // |Δlen| ≤ k rides the candidate join: edit distance is bounded
-    // below by the length difference, so the filter is exact-safe and
-    // prunes the hot-gram fan-out before the distinct
-    val candLong = prefixes.filter(col("is_probe"))
-      .select(col("sid").as("probe_id"), col("len").as("p_len"),
-        col("gram"))
-      .join(prefixes.filter(!col("is_probe"))
-        .select(col("sid").as("p_partkey"), col("len").as("r_len"),
-          col("gram")), Seq("gram"))
+    // below by the length difference, so the filter is exact-safe
+    val cand = probeSig.join(refSig, Seq("vh"))
       .filter(abs(col("p_len") - col("r_len")) <= k)
-      .select("probe_id", "p_partkey")
-    // SHORT-STRING arm (the Ed-Join short-record case): a pair where
-    // BOTH sides have ≤ k·q grams gets no guarantee from the prefix
-    // lemma (the overlap lower bound |G| − k·q is vacuous — k edits
-    // can destroy every gram of a short string). Those pairs are
-    // length-bounded (max len ≤ k·q + q − 1), so the arm is a
-    // LENGTH-BUCKET equi-join over the tiny short slices — pairs with
-    // one long side stay on the prefix arm (the long side alone makes
-    // the overlap bound ≥ 1 while the short side's prefix is its
-    // whole gram set). q defaults to 2 because the gauge matters most
-    // exactly where strings are short (names, titles, codes): the
-    // q=2 bound is non-vacuous from len ≥ (k+1)·q = 6, so on a
-    // name-length corpus every pair rides the prefix arm; a corpus of
-    // long strings would raise q for rarer grams (the Ed-Join
-    // recipe), trading prefix size against posting heat.
-    val shortMax = k * q + q - 1
-    val candShort = probes
-      .select(col("probe_id"), length(col("probe_name")).as("p_len"))
-      .filter(col("p_len") <= shortMax)
-      .withColumn("r_len",
-        explode(expr(s"sequence(p_len - $k, p_len + $k)")))
-      .join(parts.select(col("p_partkey"),
-          length(col("p_name")).as("r_len"))
-        .filter(col("r_len") <= shortMax), Seq("r_len"))
-      .select("probe_id", "p_partkey")
-    val cand = candLong.unionByName(candShort).distinct()
+      .select("probe_id", "p_partkey").distinct()
 
     // banded verify on candidates only; -1 = beyond the band
     val verified = cand
