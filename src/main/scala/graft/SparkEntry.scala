@@ -196,6 +196,13 @@ object SparkEntry {
     // TextQuality.vocabDriftCheck (the IndexDrift role for VocabStore)
     "vocab_drift_check" -> ((s: SparkSession, d: String) =>
       TextQuality.vocabDriftCheck(s, d)),
+    // the vocabulary-count store maintained from a delivery STREAM —
+    // the third appendOnce family (minhash, chunks, vocab); token
+    // counts are additive, so the served gauge panel is micro-batch-
+    // boundary independent and runs under vocab_drift_check's exact
+    // oracle — see streaming.VocabMaintain
+    "stream_vocab_delta" -> ((s: SparkSession, d: String) =>
+      streaming.VocabMaintain.vocabDriftStream(s, d)),
     // the gauge panel AFTER applying its own decision — the
     // index_retrain_apply shape for the vocabulary store
     "vocab_retrain_apply" -> ((s: SparkSession, d: String) =>
@@ -469,6 +476,14 @@ object SparkEntry {
     // gauge time) — see Phash.phashDriftCheck
     "phash_drift_check" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Phash.phashDriftCheck(s, d)),
+    // the fingerprint store maintained from a delivery STREAM — the
+    // fourth appendOnce family; each micro-batch decodes ITS images
+    // only, the gauge serves from the persisted stores with zero
+    // decode, and per-item hashing makes the panel micro-batch-
+    // boundary independent: vocab_drift_check's licensing under
+    // phash_drift_check's exact oracle — see streaming.PhashMaintain
+    "stream_phash_delta" -> ((s: SparkSession, d: String) =>
+      streaming.PhashMaintain.phashDriftStream(s, d)),
     // audio-fingerprint dedup through the REAL WAV roundtrip:
     // re-encoded-width/gain/DC-offset/upsampled twins share one
     // Haitsma–Kalker-style hash — see multimodal.AudioFp (chunk-LSH
@@ -705,6 +720,47 @@ object SparkEntry {
     // formula; per-bit occupancy in exact cross-multiplication,
     // novelty via the full-fingerprint key
     "phash_drift_check" ->
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |px AS (SELECT doc_id, anchor,
+        |    list_transform(range(0, 288), i ->
+        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
+        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
+        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
+        |  FROM g),
+        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
+        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
+        |  ) AS grid FROM px),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
+        |    array_to_string(bits, '') AS fp FROM bits),
+        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
+        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
+        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
+        |pb AS (SELECT t.b AS bit,
+        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
+        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
+        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
+        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
+        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
+        |    novel_occ * 2 > td AS novelty_drift
+        |  FROM pb, tot, nov)
+        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
+        |  novelty_drift,
+        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
+        |FROM panel ORDER BY bit""".stripMargin,
+    // identical output contract to phash_drift_check: the streamed
+    // appendOnce fingerprint maintenance serves a bit-identical panel
+    "stream_phash_delta" ->
       """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
         |px AS (SELECT doc_id, anchor,
         |    list_transform(range(0, 288), i ->
@@ -1812,6 +1868,37 @@ object SparkEntry {
     // the vocabulary drift gauge: OOV mass + head-token occupancy
     // shift, exact cross-multiplication (the index_drift_check algebra)
     "vocab_drift_check" ->
+      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |counts AS (SELECT w,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta
+        |  FROM t GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) AS BIGINT) AS td,
+        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
+        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
+        |  FROM counts),
+        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
+        |    CAST(n_delta AS BIGINT) AS n_delta
+        |  FROM counts WHERE n_base > 0
+        |  ORDER BY n_base DESC, w ASC LIMIT 32),
+        |panel AS (SELECT w, n_base, n_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    round(CAST(oov_occ AS DOUBLE) / td, 6) AS oov_rate,
+        |    new_tokens,
+        |    oov_occ * 100 > td AS oov_drift
+        |  FROM head, tot)
+        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
+        |  oov_drift,
+        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
+        |FROM panel ORDER BY w""".stripMargin,
+    // identical output contract to vocab_drift_check: the streamed
+    // appendOnce count maintenance serves a bit-identical gauge panel
+    "stream_vocab_delta" ->
       """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
         |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w

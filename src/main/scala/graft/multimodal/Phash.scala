@@ -116,7 +116,7 @@ object Phash {
     * per-item grain that makes the fingerprint store's incremental
     * maintenance EXACT ([[dedupPhashDelta]]): a delivery's slice
     * hashes to the same values the full-corpus pass produces. */
-  private[multimodal] def phashesOf(ids: DataFrame): DataFrame = {
+  private[graft] def phashesOf(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col("doc_id")).as[Long]
@@ -199,7 +199,7 @@ object Phash {
   /** The delta split point (the standard newest-20% delivery model —
     * [[graft.query.MinhashIndex.deltaCutoff]]'s rule, restated here to
     * keep package boundaries clean). */
-  private[multimodal] def deltaCutoff(docs: DataFrame): Long =
+  private[graft] def deltaCutoff(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
 
   /** Build-or-load the persisted fingerprint store (base hashes v0,
@@ -282,7 +282,7 @@ object Phash {
     * (doc_id, <64-bit hash>) and both hashes pack gradient bit b as
     * `1L << b`, so per-bit occupancy and full-hash novelty read the
     * same way. */
-  private[multimodal] def bitDriftOf(base0: DataFrame,
+  private[graft] def bitDriftOf(base0: DataFrame,
       delta0: DataFrame, hashCol: String): DataFrame = {
     val base = base0.select(col("doc_id"),
       col(hashCol).as("phash"))

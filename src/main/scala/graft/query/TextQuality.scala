@@ -842,9 +842,18 @@ object TextQuality {
       .unionByName(delta.withColumn("is_delta", lit(true)))
       .select(col("is_delta"),
         explode(TextSim.tokens(col("text"))).as("w"))
-    val counts = toks.groupBy("w").agg(
+    vocabDriftFromCounts(toks.groupBy("w").agg(
       count(when(!col("is_delta"), lit(1))).as("n_base"),
-      count(when(col("is_delta"), lit(1))).as("n_delta"))
+      count(when(col("is_delta"), lit(1))).as("n_delta")), topV)
+  }
+
+  /** The gauge panel from an already-built per-token count table
+    * (w, n_base, n_delta) — the stage the STREAMED vocabulary
+    * maintainer ([[graft.streaming.VocabMaintain]]) serves from its
+    * persisted stores; [[vocabDriftOf]] is this over one
+    * tokenize-and-count pass. */
+  def vocabDriftFromCounts(counts: DataFrame, topV: Int = 32)
+      : DataFrame = {
     val totals = counts.agg(
       sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"),
       sum(when(col("n_base") === 0, col("n_delta")).otherwise(lit(0L)))

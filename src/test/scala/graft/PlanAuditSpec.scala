@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_topk_window", "stream_session_tracker",
     "stream_heavy_hitters", "stream_dedup_minhash",
     "stream_profile_drift", "stream_index_delta",
-    "stream_chunks_delta",
+    "stream_chunks_delta", "stream_vocab_delta", "stream_phash_delta",
     // executes the append/compact/replay loop on construction
     "index_compact_check",
     // builds/loads the persisted IVF index on construction

@@ -69,7 +69,8 @@ class SqlSurfaceSpec extends SparkSuite {
     "skew_report", "stream_dedup_minhash", "stream_heavy_hitters",
     "stream_profile_drift", "stream_session", "stream_session_tracker",
     "stream_session_window", "stream_session_window_restart",
-    "stream_index_delta", "stream_chunks_delta",
+    "stream_index_delta", "stream_chunks_delta", "stream_vocab_delta",
+    "stream_phash_delta",
     "stream_sliding", "text_bm25", "text_fingerprint", "text_langid",
     "text_novelty", "text_perplexity", "text_repetition",
     "text_stats", "text_surprisal", "text_tfidf",
