@@ -184,18 +184,20 @@ object ScaleTen {
     * replica 0 is the base verbatim; replicas stride p_partkey (so the
     * strided lineitem's l_partkey references stay exact) and redraw
     * p_name from the base's measured name-word vocabulary and
-    * words-per-name range — the gram-frequency structure Ed-Join's
-    * prefix filter keys on grows the way a 10× catalog would, instead
-    * of every gram's DF inflating ×10 with zero new grams. Other
-    * columns ride the replica unchanged (shape-preserved). */
-  private[graft] def genPart(base: DataFrame, factor: Int): DataFrame = {
+    * words-per-name range — name-signature mass grows the way a 10×
+    * catalog's would, instead of every signature's frequency inflating
+    * ×10 with zero new names. Other columns ride the replica unchanged
+    * (shape-preserved). `stride` is the p_partkey KEY-SPACE stride the
+    * caller also hands the lineitem replication — one derivation, per
+    * [[replicateKeyed]]'s owning-table rule. */
+  private[graft] def genPart(base: DataFrame, factor: Int,
+      stride: Long): DataFrame = {
     val vocab = base.select(explode(split(col("p_name"), " ")).as("w"))
       .filter(col("w") =!= "").distinct().orderBy("w")
       .collect().map(_.getString(0))
     val wc = base.select(size(split(col("p_name"), " ")).as("nw"))
       .agg(min("nw").as("lo"), max("nw").as("hi")).head()
     val (minW, maxW) = (wc.getInt(0), wc.getInt(1))
-    val stride = base.agg(max("p_partkey")).head().getLong(0) + 1L
     val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
     def h(tag: String, cols: Column*): Column =
       xxhash64((lit(tag) +: cols): _*)
@@ -240,8 +242,7 @@ object ScaleTen {
     * included) runs against it unchanged. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val tag = graft.core.Caches.md5Tag(
-      Seq("documents", "events", "embeddings", "part", "orders",
-          "lineitem")
+      DecadeTables
         .map(t => Tables.fingerprint(spark, sfDir, t))
         .mkString(s"$sfDir|x$Factor|v$GenVersion|", "|", ""))
     val path = s"target/graft-scale10/$tag"
@@ -268,7 +269,8 @@ object ScaleTen {
         strideOf("orders", "o_orderkey"),
         strideOf("customer", "c_custkey"),
         strideOf("supplier", "s_suppkey"))
-      write(genPart(Tables.load(spark, sfDir, "part"), Factor), "part")
+      write(genPart(Tables.load(spark, sfDir, "part"), Factor, pkS),
+        "part")
       write(replicateKeyed(Tables.load(spark, sfDir, "orders"), Factor,
         Seq("o_orderkey" -> okS, "o_custkey" -> ckS)), "orders")
       write(replicateKeyed(Tables.load(spark, sfDir, "lineitem"),

@@ -133,8 +133,8 @@ object SparkEntry {
     // before the join shuffle — see BloomJoin (result == plain join,
     // no false negatives)
     "join_bloom_reduced" -> (BloomJoin.joinBloomReduced _),
-    // edit-distance join (entity resolution): Ed-Join prefix-filter
-    // blocking + banded levenshtein verify — see FuzzyJoin
+    // edit-distance join (entity resolution): deletion-neighborhood
+    // (FastSS) blocking + banded levenshtein verify — see FuzzyJoin
     "join_fuzzy" -> ((s: SparkSession, d: String) =>
       FuzzyJoin.joinFuzzy(s, d)),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
@@ -640,6 +640,132 @@ object SparkEntry {
     * assertion whose oracle is literal TRUE on an oracle-reproducible
     * row grain, so the approximation contract sits under the same hard
     * driver gate as the exact keys. */
+  /** the exact delta near-dup SQL shared by the batch index
+    * (`dedup_minhash_delta`), the streamed maintainer
+    * (`stream_index_delta`) and the compaction check
+    * (`index_compact_check`): all three CONTRACT to serve bit-identical
+    * content, so the identity is structural — one val, not three
+    * hand-synced copies. */
+  private val minhashDeltaOracle: String =
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
+        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
+        |WHERE d2 >= cut.c
+        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin
+
+  /** the exact delta chunk-dedup SQL shared by the batch store
+    * (`dedup_chunks_delta`) and its streamed maintainer
+    * (`stream_chunks_delta`). */
+  private val chunksDeltaOracle: String =
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id, chunk_start,
+        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
+        |  FROM s),
+        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |g AS (SELECT chunk_md5, doc_id, chunk_idx,
+        |    first_value(doc_id) OVER w AS canon_doc_id,
+        |    first_value(chunk_idx) OVER w AS canon_chunk_idx
+        |  FROM f WINDOW w AS (PARTITION BY chunk_md5
+        |    ORDER BY doc_id, chunk_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT doc_id, chunk_idx, chunk_md5, canon_doc_id, canon_chunk_idx
+        |FROM g, cut
+        |WHERE doc_id >= cut.c
+        |  AND (doc_id != canon_doc_id OR chunk_idx != canon_chunk_idx)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** the exact vocabulary-gauge SQL shared by the batch gauge
+    * (`vocab_drift_check`) and its streamed maintainer
+    * (`stream_vocab_delta`). */
+  private val vocabDriftOracle: String =
+      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |counts AS (SELECT w,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta
+        |  FROM t GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) AS BIGINT) AS td,
+        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
+        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
+        |  FROM counts),
+        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
+        |    CAST(n_delta AS BIGINT) AS n_delta
+        |  FROM counts WHERE n_base > 0
+        |  ORDER BY n_base DESC, w ASC LIMIT 32),
+        |panel AS (SELECT w, n_base, n_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    round(CAST(oov_occ AS DOUBLE) / td, 6) AS oov_rate,
+        |    new_tokens,
+        |    oov_occ * 100 > td AS oov_drift
+        |  FROM head, tot)
+        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
+        |  oov_drift,
+        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
+        |FROM panel ORDER BY w""".stripMargin
+
+  /** the exact perceptual-gauge SQL shared by the batch gauge
+    * (`phash_drift_check`) and its streamed maintainer
+    * (`stream_phash_delta`). */
+  private val phashDriftOracle: String =
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |px AS (SELECT doc_id, anchor,
+        |    list_transform(range(0, 288), i ->
+        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
+        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
+        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
+        |  FROM g),
+        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
+        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
+        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
+        |  ) AS grid FROM px),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM grid),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
+        |    array_to_string(bits, '') AS fp FROM bits),
+        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
+        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
+        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
+        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
+        |pb AS (SELECT t.b AS bit,
+        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
+        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
+        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
+        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
+        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN td = 0 THEN 0.0
+        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
+        |    novel_occ * 2 > td AS novelty_drift
+        |  FROM pb, tot, nov)
+        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
+        |  novelty_drift,
+        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
+        |FROM panel ORDER BY bit""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "agg_approx_distinct_bound" ->
       """SELECT o_orderpriority, TRUE AS within_5pct FROM orders
@@ -719,86 +845,10 @@ object SparkEntry {
     // the gauge twin: identical bit recomputation from the pixel
     // formula; per-bit occupancy in exact cross-multiplication,
     // novelty via the full-fingerprint key
-    "phash_drift_check" ->
-      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
-        |px AS (SELECT doc_id, anchor,
-        |    list_transform(range(0, 288), i ->
-        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
-        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
-        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
-        |  FROM g),
-        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
-        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
-        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
-        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
-        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
-        |  ) AS grid FROM px),
-        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
-        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
-        |    THEN 1 ELSE 0 END) AS bits FROM grid),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
-        |    array_to_string(bits, '') AS fp FROM bits),
-        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
-        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
-        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
-        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
-        |pb AS (SELECT t.b AS bit,
-        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
-        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
-        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
-        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
-        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
-        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
-        |    CASE WHEN td = 0 THEN 0.0
-        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
-        |    novel_occ * 2 > td AS novelty_drift
-        |  FROM pb, tot, nov)
-        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
-        |  novelty_drift,
-        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
-        |FROM panel ORDER BY bit""".stripMargin,
+    "phash_drift_check" -> phashDriftOracle,
     // identical output contract to phash_drift_check: the streamed
     // appendOnce fingerprint maintenance serves a bit-identical panel
-    "stream_phash_delta" ->
-      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
-        |px AS (SELECT doc_id, anchor,
-        |    list_transform(range(0, 288), i ->
-        |      (anchor * 31 + (i % 18) * (i % 18) * (anchor % 41 + 2)
-        |       + (i // 18) * (i // 18) * (anchor % 43 + 3)
-        |       + (i % 18) * (i // 18) * (anchor % 97 + 1)) % 200) AS px
-        |  FROM g),
-        |grid AS (SELECT doc_id, list_transform(range(0, 72), gi ->
-        |    (px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 1]
-        |   + px[(2 * (gi // 9)) * 18 + 2 * (gi % 9) + 2]
-        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 1]
-        |   + px[(2 * (gi // 9) + 1) * 18 + 2 * (gi % 9) + 2]) // 4
-        |  ) AS grid FROM px),
-        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
-        |    CASE WHEN grid[(b // 8) * 9 + (b % 8) + 2] > grid[(b // 8) * 9 + (b % 8) + 1]
-        |    THEN 1 ELSE 0 END) AS bits FROM grid),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |f AS (SELECT doc_id, bits, doc_id >= (SELECT c FROM cut) AS is_d,
-        |    array_to_string(bits, '') AS fp FROM bits),
-        |nov AS (SELECT CAST(count(*) AS BIGINT) AS novel_occ FROM f
-        |  WHERE is_d AND fp NOT IN (SELECT fp FROM f WHERE NOT is_d)),
-        |tot AS (SELECT CAST(count(*) FILTER (WHERE NOT is_d) AS BIGINT) AS tb,
-        |    CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS td FROM f),
-        |pb AS (SELECT t.b AS bit,
-        |    CAST(sum(CASE WHEN NOT is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_base,
-        |    CAST(sum(CASE WHEN is_d THEN bits[t.b + 1] ELSE 0 END) AS BIGINT) AS n1_delta
-        |  FROM f CROSS JOIN range(0, 64) t(b) GROUP BY t.b),
-        |panel AS (SELECT CAST(bit AS BIGINT) AS bit, n1_base, n1_delta,
-        |    abs(CAST(n1_delta AS HUGEINT) * tb - CAST(n1_base AS HUGEINT) * td) * 20
-        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
-        |    CASE WHEN td = 0 THEN 0.0
-        |         ELSE round(CAST(novel_occ AS DOUBLE) / td, 6) END AS novel_rate,
-        |    novel_occ * 2 > td AS novelty_drift
-        |  FROM pb, tot, nov)
-        |SELECT bit, n1_base, n1_delta, occ_shift, novel_rate,
-        |  novelty_drift,
-        |  bool_or(occ_shift) OVER () OR novelty_drift AS fp_retrain
-        |FROM panel ORDER BY bit""".stripMargin,
+    "stream_phash_delta" -> phashDriftOracle,
     // the integer-algebra twin of dedup_audio: the oracle recomputes
     // each document's 64-bit Haitsma–Kalker-style fingerprint from the
     // SHARED sample formula alone (groups of 5 share an anchor
@@ -1543,7 +1593,8 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // fuzzy join: the oracle states the UNBLOCKED truth (full
     // levenshtein predicate over probes × part), so the hash gate
-    // proves the Ed-Join prefix filter's completeness end-to-end;
+    // proves the deletion-neighborhood blocking's completeness
+    // end-to-end;
     // verification-scale cross join on the oracle side only
     "join_fuzzy" ->
       """WITH probes AS (SELECT p_partkey AS probe_id,
@@ -1867,66 +1918,10 @@ object SparkEntry {
         |FROM w ORDER BY vocab_rank""".stripMargin,
     // the vocabulary drift gauge: OOV mass + head-token occupancy
     // shift, exact cross-multiplication (the index_drift_check algebra)
-    "vocab_drift_check" ->
-      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
-        |  FROM documents),
-        |counts AS (SELECT w,
-        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
-        |    count(*) FILTER (WHERE is_delta) AS n_delta
-        |  FROM t GROUP BY w),
-        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
-        |    CAST(sum(n_delta) AS BIGINT) AS td,
-        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
-        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
-        |  FROM counts),
-        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
-        |    CAST(n_delta AS BIGINT) AS n_delta
-        |  FROM counts WHERE n_base > 0
-        |  ORDER BY n_base DESC, w ASC LIMIT 32),
-        |panel AS (SELECT w, n_base, n_delta,
-        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
-        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
-        |    round(CAST(oov_occ AS DOUBLE) / td, 6) AS oov_rate,
-        |    new_tokens,
-        |    oov_occ * 100 > td AS oov_drift
-        |  FROM head, tot)
-        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
-        |  oov_drift,
-        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
-        |FROM panel ORDER BY w""".stripMargin,
+    "vocab_drift_check" -> vocabDriftOracle,
     // identical output contract to vocab_drift_check: the streamed
     // appendOnce count maintenance serves a bit-identical gauge panel
-    "stream_vocab_delta" ->
-      """WITH cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |t AS (SELECT doc_id >= (SELECT c FROM cut) AS is_delta,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
-        |  FROM documents),
-        |counts AS (SELECT w,
-        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
-        |    count(*) FILTER (WHERE is_delta) AS n_delta
-        |  FROM t GROUP BY w),
-        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
-        |    CAST(sum(n_delta) AS BIGINT) AS td,
-        |    CAST(coalesce(sum(n_delta) FILTER (WHERE n_base = 0), 0) AS BIGINT) AS oov_occ,
-        |    CAST(count(*) FILTER (WHERE n_base = 0 AND n_delta > 0) AS BIGINT) AS new_tokens
-        |  FROM counts),
-        |head AS (SELECT w, CAST(n_base AS BIGINT) AS n_base,
-        |    CAST(n_delta AS BIGINT) AS n_delta
-        |  FROM counts WHERE n_base > 0
-        |  ORDER BY n_base DESC, w ASC LIMIT 32),
-        |panel AS (SELECT w, n_base, n_delta,
-        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
-        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
-        |    round(CAST(oov_occ AS DOUBLE) / td, 6) AS oov_rate,
-        |    new_tokens,
-        |    oov_occ * 100 > td AS oov_drift
-        |  FROM head, tot)
-        |SELECT w, n_base, n_delta, occ_shift, oov_rate, new_tokens,
-        |  oov_drift,
-        |  bool_or(occ_shift) OVER () OR oov_drift AS vocab_retrain
-        |FROM panel ORDER BY w""".stripMargin,
+    "stream_vocab_delta" -> vocabDriftOracle,
     // the decision recomputed, then the panel re-run on the post-state
     // (fired gauge => full corpus becomes base, delta empty)
     "vocab_retrain_apply" ->
@@ -2101,54 +2096,10 @@ object SparkEntry {
     // the delta form IS the full-corpus keep-first rule restricted to
     // delivery rows — the oracle re-runs the whole-corpus canonical
     // computation and keeps the non-canonical delivery chunks
-    "dedup_chunks_delta" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
-        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
-        |c AS (SELECT doc_id, chunk_start,
-        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
-        |  FROM s),
-        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
-        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
-        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |g AS (SELECT chunk_md5, doc_id, chunk_idx,
-        |    first_value(doc_id) OVER w AS canon_doc_id,
-        |    first_value(chunk_idx) OVER w AS canon_chunk_idx
-        |  FROM f WINDOW w AS (PARTITION BY chunk_md5
-        |    ORDER BY doc_id, chunk_idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-        |SELECT doc_id, chunk_idx, chunk_md5, canon_doc_id, canon_chunk_idx
-        |FROM g, cut
-        |WHERE doc_id >= cut.c
-        |  AND (doc_id != canon_doc_id OR chunk_idx != canon_chunk_idx)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_chunks_delta" -> chunksDeltaOracle,
     // identical output contract to dedup_chunks_delta: the streamed
     // appendOnce maintenance yields a bit-identical persisted store
-    "stream_chunks_delta" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
-        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS chunk_start FROM t),
-        |c AS (SELECT doc_id, chunk_start,
-        |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS chunk
-        |  FROM s),
-        |f AS (SELECT doc_id, CAST(chunk_start // 32 AS BIGINT) AS chunk_idx,
-        |    md5(array_to_string(chunk, ' ')) AS chunk_md5
-        |  FROM c WHERE chunk_start = 0 OR len(chunk) > 32),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |g AS (SELECT chunk_md5, doc_id, chunk_idx,
-        |    first_value(doc_id) OVER w AS canon_doc_id,
-        |    first_value(chunk_idx) OVER w AS canon_chunk_idx
-        |  FROM f WINDOW w AS (PARTITION BY chunk_md5
-        |    ORDER BY doc_id, chunk_idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-        |SELECT doc_id, chunk_idx, chunk_md5, canon_doc_id, canon_chunk_idx
-        |FROM g, cut
-        |WHERE doc_id >= cut.c
-        |  AND (doc_id != canon_doc_id OR chunk_idx != canon_chunk_idx)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "stream_chunks_delta" -> chunksDeltaOracle,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_slice(list_filter(string_split_regex(lower(text), '\s+'),
@@ -3203,57 +3154,12 @@ object SparkEntry {
     // newer side is in the delta (newest ~20% of doc_ids — the same
     // cutoff rule as the engine, integer-division parity via //); the
     // banding-completeness license is dedup_cluster_minhash's
-    "dedup_minhash_delta" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
-        |  FROM t WHERE len(toks) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2,
-        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
-        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
-        |WHERE d2 >= cut.c
-        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_minhash_delta" -> minhashDeltaOracle,
     // identical output contract to dedup_minhash_delta: the streamed
     // appendOnce maintenance yields a bit-identical persisted index
-    "stream_index_delta" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
-        |  FROM t WHERE len(toks) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2,
-        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
-        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
-        |WHERE d2 >= cut.c
-        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+    "stream_index_delta" -> minhashDeltaOracle,
     // the compacted chain must serve bit-identical content: same oracle
-    "index_compact_check" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
-        |  FROM t WHERE len(toks) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |com AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2,
-        |  round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) AS jaccard
-        |FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id, cut
-        |WHERE d2 >= cut.c
-        |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+    "index_compact_check" -> minhashDeltaOracle,
     "dedup_embedding" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos

@@ -240,12 +240,14 @@ object Upsert {
     * but a delivery replayed AFTER a newer delivery merged the same
     * keys would re-rank against the now-older version column and is
     * only safe when every caller threads a total version order — the
-    * tag memory removes that obligation entirely. Each CoW commit
-    * writes the previous generation's [[SnapshotStore.sidecarTags]]
-    * PLUS its own tag into the new version dir (single-dir manifests,
-    * so the sidecar is THE carrier — there are no tag-named dirs to
-    * fall back on), atomic with the commit; a replayed delivery finds
-    * its tag in the live sidecar and commits nothing. A plain
+    * tag memory removes that obligation entirely. The tag lands in
+    * the new version dir's [[SnapshotStore.sidecarTags]] sidecar
+    * (single-dir manifests, so the sidecar is THE carrier — there are
+    * no tag-named dirs to fall back on), atomic with the commit, and
+    * EVERY CoW commit — tagged or plain — carries the generation's
+    * accumulated tags forward ([[SnapshotStore.overwriteCow]]), so a
+    * replayed delivery finds its tag in the live sidecar and commits
+    * nothing even across interleaved plain deliveries. A plain
     * [[SnapshotStore.overwrite]] starts a new generation and retires
     * the memory with the content it guarded. Returns Some(touched
     * bucket ids) iff this call committed, None on a replay. */
@@ -256,10 +258,9 @@ object Upsert {
       : Option[Set[Int]] = {
     val spark = delta.sparkSession
     val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
-    val prev = store.sidecarTags(spark)
-    if (prev.contains(clean)) None
+    if (store.sidecarTags(spark).contains(clean)) None
     else Some(commitDeltaCow(store, snapshot, delta, key, version,
-      mergeWholly, tags = prev + clean))
+      mergeWholly, tags = Set(clean)))
   }
 }
 
@@ -489,6 +490,7 @@ class SnapshotStore(val path: String,
     require(bucket.isEmpty, "appendOnce is not supported on bucketed stores")
     val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
     val spark = df.sparkSession
+    requireNoLegacyTags(spark)
     val committed = manifests(spark).lastOption
       .exists(_._2.exists(_.endsWith(s"-t$clean"))) ||
       sidecarTags(spark).contains(clean)
@@ -540,6 +542,24 @@ class SnapshotStore(val path: String,
     finally out.close()
   }
 
+  /** Pre-r18 stores kept the tag memory in a ROOT-level
+    * `_applied_tags` file, which outlived the generations it guarded
+    * (the r17-advice data-loss hazard the in-dir design fixes). The
+    * exactly-once operations REFUSE to run next to one — silent
+    * choices here are both wrong (honoring it re-introduces the
+    * cross-generation suppression; ignoring it re-appends deliveries
+    * it recorded). A plain [[overwrite]] retires it with the
+    * generation, which is the sanctioned migration: rebuild, or fold
+    * the file's lines into the live dir by hand. */
+  private def legacyTagsPath = new Path(s"$path/_applied_tags")
+
+  private def requireNoLegacyTags(spark: SparkSession): Unit =
+    require(!fs(spark).exists(legacyTagsPath),
+      s"$path carries a pre-r18 ROOT-level _applied_tags file; " +
+        "overwrite the store (retiring the old generation's memory) " +
+        "or fold its tags into the live version dir's _applied_tags " +
+        "before using appendOnce/compact")
+
   private def dirTags(dirs: Seq[String]): Set[String] =
     dirs.flatMap("-t([A-Za-z0-9_-]+)$".r
       .findFirstMatchIn(_).map(_.group(1))).toSet
@@ -566,6 +586,7 @@ class SnapshotStore(val path: String,
     * and [[appendOnce]] both do by construction on entry. */
   def compact(spark: SparkSession): Unit = {
     require(bucket.isEmpty, "compact is not supported on bucketed stores")
+    requireNoLegacyTags(spark)
     manifests(spark).lastOption.foreach { case (seq, dirs) =>
       if (dirs.size > 1)
         commit(readVersion(spark, seq, dirs), appendMode = false,
@@ -601,13 +622,17 @@ class SnapshotStore(val path: String,
     * manifest rename publishes it. On an empty store this IS
     * [[overwrite]].
     *
-    * `tags` — the generation's exactly-once memory, written as the new
-    * version dir's [[sidecarTags]] sidecar (atomic with the commit).
-    * A CoW commit retires the previous dir, so a caller that needs
-    * cross-delivery replay protection ([[Upsert.commitDeltaCowOnce]])
-    * passes the previous generation's tags PLUS its own — the sidecar
-    * rides every delivery forward, exactly the compacted-chain story
-    * [[compact]] gives append-mode stores. */
+    * `tags` — this delivery's exactly-once memory
+    * ([[Upsert.commitDeltaCowOnce]] passes its tag). The previous
+    * generation's [[sidecarTags]] are carried forward UNCONDITIONALLY
+    * and written into the new version dir's sidecar: a CoW commit is
+    * a content UPDATE within the generation (the untouched buckets'
+    * files are literally inherited), so the replay memory guarding
+    * that content must ride along even when the committer itself is a
+    * plain tag-less [[Upsert.commitDeltaCow]] — otherwise one plain
+    * delivery between two exactly-once ones would silently erase the
+    * memory while keeping the data it guards live. Only a plain
+    * [[overwrite]] — full content replacement — retires the tags. */
   def overwriteCow(merged: DataFrame, touched: Set[Int],
       tags: Set[String] = Set.empty): Unit = {
     val (key, n) = bucket.getOrElse(sys.error(
@@ -615,9 +640,10 @@ class SnapshotStore(val path: String,
     require(touched.forall(b => b >= 0 && b < n),
       s"touched bucket ids must be in [0, $n)")
     val spark = merged.sparkSession
+    val carried = tags ++ sidecarTags(spark)
     val committed = manifests(spark)
     if (committed.isEmpty) {
-      commit(merged, appendMode = false, tagsSidecar = tags); return
+      commit(merged, appendMode = false, tagsSidecar = carried); return
     }
     val f = fs(spark)
     val seq = committed.last._1 + 1
@@ -637,7 +663,7 @@ class SnapshotStore(val path: String,
         case _ => () // touched bucket or non-data file (_SUCCESS)
       }
     }
-    if (tags.nonEmpty) writeTagsSidecar(f, version, tags)
+    if (carried.nonEmpty) writeTagsSidecar(f, version, carried)
     publish(spark, committed, seq, version, version)
   }
 
@@ -699,6 +725,13 @@ class SnapshotStore(val path: String,
           .mkString("\n")
       else version
     publish(spark, committed, seq, version, body)
+    // a generation reset retires the legacy root-level memory too —
+    // AFTER the flip: deleting it pre-publish would drop the memory
+    // while the old generation's content is still live (a crash
+    // between the two re-opens the pre-r18 hazard); post-flip, a
+    // crash before the delete just leaves the file for the loud
+    // requireNoLegacyTags guard / the next overwrite to retire
+    if (!appendMode) f.delete(legacyTagsPath, false)
   }
 
   /** Publish `version` (its data dir fully written) as MANIFEST-`seq`

@@ -65,7 +65,10 @@ private[streaming] object DriveSupport {
     * alone, and concurrent first-runs of different drives stage in
     * parallel. Carries the call site's declared result class so a key
     * collision across call sites fails with the cause named, not a
-    * ClassCastException far from it. */
+    * ClassCastException far from it — a CLASS-level guard only:
+    * erasure makes two same-arity tuple types indistinguishable here,
+    * so distinct key PREFIXES per call site remain the real
+    * discipline (every current site has one). */
   private final class StagedSlot(val cls: Class[_], thunk: () => Any) {
     lazy val value: Any = thunk()
   }

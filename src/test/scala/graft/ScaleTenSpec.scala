@@ -133,13 +133,14 @@ class ScaleTenSpec extends AnyFunSuite {
   test("part: fresh names from the base vocabulary, strided keys, " +
       "base replica verbatim") {
     val baseP = Tables.load(spark, sfDir, "part")
-    val g = ScaleTen.genPart(baseP, 3).cache()
+    val stride0 = baseP.agg(max("p_partkey")).head().getLong(0) + 1L
+    val g = ScaleTen.genPart(baseP, 3, stride0).cache()
     assert(g.count() === baseP.count() * 3)
     assert(g.select("p_partkey").distinct().count() === g.count())
     assert(g.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
       baseP.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     // replica 0 IS the base (strided keys partition cleanly above it)
-    val stride = baseP.agg(max("p_partkey")).head().getLong(0) + 1L
+    val stride = stride0
     assert(g.filter(col("p_partkey") < stride).except(baseP)
       .count() === 0L)
     // fresh-name replicas draw from the base's measured name-word
@@ -171,7 +172,7 @@ class ScaleTenSpec extends AnyFunSuite {
       df.agg(max(col(k))).head().getLong(0) + 1L
     val (pkS, okS) = (strideOf(part, "p_partkey"),
       strideOf(orders, "o_orderkey"))
-    val gPart = ScaleTen.genPart(part, 3)
+    val gPart = ScaleTen.genPart(part, 3, pkS)
     val gOrders = ScaleTen.replicateKeyed(orders, 3,
       Seq("o_orderkey" -> okS))
     val gLi = ScaleTen.replicateKeyed(li, 3,

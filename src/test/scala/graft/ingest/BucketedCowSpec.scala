@@ -153,6 +153,18 @@ class BucketedCowSpec extends SparkSuite {
       assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
         deltaData, key = "code", tag = "wk-01",
         version = Seq(col("v")), mergeWholly = Set.empty).isEmpty)
+      // a PLAIN (tag-less) CoW delivery between exactly-once ones must
+      // carry the generation's memory forward — it updates content the
+      // tags still guard (the r18-review hazard: a mixed Once/non-Once
+      // caller dropping the sidecar mid-generation)
+      val plain = Seq(("code7", "plain7", 3000L)).toDF("code", "name", "v")
+      Upsert.commitDeltaCow(store, store.read(spark).get, plain,
+        key = "code", version = Seq(col("v")), mergeWholly = Set.empty)
+      assert(store.sidecarTags(spark) === Set("wk-01", "wk-02"),
+        "a plain CoW commit dropped the generation's tag memory")
+      assert(Upsert.commitDeltaCowOnce(store, store.read(spark).get,
+        deltaData, key = "code", tag = "wk-01",
+        version = Seq(col("v")), mergeWholly = Set.empty).isEmpty)
       // a rebuild-from-scratch overwrite starts a new generation: the
       // old tags no longer guard anything and must not suppress
       store.overwrite(snapData)

@@ -161,6 +161,28 @@ class IndexMaintainSpec extends SparkSuite {
     }
   }
 
+  test("a pre-r18 ROOT-level _applied_tags file makes appendOnce and " +
+      "compact refuse loudly; an overwrite retires it") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      // plant the legacy artifact the old compact() wrote at the root
+      java.nio.file.Files.writeString(
+        tmp.resolve("s").resolve("_applied_tags"), "7\n")
+      // both silent choices are wrong (honor = cross-generation
+      // suppression, ignore = re-append) — the API must refuse
+      intercept[IllegalArgumentException] {
+        st.appendOnce(Seq(("d8", 2L)).toDF("k", "v"), "8")
+      }
+      intercept[IllegalArgumentException] { st.compact(spark) }
+      // the sanctioned migration: a generation reset retires the file
+      st.overwrite(Seq(("base2", 9L)).toDF("k", "v"))
+      assert(!java.nio.file.Files.exists(
+        tmp.resolve("s").resolve("_applied_tags")))
+      assert(st.appendOnce(Seq(("d8", 2L)).toDF("k", "v"), "8"))
+    }
+  }
+
   test("compact on a single-dir store is a no-op") {
     withTmpDir { tmp =>
       val st = new SnapshotStore(tmp.resolve("s").toString)
