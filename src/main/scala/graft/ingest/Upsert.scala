@@ -250,17 +250,35 @@ object Upsert {
     * nothing even across interleaved plain deliveries. A plain
     * [[SnapshotStore.overwrite]] starts a new generation and retires
     * the memory with the content it guarded. Returns Some(touched
-    * bucket ids) iff this call committed, None on a replay. */
+    * bucket ids) iff this call committed, None on a replay.
+    *
+    * Tags must already be `[A-Za-z0-9_-]+` — REJECTED otherwise, not
+    * sanitized: a lossy rewrite would let two distinct caller tags
+    * ('wk 01' / 'wk:01') share one memory slot and silently suppress a
+    * legitimate second delivery as a phantom replay. Refuses to run
+    * next to a pre-r18 root-level `_applied_tags` file, like every
+    * exactly-once operation ([[SnapshotStore.appendOnce]]'s guard).
+    *
+    * Concurrency: single writer per store is the documented model
+    * (compact's scaladoc), and the entry read here is only a fast-path
+    * replay skip — the closing check lives INSIDE
+    * [[SnapshotStore.overwriteCow]], which re-checks the tag against
+    * the SAME manifest snapshot its sequence number derives from: a
+    * concurrent committer publishing in between either surfaces the
+    * tag there (loud lost-race refusal) or bumps the sequence (the
+    * rename-to-fresh-name refusal). Exactly one side commits; the
+    * loser's retry lands on the None fast path. */
   def commitDeltaCowOnce(store: SnapshotStore, snapshot: DataFrame,
       delta: DataFrame, key: String, tag: String,
       version: Seq[Column] = Nil,
       mergeWholly: Set[String] = Set("file_id", "last_modified_at_company"))
       : Option[Set[Int]] = {
     val spark = delta.sparkSession
-    val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
-    if (store.sidecarTags(spark).contains(clean)) None
+    SnapshotStore.requireCleanTag(tag)
+    store.requireNoLegacyTags(spark)
+    if (store.sidecarTags(spark).contains(tag)) None
     else Some(commitDeltaCow(store, snapshot, delta, key, version,
-      mergeWholly, tags = Set(clean)))
+      mergeWholly, tags = Set(tag)))
   }
 }
 
@@ -479,23 +497,26 @@ class SnapshotStore(val path: String,
   }
 
   /** Append exactly once per `tag` — the idempotence a streaming
-    * `foreachBatch` replay needs: the tag (sanitized) is embedded in
-    * the version DIR name, so a committed delivery is visible in the
-    * live manifest's own dir list and a replayed micro-batch
-    * re-appends nothing. Returns true iff this call committed. A blind
-    * [[append]] is NOT replay-safe (each retry would re-reference a
-    * fresh delta dir); an index maintained from a stream must append
-    * through this. */
+    * `foreachBatch` replay needs: the tag is embedded in the version
+    * DIR name, so a committed delivery is visible in the live
+    * manifest's own dir list and a replayed micro-batch re-appends
+    * nothing. Tags must already be `[A-Za-z0-9_-]+` — REJECTED
+    * otherwise, not sanitized: a lossy rewrite would let two distinct
+    * caller tags collapse into one memory slot and silently suppress
+    * the second delivery as a phantom replay. Returns true iff this
+    * call committed. A blind [[append]] is NOT replay-safe (each retry
+    * would re-reference a fresh delta dir); an index maintained from a
+    * stream must append through this. */
   def appendOnce(df: DataFrame, tag: String): Boolean = {
     require(bucket.isEmpty, "appendOnce is not supported on bucketed stores")
-    val clean = tag.replaceAll("[^A-Za-z0-9_-]", "_")
+    SnapshotStore.requireCleanTag(tag)
     val spark = df.sparkSession
     requireNoLegacyTags(spark)
     val committed = manifests(spark).lastOption
-      .exists(_._2.exists(_.endsWith(s"-t$clean"))) ||
-      sidecarTags(spark).contains(clean)
+      .exists(_._2.exists(_.endsWith(s"-t$tag"))) ||
+      sidecarTags(spark).contains(tag)
     if (committed) false
-    else { commit(df, appendMode = true, nameTag = Some(clean)); true }
+    else { commit(df, appendMode = true, nameTag = Some(tag)); true }
   }
 
   /** The durable applied-tags memory, scoped to the LIVE manifest's
@@ -515,9 +536,17 @@ class SnapshotStore(val path: String,
     * new content. Reads are the union over the live manifest's dirs
     * (an append chain keeps its compacted head dir referenced, so the
     * folded tags stay visible until the next overwrite/compact). */
-  private[graft] def sidecarTags(spark: SparkSession): Set[String] = {
-    val f = fs(spark)
-    manifests(spark).lastOption.map(_._2).getOrElse(Nil).flatMap { d =>
+  private[graft] def sidecarTags(spark: SparkSession): Set[String] =
+    sidecarTagsOf(fs(spark),
+      manifests(spark).lastOption.map(_._2).getOrElse(Nil))
+
+  /** [[sidecarTags]] over an explicit dir list — so a committer can
+    * derive the live tag memory from the SAME manifest snapshot its
+    * sequence number comes from (one read, no window between the two;
+    * see [[overwriteCow]]). */
+  private def sidecarTagsOf(f: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[String]): Set[String] =
+    dirs.flatMap { d =>
       val p = new Path(s"$path/$d/_applied_tags")
       if (!f.exists(p)) Nil
       else {
@@ -528,7 +557,6 @@ class SnapshotStore(val path: String,
         finally in.close()
       }
     }.toSet
-  }
 
   /** Write `tags` as `version`'s in-dir sidecar — must run after the
     * dir's data files and before [[publish]], so the memory is atomic
@@ -553,7 +581,7 @@ class SnapshotStore(val path: String,
     * the file's lines into the live dir by hand. */
   private def legacyTagsPath = new Path(s"$path/_applied_tags")
 
-  private def requireNoLegacyTags(spark: SparkSession): Unit =
+  private[ingest] def requireNoLegacyTags(spark: SparkSession): Unit =
     require(!fs(spark).exists(legacyTagsPath),
       s"$path carries a pre-r18 ROOT-level _applied_tags file; " +
         "overwrite the store (retiring the old generation's memory) " +
@@ -640,12 +668,26 @@ class SnapshotStore(val path: String,
     require(touched.forall(b => b >= 0 && b < n),
       s"touched bucket ids must be in [0, $n)")
     val spark = merged.sparkSession
-    val carried = tags ++ sidecarTags(spark)
+    val f = fs(spark)
     val committed = manifests(spark)
+    // the live tag memory, derived from the SAME manifest read the
+    // commit's sequence number comes from: a concurrent committer that
+    // published our tag before this read surfaces HERE (loud refusal);
+    // one that publishes after it bumps the sequence and the
+    // rename-to-fresh-name in publish() refuses. No interleaving lets
+    // two committers both land one tag (the r18-advice window between
+    // a separate sidecarTags read and a later manifests read is gone).
+    val live = sidecarTagsOf(f,
+      committed.lastOption.map(_._2).getOrElse(Nil))
+    val dup = tags.intersect(live)
+    if (dup.nonEmpty)
+      throw new java.io.IOException(
+        s"delivery tag(s) ${dup.mkString(",")} already applied to " +
+          s"$path — lost exactly-once commit race")
+    val carried = tags ++ live
     if (committed.isEmpty) {
       commit(merged, appendMode = false, tagsSidecar = carried); return
     }
-    val f = fs(spark)
     val seq = committed.last._1 + 1
     // bucketed manifests are single-dir by construction (append is
     // disallowed; overwrite and cow both publish one dir)
@@ -802,4 +844,18 @@ class SnapshotStore(val path: String,
       }
     }
   }
+}
+
+object SnapshotStore {
+  /** Exactly-once tags must be `[A-Za-z0-9_-]+` — REJECTED otherwise,
+    * never sanitized: a lossy rewrite maps distinct caller tags ('wk
+    * 01' and 'wk:01') onto one memory slot, so the second delivery
+    * would read as a phantom replay and silently vanish. The alphabet
+    * is what a `-t<tag>` dir-name suffix and a newline-separated
+    * sidecar line can both carry verbatim. */
+  private[ingest] def requireCleanTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9_-]+"),
+      s"exactly-once tag '$tag' is not [A-Za-z0-9_-]+ — encode it " +
+        "losslessly at the call site; lossy sanitization would let two " +
+        "distinct tags share one replay-memory slot")
 }

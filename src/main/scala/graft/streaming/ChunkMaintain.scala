@@ -130,7 +130,14 @@ object ChunkMaintain {
         .as("c"))
       .select(col("chunk_md5"), col("c.canon_doc_id"),
         col("c.canon_chunk_idx"))
-    oStore.read(spark).get.join(canon, Seq("chunk_md5"))
+    // an all-empty delivery stream never creates the occurrences store
+    // (appendDelivery early-returns) — serve the empty dedup, don't
+    // crash on a .get (the VocabMaintain/PhashMaintain empty-delta
+    // convention; r18 advice)
+    val occurrences = oStore.read(spark).getOrElse(
+      canon.limit(0).select(col("canon_doc_id").as("doc_id"),
+        col("canon_chunk_idx").as("chunk_idx"), col("chunk_md5")))
+    occurrences.join(canon, Seq("chunk_md5"))
       .filter(col("doc_id") =!= col("canon_doc_id") ||
         col("chunk_idx") =!= col("canon_chunk_idx"))
       .select("doc_id", "chunk_idx", "chunk_md5", "canon_doc_id",
