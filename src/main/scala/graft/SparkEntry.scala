@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.query.{BloomJoin, Bpe, Bucketed, ChunkIndex, Cluster, Contracts, EmbeddingIndex, Events, Finders, FuzzyJoin, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
+import graft.query.{BloomJoin, Bpe, Bucketed, ChunkIndex, Cluster, Contracts, EmbeddingIndex, Events, Finders, FuzzyIndex, FuzzyJoin, IndexDrift, Ivf, MinhashIndex, PipelineOps, PowerIter, Pq, PqDrift, Profile, Relational, Sampling, SemanticIndex, Sketches, SubstringIndex, Temporal, TextQuality, TextSim, Unigram}
 import graft.streaming.IngestE2E
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -137,6 +137,12 @@ object SparkEntry {
     // (FastSS) blocking + banded levenshtein verify — see FuzzyJoin
     "join_fuzzy" -> ((s: SparkSession, d: String) =>
       FuzzyJoin.joinFuzzy(s, d)),
+    // the weekly regime: dirty delivery probes matched against the
+    // PERSISTED deletion-signature index (SnapshotStore chain, base
+    // commit + exactly-once O(delta) append) — see FuzzyIndex; same
+    // unblocked oracle restricted to delivery probes
+    "join_fuzzy_delta" -> ((s: SparkSession, d: String) =>
+      FuzzyIndex.joinFuzzyDelta(s, d)),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -187,6 +193,16 @@ object SparkEntry {
     // bit — the oracle recomputes the whole gauge->act->re-gauge loop
     "index_retrain_apply" -> ((s: SparkSession, d: String) =>
       IndexDrift.indexRetrainApply(s, d)),
+    // the PQ-codebook analog of index_drift_check (r18 verdict task
+    // 2): per-(subspace, cell) assignment-distance inflation +
+    // within-subspace code-occupancy shift over fixed sign-quadrant
+    // subspace cells, shared DriftGauge algebra — see query.PqDrift
+    "pq_drift_check" -> ((s: SparkSession, d: String) =>
+      PqDrift.pqDriftCheck(s, d)),
+    // the gauge's decision APPLIED (the index_retrain_apply shape for
+    // the codes index): fired -> chain reset -> all-quiet post panel
+    "pq_retrain_apply" -> ((s: SparkSession, d: String) =>
+      PqDrift.pqRetrainApply(s, d)),
     "stream_profile_drift" -> (streaming.ProfileStream.drift _),
     // tokenizer-vocabulary coverage cut (integer-exact membership) —
     // see TextQuality.vocabCoverage
@@ -1609,6 +1625,25 @@ object SparkEntry {
         |SELECT probe_id, probe_name, p_partkey AS match_key,
         |  p_name AS match_name, dist
         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    // the delta form: the SAME unblocked truth restricted to probes
+    // derived from the delivery slice (p_partkey >= the 4/5 cutoff) —
+    // the engine side serves the reference from the persisted
+    // signature index, so the hash gate proves the index content AND
+    // the blocking completeness end-to-end
+    "join_fuzzy_delta" ->
+      """WITH cut AS (SELECT CAST(floor(max(p_partkey) * 4 / 5) AS BIGINT) + 1 AS c FROM part),
+        |probes AS (SELECT p_partkey AS probe_id,
+        |    concat(substring(p_name, 1, 2), substring(p_name, 4)) AS probe_name
+        |  FROM part, cut WHERE p_partkey % 20 = 0 AND p_partkey >= cut.c),
+        |m AS (SELECT probe_id, probe_name, p_partkey, p_name,
+        |    CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+        |  FROM probes CROSS JOIN part
+        |  WHERE levenshtein(probe_name, p_name) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dist, p_partkey) AS rn FROM m)
+        |SELECT probe_id, probe_name, p_partkey AS match_key,
+        |  p_name AS match_name, dist
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,
@@ -1826,6 +1861,122 @@ object SparkEntry {
         |  bool_or(needs_retrain) OVER () AS index_retrain,
         |  (SELECT r FROM dec) AS retrained
         |FROM nr ORDER BY cell""".stripMargin,
+    // the PQ-codebook gauge: index_drift_check's algebra at
+    // (subspace, cell) grain — 16 subspaces of 4 dims, sign-quadrant
+    // cells per subspace, occupancy shares normalized WITHIN each
+    // subspace (per-sub window)
+    "pq_drift_check" ->
+      """WITH cut AS (SELECT max(vec_id) * 4 // 5 + 1 AS c FROM embeddings),
+        |e AS (SELECT vec_id, vec_id >= (SELECT c FROM cut) AS is_delta,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT vec_id, is_delta, r.d AS d, v[r.d + 1] AS val,
+        |    CAST(r.d // 4 AS BIGINT) AS sub
+        |  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS d) r),
+        |cells AS (SELECT vec_id, sub,
+        |    CAST(sum(CASE WHEN val > 0 THEN
+        |      CASE d % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+        |      ELSE 0 END) AS BIGINT) AS cell
+        |  FROM dims GROUP BY vec_id, sub),
+        |dc AS (SELECT dims.vec_id, dims.is_delta, dims.sub, cells.cell,
+        |    dims.d, dims.val
+        |  FROM dims JOIN cells ON dims.vec_id = cells.vec_id AND dims.sub = cells.sub),
+        |cent AS (SELECT sub, cell, d, avg(val) AS m FROM dc WHERE NOT is_delta GROUP BY sub, cell, d),
+        |sq AS (SELECT dc.vec_id, dc.sub AS sub, dc.cell AS cell, is_delta,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM dc LEFT JOIN cent ON dc.sub = cent.sub AND dc.cell = cent.cell AND dc.d = cent.d
+        |  GROUP BY dc.vec_id, dc.sub, dc.cell, is_delta),
+        |stats AS (SELECT sub, cell,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_delta) AS mb,
+        |    avg(sq) FILTER (WHERE is_delta) AS md
+        |  FROM sq GROUP BY sub, cell),
+        |tot AS (SELECT sub, cell, n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER (PARTITION BY sub) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER (PARTITION BY sub) AS BIGINT) AS td FROM stats),
+        |fl AS (SELECT sub, cell, n_base, n_delta, msd_base, msd_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN n_base = 0 THEN n_delta >= 16
+        |         WHEN n_delta < 16 OR n_base < 16 THEN FALSE
+        |         ELSE msd_delta * 2 > msd_base * 3 END AS dist_drift
+        |  FROM tot),
+        |nr AS (SELECT *, occ_shift OR dist_drift AS needs_retrain FROM fl)
+        |SELECT sub, cell, n_base, n_delta, msd_base, msd_delta, occ_shift,
+        |  dist_drift, needs_retrain,
+        |  bool_or(needs_retrain) OVER () AS pq_retrain
+        |FROM nr ORDER BY sub, cell""".stripMargin,
+    // the PQ retrain loop closed: pre-gauge decides, the action masks
+    // is_delta (chain reset), the post panel is re-gauged — the
+    // index_retrain_apply recomputation shape at (sub, cell) grain
+    "pq_retrain_apply" ->
+      """WITH cut AS (SELECT max(vec_id) * 4 // 5 + 1 AS c FROM embeddings),
+        |e0 AS (SELECT vec_id, vec_id >= (SELECT c FROM cut) AS is_d,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p_dims AS (SELECT vec_id, is_d, r.d AS d, v[r.d + 1] AS val,
+        |    CAST(r.d // 4 AS BIGINT) AS sub
+        |  FROM e0, LATERAL (SELECT unnest(range(0, len(v))) AS d) r),
+        |p_cells AS (SELECT vec_id, sub,
+        |    CAST(sum(CASE WHEN val > 0 THEN
+        |      CASE d % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+        |      ELSE 0 END) AS BIGINT) AS cell
+        |  FROM p_dims GROUP BY vec_id, sub),
+        |p_dc AS (SELECT p_dims.vec_id, p_dims.is_d, p_dims.sub,
+        |    p_cells.cell, p_dims.d, p_dims.val
+        |  FROM p_dims JOIN p_cells ON p_dims.vec_id = p_cells.vec_id AND p_dims.sub = p_cells.sub),
+        |p_cent AS (SELECT sub, cell, d, avg(val) AS m FROM p_dc WHERE NOT is_d GROUP BY sub, cell, d),
+        |p_sq AS (SELECT p_dc.vec_id, p_dc.sub AS sub, p_dc.cell AS cell, is_d,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM p_dc LEFT JOIN p_cent ON p_dc.sub = p_cent.sub AND p_dc.cell = p_cent.cell AND p_dc.d = p_cent.d
+        |  GROUP BY p_dc.vec_id, p_dc.sub, p_dc.cell, is_d),
+        |p_stats AS (SELECT sub, cell,
+        |    count(*) FILTER (WHERE NOT is_d) AS n_base,
+        |    count(*) FILTER (WHERE is_d) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_d) AS mb,
+        |    avg(sq) FILTER (WHERE is_d) AS md
+        |  FROM p_sq GROUP BY sub, cell),
+        |p_tot AS (SELECT n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER (PARTITION BY sub) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER (PARTITION BY sub) AS BIGINT) AS td FROM p_stats),
+        |dec AS (SELECT coalesce(bool_or(
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td
+        |    OR CASE WHEN n_base = 0 THEN n_delta >= 16
+        |            WHEN n_delta < 16 OR n_base < 16 THEN FALSE
+        |            ELSE msd_delta * 2 > msd_base * 3 END), FALSE) AS r
+        |  FROM p_tot),
+        |dc AS (SELECT vec_id, is_d AND NOT (SELECT r FROM dec) AS is_delta,
+        |    sub, cell, d, val FROM p_dc),
+        |cent AS (SELECT sub, cell, d, avg(val) AS m FROM dc WHERE NOT is_delta GROUP BY sub, cell, d),
+        |sq AS (SELECT dc.vec_id, dc.sub AS sub, dc.cell AS cell, is_delta,
+        |    sum((val - m) * (val - m)) AS sq
+        |  FROM dc LEFT JOIN cent ON dc.sub = cent.sub AND dc.cell = cent.cell AND dc.d = cent.d
+        |  GROUP BY dc.vec_id, dc.sub, dc.cell, is_delta),
+        |stats AS (SELECT sub, cell,
+        |    count(*) FILTER (WHERE NOT is_delta) AS n_base,
+        |    count(*) FILTER (WHERE is_delta) AS n_delta,
+        |    avg(sq) FILTER (WHERE NOT is_delta) AS mb,
+        |    avg(sq) FILTER (WHERE is_delta) AS md
+        |  FROM sq GROUP BY sub, cell),
+        |tot AS (SELECT sub, cell, n_base, n_delta,
+        |    round(mb, 4) AS msd_base, round(md, 4) AS msd_delta,
+        |    CAST(sum(n_base) OVER (PARTITION BY sub) AS BIGINT) AS tb,
+        |    CAST(sum(n_delta) OVER (PARTITION BY sub) AS BIGINT) AS td FROM stats),
+        |fl AS (SELECT sub, cell, n_base, n_delta, msd_base, msd_delta,
+        |    abs(CAST(n_delta AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * td) * 20
+        |      > CAST(tb AS HUGEINT) * td AS occ_shift,
+        |    CASE WHEN n_base = 0 THEN n_delta >= 16
+        |         WHEN n_delta < 16 OR n_base < 16 THEN FALSE
+        |         ELSE msd_delta * 2 > msd_base * 3 END AS dist_drift
+        |  FROM tot),
+        |nr AS (SELECT *, occ_shift OR dist_drift AS needs_retrain FROM fl)
+        |SELECT sub, cell, n_base, n_delta, msd_base, msd_delta, occ_shift,
+        |  dist_drift, needs_retrain,
+        |  bool_or(needs_retrain) OVER () AS pq_retrain,
+        |  (SELECT r FROM dec) AS retrained
+        |FROM nr ORDER BY sub, cell""".stripMargin,
     // one block per audited key column; quantile_cont mirrors Spark's
     // exact interpolated percentile over the key-grain size table
     "skew_report" ->

@@ -47,11 +47,14 @@ import graft.core.Tables
   *
   * Scale shape: signature volume is Σ C(len, ≤k) ≈ len^k/k! variants
   * per string (~460 rows for a 30-char name at k=2) — linear in the
-  * table, the documented FastSS space-for-time trade; at 100 TB the
+  * table, the documented FastSS space-for-time trade. At 100 TB the
   * reference-side variant table is built ONCE and persisted as an
-  * index (the SymSpell dictionary; a [[graft.ingest.SnapshotStore]]
-  * chain with O(delta) appendOnce maintenance, like every store
-  * here), while the probe side explodes only the dirty delivery.
+  * index (the SymSpell dictionary) — [[FuzzyIndex]] IS that store: a
+  * [[graft.ingest.SnapshotStore]] chain with O(delta) appendOnce
+  * maintenance serving `join_fuzzy_delta`, while the probe side
+  * explodes only the dirty delivery. THIS one-shot form re-derives
+  * the reference signatures inline per call — the right operator for
+  * a single ad-hoc linkage, not for the weekly regime.
   * Variants ride as xxhash64 keys (16 bytes/row in the exchange, not
   * 30-char strings); a hash collision can only ADD a candidate —
   * equal strings hash equal — and the exact verify kills it. The
@@ -90,25 +93,38 @@ object FuzzyJoin {
     array_distinct(concat(tiers: _*))
   }
 
-  /** Driver key `join_fuzzy`: dirty probes (every 50th part name with
-    * the 3rd character deleted) matched to `part` at Levenshtein ≤ `k`,
-    * best match per probe. */
-  def joinFuzzy(spark: SparkSession, dir: String, k: Int = 2)
-      : DataFrame = {
-    val parts = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"))
-    val probes = parts.filter(col("p_partkey") % 50 === 0)
-      .select(col("p_partkey").as("probe_id"),
-        concat(substring(col("p_name"), 1, 2),
-          expr("substring(p_name, 4)")).as("probe_name"))
-
-    // reference-side signature table — the part a production pipeline
-    // persists as an index and maintains O(delta)
-    val refSig = parts
+  /** Reference-side signature table of a (p_partkey, p_name) frame:
+    * (p_partkey, r_len, vh) — one row per deletion variant, hashed.
+    * This is the row shape [[FuzzyIndex]] persists; the inline form
+    * derives it fresh per call. */
+  private[query] def signaturesOf(parts: DataFrame, k: Int): DataFrame =
+    parts
       .select(col("p_partkey"), length(col("p_name")).as("r_len"),
         explode(deleteVariants(col("p_name"), k)).as("v"))
       .select(col("p_partkey"), col("r_len"),
         xxhash64(col("v")).as("vh"))
+
+  /** The dirty-probe derivation: every `everyN`-th part name with its
+    * 3rd character deleted — edit distance 1 from its source, so the
+    * DuckDB oracle re-derives the same probes and states the unblocked
+    * truth. */
+  private[query] def probesOf(parts: DataFrame, everyN: Int): DataFrame =
+    parts.filter(col("p_partkey") % everyN === 0)
+      .select(col("p_partkey").as("probe_id"),
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("probe_name"))
+
+  /** The shared query tail: probe signatures (always derived inline —
+    * the probe side IS the dirty delivery), hashed-equality candidate
+    * join against `refSig` with the exact-safe |Δlen| ≤ k prune,
+    * banded O(len·k) verify on candidates only, and the map-side-
+    * combinable min(struct) best-match rollup. `refSig` is either the
+    * inline [[signaturesOf]] (one-shot) or [[FuzzyIndex]]'s persisted
+    * table (the weekly regime) — the two are row-identical by the
+    * per-string grain of the signature derivation, which is what lets
+    * `join_fuzzy_delta` run under the same unblocked exact oracle. */
+  private[query] def matchProbes(probes: DataFrame, refSig: DataFrame,
+      parts: DataFrame, k: Int): DataFrame = {
     val probeSig = probes
       .select(col("probe_id"), length(col("probe_name")).as("p_len"),
         explode(deleteVariants(col("probe_name"), k)).as("v"))
@@ -134,5 +150,15 @@ object FuzzyJoin {
         col("m.p_partkey").as("match_key"),
         col("m.p_name").as("match_name"), col("m.dist").as("dist"))
       .orderBy("probe_id")
+  }
+
+  /** Driver key `join_fuzzy`: dirty probes (every 50th part name with
+    * the 3rd character deleted) matched to `part` at Levenshtein ≤ `k`,
+    * best match per probe. */
+  def joinFuzzy(spark: SparkSession, dir: String, k: Int = 2)
+      : DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    matchProbes(probesOf(parts, 50), signaturesOf(parts, k), parts, k)
   }
 }

@@ -191,6 +191,23 @@ object Pq {
     similarityPqOf(Tables.load(spark, dir, "embeddings"),
       ensureDeltaIndex(spark, dir), k, rerank, M)
 
+  /** The [[PqDrift]] gauge's decision applied at the serving layer
+    * (the [[Ivf.similarityIvfRetrain]] role for the codes index): a
+    * firing gauge RETRAINS the codebooks on the full corpus — the
+    * chain resets, every vector re-coded under the fresh model
+    * ([[ensureIndex]] over base ∪ delta IS that model) — while a
+    * quiet gauge serves the frozen delta chain's answers bit-for-bit.
+    * PqDriftSpec drives both arms through a planted shift / control
+    * pair. */
+  def similarityPqRetrain(spark: SparkSession, dir: String, k: Int = 5,
+      rerank: Int = Rerank): DataFrame = {
+    val fired = PqDrift.pqDriftCheck(spark, dir)
+      .agg(coalesce(bool_or(col("pq_retrain")), lit(false)))
+      .head().getBoolean(0)
+    if (fired) similarityPq(spark, dir, k, rerank)
+    else similarityPqDelta(spark, dir, k, rerank)
+  }
+
   /** Un-memoized index build over an arbitrary embeddings frame —
     * the Scale sweep's entry point (each factor is a fresh corpus). */
   def buildIndexOf(e: DataFrame, m: Int = M, ks: Int = Ks,

@@ -48,6 +48,9 @@ class PlanAuditSpec extends SparkSuite {
     // builds/loads the persisted minhash index on construction
     // (dedup_minhash_delta; curate_delta composes it)
     "dedup_minhash_delta", "curate_delta",
+    // builds/loads the persisted fuzzy deletion-signature index on
+    // construction
+    "join_fuzzy_delta",
     // builds/loads the persisted semantic-dedup index on construction
     // (the IVF-delta precedent)
     "dedup_semantic_delta",
@@ -78,6 +81,8 @@ class PlanAuditSpec extends SparkSuite {
     "index_drift_check",
     // runs the split job AND the pre-gauge decision on construction
     "index_retrain_apply",
+    // same pair of shapes for the PQ-codebook gauge
+    "pq_drift_check", "pq_retrain_apply",
     // same shape for the vocabulary store
     "vocab_retrain_apply",
     // collects the bloom filter (dim count + aggregate) on construction

@@ -54,7 +54,7 @@ class SqlSurfaceSpec extends SparkSuite {
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
     "higher_order_funcs", "index_compact_check", "index_drift_check",
-    "index_retrain_apply",
+    "index_retrain_apply", "pq_drift_check", "pq_retrain_apply",
     "vocab_retrain_apply", "mix_budget_plan",
     "join_asof", "join_asof_forward",
     "join_asof_tolerance", "map_funcs", "multimodal_audio",
