@@ -391,6 +391,15 @@ object SparkEntry {
       EmbeddingIndex.dedupEmbeddingAnnDelta(s, d)),
     "dedup_embedding_ann_delta_recall" ->
       (Contracts.dedupEmbeddingAnnDeltaRecall _),
+    // the LSH bucket store maintained from a delivery STREAM — the
+    // fifth appendOnce family (minhash, chunks, vocab, phash, ANN);
+    // per-vector signatures make the served pairs micro-batch-
+    // boundary independent and bit-equal to dedup_embedding_ann_delta
+    // — rows-only; the recall contract below is its hash gate — see
+    // streaming.AnnMaintain
+    "stream_ann_delta" -> ((s: SparkSession, d: String) =>
+      streaming.AnnMaintain.dedupAnnStream(s, d)),
+    "stream_ann_delta_recall" -> (Contracts.streamAnnDeltaRecall _),
     "dedup_cluster" -> ((s: SparkSession, d: String) => Cluster.dedupCluster(s, d)),
     // the scale path: banded-minhash candidate edges (fan-out bounded
     // by construction, no DF-cap knob) — see Cluster.dedupClusterMinhash
@@ -636,6 +645,7 @@ object SparkEntry {
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
     "similarity_pq_delta_recall_q",
     "dedup_embedding_ann_recall", "dedup_embedding_ann_delta_recall",
+    "stream_ann_delta_recall",
     "tokenize_bpe_contract",
     "tokenize_unigram_contract", "dedup_semantic_recall",
     "dedup_semantic_delta_recall")
@@ -644,7 +654,7 @@ object SparkEntry {
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
     * similarity_pq_delta, dedup_semantic_kmeans, dedup_semantic_delta,
-    * dedup_embedding_ann_delta, agg_approx_distinct,
+    * dedup_embedding_ann_delta, stream_ann_delta, agg_approx_distinct,
     * agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
     * tokenize_bpe and tokenize_unigram (the merge/piece tables are
@@ -1101,6 +1111,11 @@ object SparkEntry {
     // twins arrive as delivery mass (ids above the cutoff); literal
     // TRUE asserts the delta-vs-index probe caught every one
     "dedup_embedding_ann_delta_recall" ->
+      """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
+        |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
+    // the streamed maintainer under the SAME planted-twin truth: every
+    // twin must surface from the stream-maintained persisted store
+    "stream_ann_delta_recall" ->
       """SELECT vec_id AS v1, vec_id + 1000000 AS v2, TRUE AS caught
         |FROM embeddings WHERE vec_id < 50 ORDER BY v1""".stripMargin,
     "dedup_semantic_recall" ->

@@ -286,6 +286,32 @@ object Contracts {
       .orderBy("v1")
   }
 
+  /** The STREAMED maintainer gated by the same planted-twin oracle as
+    * the batch delta ([[dedupEmbeddingAnnDeltaRecall]]): the twins ride
+    * the augmented corpus's delivery slice (twin id = vec_id + 1000000
+    * is the corpus maximum, so the cutoff rule routes every twin into
+    * the stream), the bucket store is maintained micro-batch by
+    * micro-batch through `foreachBatch` + `appendOnce`, and every twin
+    * must surface from the PERSISTED store — the hash gate the r18
+    * ledger said this family couldn't have
+    * ([[graft.streaming.AnnMaintain]]). */
+  def streamAnnDeltaRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val originals = e.filter(col("vec_id") < 50)
+    val twins = originals.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val found = graft.streaming.AnnMaintain
+      .annStreamPairsOf(e.unionByName(twins))
+      .select(col("v1"), col("v2"), lit(true).as("__hit"))
+    originals
+      .select(col("vec_id").as("v1"), (col("vec_id") + 1000000L).as("v2"))
+      .join(found, Seq("v1", "v2"), "left")
+      .select(col("v1"), col("v2"),
+        coalesce(col("__hit"), lit(false)).as("caught"))
+      .orderBy("v1")
+  }
+
   /** K-means SemDeDup recall contract on PLANTED twins: augment the
     * corpus with an exact copy of each vec_id < 50 (twin id = vec_id +
     * 1000000) and require every twin to be FLAGGED a duplicate by the

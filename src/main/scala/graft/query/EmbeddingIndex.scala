@@ -88,8 +88,12 @@ object EmbeddingIndex {
       e, SemanticIndex.deltaCutoff(e), threshold, maxBucket)
   }
 
-  private def deltaPairs(buckets: DataFrame, e: DataFrame, cut: Long,
-      threshold: Double, maxBucket: Int): DataFrame = {
+  /** The delta-pair query over an explicit bucket table — shared with
+    * the STREAMED maintainer ([[graft.streaming.AnnMaintain]]), whose
+    * store content is bit-equal to [[ensureIndex]]'s by the per-vector
+    * signature grain. */
+  private[graft] def deltaPairs(buckets: DataFrame, e: DataFrame,
+      cut: Long, threshold: Double, maxBucket: Int): DataFrame = {
     // the one-shot operator's skew cap, applied to TOTAL bucket size:
     // a degenerate bucket is dropped before any pairing, same honesty
     val keep = buckets.groupBy("t", "bucket")

@@ -50,7 +50,7 @@ object SemanticIndex {
 
   /** The delta split point: the newest ~20% of vec_ids model the
     * un-indexed weekly delivery (the [[Ivf]]/[[MinhashIndex]] rule). */
-  private[query] def deltaCutoff(e: DataFrame): Long =
+  private[graft] def deltaCutoff(e: DataFrame): Long =
     e.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5 + 1
 
   private val LayoutVersion = "D1"

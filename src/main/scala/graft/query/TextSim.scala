@@ -1246,7 +1246,7 @@ object TextSim {
     * bucket table is bit-identical to a from-scratch one at any
     * number of deliveries (the minhash-exactness argument;
     * [[EmbeddingIndex]] persists exactly this table). */
-  private[query] def annBuckets(e: DataFrame, nPlanes: Int,
+  private[graft] def annBuckets(e: DataFrame, nPlanes: Int,
       nTables: Int, seed: Long): DataFrame = {
     val tableSig = (0 until nTables).map(t =>
       struct(lit(t).as("t"),
