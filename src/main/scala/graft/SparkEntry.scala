@@ -65,6 +65,10 @@ object SparkEntry {
     "search_exact" -> (Finders.searchExactPart _),
     "upsert_products" -> (PipelineOps.upsertProducts _),
     "upsert_set_merge" -> (PipelineOps.upsertSetMerge _),
+    // the bucketed exactly-once lifecycle under the hash gate: CoW
+    // delivery commit + a replayed delivery that must no-op via the
+    // sidecar tag memory — see PipelineOps.ingestReplayCheck
+    "ingest_replay_check" -> (PipelineOps.ingestReplayCheck _),
     "status_rollup" -> (PipelineOps.statusRollup _),
     "status_lookup" -> (PipelineOps.statusLookup _),
     // --- Structured Streaming ingest, end-to-end (A15/A16/A17) ---
@@ -1152,6 +1156,25 @@ object SparkEntry {
         |  CASE WHEN d.o_orderkey IS NULL THEN s.o_custkey ELSE coalesce(d.o_custkey, s.o_custkey) END AS o_custkey,
         |  CASE WHEN d.o_orderkey IS NULL THEN s.o_orderpriority ELSE coalesce(d.o_orderpriority, s.o_orderpriority) END AS o_orderpriority,
         |  CASE WHEN d.o_orderkey IS NULL THEN s.o_totalprice ELSE coalesce(d.o_totalprice, s.o_totalprice) END AS o_totalprice
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey
+        |ORDER BY 1""".stripMargin,
+    // upsert_set_merge's exact truth + the replay-evidence literals:
+    // the store-served content must equal the one-shot field-level
+    // merge (the replayed CoW commit changed nothing), the delivery
+    // committed once, the replay no-opped, and the manifest chain is
+    // exactly overwrite + one CoW commit
+    "ingest_replay_check" ->
+      """WITH s AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |d AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN o_orderpriority END AS o_orderpriority,
+        |    o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(d.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_custkey ELSE coalesce(d.o_custkey, s.o_custkey) END AS o_custkey,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_orderpriority ELSE coalesce(d.o_orderpriority, s.o_orderpriority) END AS o_orderpriority,
+        |  CASE WHEN d.o_orderkey IS NULL THEN s.o_totalprice ELSE coalesce(d.o_totalprice, s.o_totalprice) END AS o_totalprice,
+        |  TRUE AS first_committed, TRUE AS replay_noop,
+        |  CAST(2 AS BIGINT) AS n_commits
         |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey
         |ORDER BY 1""".stripMargin,
     "status_lookup" ->

@@ -48,6 +48,54 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** Driver key `ingest_replay_check` — the bucketed exactly-once
+    * machinery under the full hash gate (r18 verdict task 4; the
+    * lifecycle was previously BucketedCowSpec-only): the
+    * [[upsertSetMerge]] fixture driven through the PRODUCTION path —
+    * a BUCKETED [[graft.ingest.SnapshotStore]] seeded with the
+    * snapshot (generation start), the delivery committed bucket-grain
+    * copy-on-write via [[Upsert.commitDeltaCowOnce]], then the SAME
+    * delivery REPLAYED under its tag. The replay must be a no-op: no
+    * new manifest commit, no content change — the in-dir
+    * `_applied_tags` sidecar is the memory — and the panel carries
+    * the evidence as literal columns (`first_committed`,
+    * `replay_noop`, `n_commits` = overwrite + one CoW commit, nothing
+    * from the replay). Content is served from the store's bucketed
+    * read, so the oracle (upsert_set_merge's exact field-level `$set`
+    * SQL + the literals) gates merge semantics, CoW bucket
+    * inheritance AND replay suppression in one key. The measured path
+    * includes the replayed no-op commit. */
+  def ingestReplayCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.DriveSupport.withWorkspace("graft-cowreplay") { ws =>
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority",
+          "o_totalprice")
+      val snapshot = orders.filter(col("o_orderkey") % 2 === 0)
+      val delta = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 9 === 0, col("o_orderpriority")))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val store = new graft.ingest.SnapshotStore(
+        ws.resolve("products").toString,
+        bucket = Some(("o_orderkey", 8)))
+      store.overwrite(snapshot)
+      val first = Upsert.commitDeltaCowOnce(store,
+        store.read(spark).get, delta, "o_orderkey", tag = "wk2",
+        mergeWholly = Set.empty)
+      // the at-least-once replay: the SAME delivery, SAME tag — the
+      // sidecar memory must suppress it without an error
+      val replay = Upsert.commitDeltaCowOnce(store,
+        store.read(spark).get, delta, "o_orderkey", tag = "wk2",
+        mergeWholly = Set.empty)
+      val panel = store.read(spark).get
+        .withColumn("first_committed", lit(first.nonEmpty))
+        .withColumn("replay_noop", lit(replay.isEmpty))
+        .withColumn("n_commits",
+          lit(store.versions(spark).size.toLong))
+        .orderBy("o_orderkey")
+      graft.streaming.DriveSupport.pin(spark, panel)
+    }
+
   /** A14 as an oracle-checked query: point status lookup against a
     * deterministic control table derived from `events` (the same
     * derivation as [[statusRollup]]), keyed to the lexicographically

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * store instances per partition per micro-batch, see PERF.md r7),
   * unique memory-sink names, and result pinning off the sink before
   * the workspace the plan reads from is deleted. */
-private[streaming] object DriveSupport {
+private[graft] object DriveSupport {
 
   /** Run `body` with a fresh workspace under target/ (relative to the
     * process working directory, same convention as Scale.ensureScaled —

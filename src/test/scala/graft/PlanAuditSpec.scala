@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSuite {
     "similarity_ivf", "text_tfidf", "join_bucketed",
     "events_pruned", "ingest_e2e_products", "ingest_e2e_control",
     "ingest_e2e_diff", "scan_zorder",
+    // runs the bucketed-store overwrite + CoW commit + replay loop on
+    // construction (returns a pinned LocalRelation)
+    "ingest_replay_check",
     // runs the corpus-total count on construction (the tfidf pattern)
     "text_surprisal",
     // run the matvec passes on construction (model-scalar collects)
