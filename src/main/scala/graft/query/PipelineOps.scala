@@ -64,7 +64,15 @@ object PipelineOps {
     * read, so the oracle (upsert_set_merge's exact field-level `$set`
     * SQL + the literals) gates merge semantics, CoW bucket
     * inheritance AND replay suppression in one key. The measured path
-    * includes the replayed no-op commit. */
+    * includes the replayed no-op commit.
+    *
+    * Scope bound: the panel is the full merged content, pinned to a
+    * LocalRelation before the workspace is deleted — at the ×10
+    * decade corpus that is exactly 1.0 M rows,
+    * [[graft.streaming.DriveSupport.MaxPinRows]]'s cap. The key is a
+    * gate-scale LIFECYCLE proof (the store machinery itself writes
+    * O(delta-touched buckets)); a larger fixture fails the pin guard
+    * loudly rather than silently collecting a corpus. */
   def ingestReplayCheck(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.DriveSupport.withWorkspace("graft-cowreplay") { ws =>
       val orders = Tables.load(spark, dir, "orders")
