@@ -147,6 +147,12 @@ object SparkEntry {
     // unblocked oracle restricted to delivery probes
     "join_fuzzy_delta" -> ((s: SparkSession, d: String) =>
       FuzzyIndex.joinFuzzyDelta(s, d)),
+    // the signature store maintained from a delivery STREAM — the
+    // sixth appendOnce family; per-string signatures make the served
+    // matches micro-batch-boundary independent, so the key runs under
+    // join_fuzzy_delta's exact oracle — see streaming.FuzzyMaintain
+    "stream_fuzzy_delta" -> ((s: SparkSession, d: String) =>
+      streaming.FuzzyMaintain.joinFuzzyStream(s, d)),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -692,6 +698,26 @@ object SparkEntry {
         |WHERE d2 >= cut.c
         |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin
+
+  /** the exact unblocked fuzzy-delta SQL shared by the persisted-index
+    * key (`join_fuzzy_delta`) and its streamed maintainer
+    * (`stream_fuzzy_delta`): both CONTRACT to serve the same matches
+    * (per-string signatures make store content boundary-independent),
+    * so the identity is structural — one val. */
+  private val fuzzyDeltaOracle: String =
+      """WITH cut AS (SELECT CAST(floor(max(p_partkey) * 4 / 5) AS BIGINT) + 1 AS c FROM part),
+        |probes AS (SELECT p_partkey AS probe_id,
+        |    concat(substring(p_name, 1, 2), substring(p_name, 4)) AS probe_name
+        |  FROM part, cut WHERE p_partkey % 20 = 0 AND p_partkey >= cut.c),
+        |m AS (SELECT probe_id, probe_name, p_partkey, p_name,
+        |    CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+        |  FROM probes CROSS JOIN part
+        |  WHERE levenshtein(probe_name, p_name) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dist, p_partkey) AS rn FROM m)
+        |SELECT probe_id, probe_name, p_partkey AS match_key,
+        |  p_name AS match_name, dist
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin
 
   /** the exact delta chunk-dedup SQL shared by the batch store
     * (`dedup_chunks_delta`) and its streamed maintainer
@@ -1668,20 +1694,11 @@ object SparkEntry {
     // the engine side serves the reference from the persisted
     // signature index, so the hash gate proves the index content AND
     // the blocking completeness end-to-end
-    "join_fuzzy_delta" ->
-      """WITH cut AS (SELECT CAST(floor(max(p_partkey) * 4 / 5) AS BIGINT) + 1 AS c FROM part),
-        |probes AS (SELECT p_partkey AS probe_id,
-        |    concat(substring(p_name, 1, 2), substring(p_name, 4)) AS probe_name
-        |  FROM part, cut WHERE p_partkey % 20 = 0 AND p_partkey >= cut.c),
-        |m AS (SELECT probe_id, probe_name, p_partkey, p_name,
-        |    CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
-        |  FROM probes CROSS JOIN part
-        |  WHERE levenshtein(probe_name, p_name) <= 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY dist, p_partkey) AS rn FROM m)
-        |SELECT probe_id, probe_name, p_partkey AS match_key,
-        |  p_name AS match_name, dist
-        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    "join_fuzzy_delta" -> fuzzyDeltaOracle,
+    // identical output contract: the streamed maintainer's store is
+    // bit-equal to the batch-built index (per-string signatures), so
+    // the SAME exact SQL gates it — one val, structurally identical
+    "stream_fuzzy_delta" -> fuzzyDeltaOracle,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,

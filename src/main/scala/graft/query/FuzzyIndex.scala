@@ -51,7 +51,7 @@ object FuzzyIndex {
   /** The delta split point over `part` — the standard newest-~20 %
     * delivery model (max·4/5 + 1, the [[MinhashIndex.deltaCutoff]]
     * rule applied to p_partkey). */
-  private[query] def deltaCutoff(parts: DataFrame): Long =
+  private[graft] def deltaCutoff(parts: DataFrame): Long =
     parts.agg(max(col("p_partkey"))).head().getLong(0) * 4 / 5 + 1
 
   /** Build-or-load the maintained signature index over base ∪ delta

@@ -97,7 +97,7 @@ object FuzzyJoin {
     * (p_partkey, r_len, vh) — one row per deletion variant, hashed.
     * This is the row shape [[FuzzyIndex]] persists; the inline form
     * derives it fresh per call. */
-  private[query] def signaturesOf(parts: DataFrame, k: Int): DataFrame =
+  private[graft] def signaturesOf(parts: DataFrame, k: Int): DataFrame =
     parts
       .select(col("p_partkey"), length(col("p_name")).as("r_len"),
         explode(deleteVariants(col("p_name"), k)).as("v"))
@@ -108,7 +108,7 @@ object FuzzyJoin {
     * 3rd character deleted — edit distance 1 from its source, so the
     * DuckDB oracle re-derives the same probes and states the unblocked
     * truth. */
-  private[query] def probesOf(parts: DataFrame, everyN: Int): DataFrame =
+  private[graft] def probesOf(parts: DataFrame, everyN: Int): DataFrame =
     parts.filter(col("p_partkey") % everyN === 0)
       .select(col("p_partkey").as("probe_id"),
         concat(substring(col("p_name"), 1, 2),
@@ -123,7 +123,7 @@ object FuzzyJoin {
     * table (the weekly regime) — the two are row-identical by the
     * per-string grain of the signature derivation, which is what lets
     * `join_fuzzy_delta` run under the same unblocked exact oracle. */
-  private[query] def matchProbes(probes: DataFrame, refSig: DataFrame,
+  private[graft] def matchProbes(probes: DataFrame, refSig: DataFrame,
       parts: DataFrame, k: Int): DataFrame = {
     val probeSig = probes
       .select(col("probe_id"), length(col("probe_name")).as("p_len"),

@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSuite {
     "stream_profile_drift", "stream_index_delta",
     "stream_chunks_delta", "stream_vocab_delta", "stream_phash_delta",
     "stream_ann_delta", "stream_ann_delta_recall",
+    "stream_fuzzy_delta",
     // executes the append/compact/replay loop on construction
     "index_compact_check",
     // builds/loads the persisted IVF index on construction
