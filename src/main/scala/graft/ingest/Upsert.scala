@@ -512,8 +512,13 @@ class SnapshotStore(val path: String,
     SnapshotStore.requireCleanTag(tag)
     val spark = df.sparkSession
     requireNoLegacyTags(spark)
+    // dirTags parses the FULL embedded tag (uuids are hex, so the
+    // leftmost `-t` is always the marker) — an endsWith check here
+    // would let tag 'a-t5' shadow a later tag '5' (dir …-ta-t5 ends
+    // with -t5), re-opening the shared-memory-slot hazard
+    // requireCleanTag closed for the sanitizer
     val committed = manifests(spark).lastOption
-      .exists(_._2.exists(_.endsWith(s"-t$tag"))) ||
+      .exists(m => dirTags(m._2).contains(tag)) ||
       sidecarTags(spark).contains(tag)
     if (committed) false
     else { commit(df, appendMode = true, nameTag = Some(tag)); true }

@@ -61,17 +61,12 @@ object AnnMaintain {
     }
 
   /** Write the delta slice as `chunks` vec_id-range files — one file
-    * per trigger = one delivery per micro-batch. */
+    * per trigger = one delivery per micro-batch (the shared stager,
+    * keyed on vec_id). */
   private def stageDeliveries(e: DataFrame, cut: Long, chunks: Int,
-      inDir: String): Unit = {
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-    val span = math.max(1L, (maxId - cut) / chunks + 1L)
-    (0 until chunks).foreach { c =>
-      e.filter(col("vec_id") >= cut + c * span &&
-          col("vec_id") < cut + (c + 1) * span)
-        .coalesce(1).write.mode("append").parquet(inDir)
-    }
-  }
+      inDir: String): Unit =
+    DriveSupport.stageIdRangeDeliveries(e, "vec_id", cut,
+      e.agg(max(col("vec_id"))).head().getLong(0), chunks, inDir)
 
   /** Driver key `stream_ann_delta`: the standard delivery slice
     * arrives as `chunks` micro-batches that each append-once their

@@ -153,6 +153,30 @@ private[graft] object DriveSupport {
   def draining[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  /** The id span of one staged delivery chunk — ONE formula shared by
+    * every streamed-store maintainer's stager AND by the consumers
+    * that re-derive a staged chunk's id range (IndexMaintain's chain
+    * builder / replay probe): the two must agree on chunk boundaries
+    * or a "replayed delivery" would not be the batch it claims. */
+  def deliverySpan(maxId: Long, cut: Long, chunks: Int): Long =
+    math.max(1L, (maxId - cut) / chunks + 1L)
+
+  /** Stage the `idCol ≥ cut` delivery slice of `df` as `chunks`
+    * id-range parquet files under `inDir` — one file per trigger =
+    * one delivery per micro-batch: the shared stager of every
+    * streamed-store maintainer (minhash/chunks/vocab/phash/ann/
+    * fuzzy); previously six hand-synced copies of the same loop. */
+  def stageIdRangeDeliveries(df: DataFrame, idCol: String, cut: Long,
+      maxId: Long, chunks: Int, inDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val span = deliverySpan(maxId, cut, chunks)
+    (0 until chunks).foreach { c =>
+      df.filter(col(idCol) >= cut + c * span &&
+          col(idCol) < cut + (c + 1) * span)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+  }
+
   /** TypedImperativeAggregate plans run under ObjectHashAggregate,
     * which silently falls back to SORT-based aggregation once a task
     * sees more than 128 groups (`spark.sql.objectHashAggregate.

@@ -51,13 +51,9 @@ object FuzzyMaintain {
       new SnapshotStore(s"$idxDir/sig").overwrite(
         FuzzyJoin.signaturesOf(parts.filter(col("p_partkey") < cut), k))
       val inDir = ws.resolve("deliveries").toString
-      val maxId = parts.agg(max(col("p_partkey"))).head().getLong(0)
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
-      (0 until chunks).foreach { c =>
-        parts.filter(col("p_partkey") >= cut + c * span &&
-            col("p_partkey") < cut + (c + 1) * span)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      DriveSupport.stageIdRangeDeliveries(parts, "p_partkey", cut,
+        parts.agg(max(col("p_partkey"))).head().getLong(0), chunks,
+        inDir)
       (idxDir, inDir, cut, parts.schema)
     }
 

@@ -74,12 +74,8 @@ object IndexMaintain {
       // stage the delivery as `chunks` doc_id-range files; one file
       // per trigger = one delivery per micro-batch
       val inDir = ws.resolve("deliveries").toString
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
-      (0 until chunks).foreach { c =>
-        delta.filter(col("doc_id") >= cut + c * span &&
-            col("doc_id") < cut + (c + 1) * span)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      DriveSupport.stageIdRangeDeliveries(delta, "doc_id", cut, maxId,
+        chunks, inDir)
       (idxDir, inDir, cut, delta.schema)
     }
 
@@ -162,7 +158,7 @@ object IndexMaintain {
       val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
       val staged = spark.read.parquet(inDir)
       val maxId = staged.agg(max(col("doc_id"))).head().getLong(0)
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
+      val span = DriveSupport.deliverySpan(maxId, cut, chunks)
       (0 until chunks).foreach(c =>
         appendDelivery(staged.filter(
           col("doc_id") >= cut + c * span &&
@@ -199,7 +195,7 @@ object IndexMaintain {
       // sidecar must make it a no-op or the pairs below double-count
       val staged = spark.read.parquet(inDir)
       val maxId = staged.agg(max(col("doc_id"))).head().getLong(0)
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
+      val span = DriveSupport.deliverySpan(maxId, cut, chunks)
       appendDelivery(staged.filter(
         col("doc_id") >= cut + span && col("doc_id") < cut + 2 * span),
         bStore, pStore, 1L, nHashes, bands)

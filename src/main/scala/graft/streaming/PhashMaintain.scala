@@ -53,12 +53,8 @@ object PhashMaintain {
         .overwrite(Phash.phashesOf(ids.filter(col("doc_id") < cut)))
       val delta = ids.filter(col("doc_id") >= cut)
       val inDir = ws.resolve("deliveries").toString
-      val span = math.max(1L, (maxId - cut) / chunks + 1L)
-      (0 until chunks).foreach { c =>
-        delta.filter(col("doc_id") >= cut + c * span &&
-            col("doc_id") < cut + (c + 1) * span)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      DriveSupport.stageIdRangeDeliveries(delta, "doc_id", cut, maxId,
+        chunks, inDir)
       (idxDir, inDir, delta.schema)
     }
 

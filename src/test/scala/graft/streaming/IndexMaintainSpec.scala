@@ -37,6 +37,25 @@ class IndexMaintainSpec extends SparkSuite {
     }
   }
 
+  test("appendOnce: a tag that is a dir-name SUFFIX of another tag " +
+      "does not read as its replay") {
+    withTmpDir { tmp =>
+      val st = new SnapshotStore(tmp.resolve("s").toString)
+      st.overwrite(Seq(("base", 1L)).toDF("k", "v"))
+      // dir name becomes …-ta-t5; a suffix check would see tag "5"'s
+      // marker "-t5" at its end and suppress the NEXT delivery — the
+      // exact shared-slot hazard rejecting dirty tags was meant to end
+      assert(st.appendOnce(Seq(("d1", 2L)).toDF("k", "v"), "a-t5"))
+      assert(st.appendOnce(Seq(("d2", 3L)).toDF("k", "v"), "5"),
+        "distinct tag '5' read as a replay of 'a-t5'")
+      assert(st.read(spark).get.count() === 3L)
+      // both replays still no-op under the exact parse
+      assert(!st.appendOnce(Seq(("d1", 2L)).toDF("k", "v"), "a-t5"))
+      assert(!st.appendOnce(Seq(("d2", 3L)).toDF("k", "v"), "5"))
+      assert(st.read(spark).get.count() === 3L)
+    }
+  }
+
   test("a replayed delivery leaves the index bit-unchanged") {
     withTmpDir { tmp =>
       val docs = graft.core.Tables.load(spark, dir, "documents")
