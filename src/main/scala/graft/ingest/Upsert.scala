@@ -472,6 +472,14 @@ class SnapshotStore(val path: String,
     * crash test SIGKILL one there. No-op in production. */
   protected def beforePublish(seq: Long): Unit = ()
 
+  /** Test seam: runs at the top of [[commit]], immediately before its
+    * manifest read — lets the tagged-append race test plant a
+    * concurrent same-tag publish in the window between
+    * [[appendOnce]]'s pre-check and the commit's own snapshot, proving
+    * the commit-side tag re-check refuses loudly. No-op in
+    * production. */
+  protected def beforeCommitRead(): Unit = ()
+
   /** Test seam: the tmp-manifest body write — the crash test overrides
     * it to park a committer MID-write (bytes flushed, stream open) for
     * a SIGKILL, proving a torn tmp file is inert. Production behavior
@@ -736,7 +744,25 @@ class SnapshotStore(val path: String,
       tagsSidecar: Set[String] = Set.empty): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
+    beforeCommitRead()
     val committed = manifests(spark)
+    // tagged appends re-check the exactly-once memory against the SAME
+    // manifest read the sequence number derives from (the overwriteCow
+    // rule): [[appendOnce]]'s own pre-check and this read are separate
+    // filesystem reads, so a concurrent same-tag committer publishing
+    // between them would otherwise be seen here as just a new head and
+    // the tag would land twice. With the re-check, a publish before
+    // this read surfaces HERE (loud refusal); one after it bumps the
+    // sequence and the rename-to-fresh-name in publish() refuses. No
+    // interleaving lets two committers both land one tag.
+    nameTag.foreach { t =>
+      val liveDirs = committed.lastOption.map(_._2).getOrElse(Nil)
+      if (dirTags(liveDirs).contains(t) ||
+          sidecarTagsOf(f, liveDirs).contains(t))
+        throw new java.io.IOException(
+          s"delivery tag $t already applied to $path — lost " +
+            "exactly-once commit race")
+    }
     val seq = committed.lastOption.map(_._1 + 1).getOrElse(0L)
     val version = s"v-$seq-${java.util.UUID.randomUUID()}" +
       nameTag.map(t => s"-t$t").getOrElse("")

@@ -93,6 +93,26 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
         assert(base.isDefined && base.get.collect()
           .map(_.getString(0)).toSeq === Seq("base"))
 
+        // the reader samples read() in a loop, so it observes a version
+        // only while that version is live; before superseding the
+        // winner's commit with the retry, WAIT until the reader has
+        // sampled it — otherwise on a loaded box the reader JVM can be
+        // descheduled through the brief winner-live window and the
+        // final audit would miss a version no torn read ever produced
+        val obsFile = barrier.resolve("obs-2")
+        def awaitObservation(obs: String, what: String): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+          while (!(Files.exists(obsFile) &&
+              Files.readString(obsFile).linesIterator.contains(obs))) {
+            assert(reader.isAlive, "reader died mid-window; log:\n" +
+              Files.readString(reader.log))
+            assert(System.nanoTime() < deadline,
+              s"reader never observed $what")
+            Thread.sleep(50)
+          }
+        }
+        awaitObservation(s"w$winner:${winner + 1}", "the winner's commit")
+
         // the loser's payload retries cleanly onto the next seq
         val loser = codes.indexOf(10)
         new SnapshotStore(path, bucket)
@@ -105,16 +125,7 @@ class SnapshotCrossProcessRaceSpec extends SparkSuite {
         // stop it and audit every distinct observation — full committed
         // versions ONLY, in commit order, never partial/empty/loser
         val retryObs = s"w$loser:${loser + 1}"
-        val obsFile = barrier.resolve("obs-2")
-        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-        while (!(Files.exists(obsFile) &&
-            Files.readString(obsFile).linesIterator.contains(retryObs))) {
-          assert(reader.isAlive, "reader died mid-window; log:\n" +
-            Files.readString(reader.log))
-          assert(System.nanoTime() < deadline,
-            "reader never observed the retry commit")
-          Thread.sleep(50)
-        }
+        awaitObservation(retryObs, "the retry commit")
         Files.writeString(barrier.resolve("reader-stop"), "")
         assert(reader.waitFor(60, TimeUnit.SECONDS), "reader hung on stop")
         assert(reader.exitValue() === 0, "reader exited non-zero; log:\n" +
