@@ -54,17 +54,24 @@ object FuzzyIndex {
   private[graft] def deltaCutoff(parts: DataFrame): Long =
     parts.agg(max(col("p_partkey"))).head().getLong(0) * 4 / 5 + 1
 
+  /** The published index root for (dir, k) — exposed so the lifecycle
+    * spec can scope its chain-shape assertions to THIS layout's store
+    * rather than iterating every root an earlier session (or another
+    * fixture dir) left under target/graft-fuzzy. */
+  private[graft] def indexRoot(spark: SparkSession, dir: String,
+      k: Int = 2): String =
+    s"target/graft-fuzzy/${indexTag(spark, dir, k)}"
+
   /** Build-or-load the maintained signature index over base ∪ delta
     * (base commit + one exactly-once O(delta) append). Disk-persistent
     * across JVMs, memoized within a session. */
   def ensureIndex(spark: SparkSession, dir: String, k: Int = 2)
       : DataFrame = {
-    val tag = indexTag(spark, dir, k)
+    val root = indexRoot(spark, dir, k)
     val memo = indexMemo.get(spark)(
       scala.collection.mutable.Map.empty[String, DataFrame])
     memo.synchronized {
-      memo.getOrElseUpdate(tag, {
-        val root = s"target/graft-fuzzy/$tag"
+      memo.getOrElseUpdate(root, {
         new graft.ingest.StoreBootstrap(root).ensure(spark)(
             graft.ingest.StoreBootstrap.chains(spark, "sig" -> 2)) { b =>
           val store = new graft.ingest.SnapshotStore(s"$b/sig")

@@ -65,8 +65,15 @@ import graft.core.Tables
 object PqDrift {
 
   /** Subspace geometry: must match [[Pq.M]] over the 64-dim fixture
-    * embeddings (16 subspaces × 4 dims). */
+    * embeddings (16 subspaces × 4 dims). The `pq_drift_check` /
+    * `pq_retrain_apply` DuckDB oracles hardcode this 16×4 shape
+    * (d // 4 subspace slicing, 8/4/2/1 bit weights, 4-dim quadrant
+    * cells), so a [[Pq.M]] change must trip HERE at construction, not
+    * surface as a silent engine-vs-oracle hash mismatch. */
   private val D = 64 / Pq.M
+  require(D == 4,
+    s"pq drift oracles hardcode 4-dim subspaces (16×4); Pq.M changed " +
+      s"— rewrite the oracle constants with it (got D=$D)")
 
   /** Minimum delivery vectors in a cell for a DISTANCE verdict — see
     * the class scaladoc's small-sample argument. Literal so the DuckDB

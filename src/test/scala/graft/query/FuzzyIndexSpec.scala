@@ -54,22 +54,21 @@ class FuzzyIndexSpec extends SparkSuite {
   test("store chain: base commit + one delivery append; the replayed " +
       "delivery is a no-op and every probe surfaces") {
     FuzzyIndex.joinFuzzyDelta(spark, dir) // build-or-load
-    val roots = new java.io.File("target/graft-fuzzy").listFiles()
-      .filter(f => f.isDirectory && !f.getName.startsWith("."))
-    assert(roots.nonEmpty, "no published fuzzy index root")
-    // every published root (one per (dir, k) tag this session's SFs
-    // produced) carries exactly the two-commit chain
-    roots.foreach { r =>
-      val store = new graft.ingest.SnapshotStore(s"${r.getPath}/sig")
-      assert(store.versions(spark).size === 2,
-        s"${r.getName}: expected base + one delivery append")
-      val before = store.read(spark).get.count()
-      // a replayed delivery must find its tag in the live manifest
-      assert(!store.appendOnce(
-        store.read(spark).get.limit(1), "delivery-1"),
-        "replayed delivery re-appended")
-      assert(store.read(spark).get.count() === before)
-    }
+    // scoped to THIS (dir, k) layout's root — iterating every root
+    // under target/graft-fuzzy would also sweep up stores left by
+    // other fixture dirs or earlier sessions whose chain shape may
+    // legitimately differ (order/environment sensitivity)
+    val root = new java.io.File(FuzzyIndex.indexRoot(spark, dir))
+    assert(root.isDirectory, s"no published fuzzy index root at $root")
+    val store = new graft.ingest.SnapshotStore(s"${root.getPath}/sig")
+    assert(store.versions(spark).size === 2,
+      s"${root.getName}: expected base + one delivery append")
+    val before = store.read(spark).get.count()
+    // a replayed delivery must find its tag in the live manifest
+    assert(!store.appendOnce(
+      store.read(spark).get.limit(1), "delivery-1"),
+      "replayed delivery re-appended")
+    assert(store.read(spark).get.count() === before)
     // density guard: the delta probe rule must cover the delivery
     val p = parts
     val cut = FuzzyIndex.deltaCutoff(p)
