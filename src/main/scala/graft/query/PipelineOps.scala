@@ -72,7 +72,19 @@ object PipelineOps {
     * [[graft.streaming.DriveSupport.MaxPinRows]]'s cap. The key is a
     * gate-scale LIFECYCLE proof (the store machinery itself writes
     * O(delta-touched buckets)); a larger fixture fails the pin guard
-    * loudly rather than silently collecting a corpus. */
+    * loudly rather than silently collecting a corpus.
+    *
+    * DECADE-UP DECISION (r19 verdict task 7, recorded here so the
+    * next corpus growth doesn't re-litigate it): FAIL LOUDLY is the
+    * contract, permanently — no aggregate-panel twin. The key's whole
+    * value is that ONE exact row-level oracle gates field-level
+    * `$set` merge + CoW inheritance + replay suppression together; an
+    * aggregated panel would keep the replay/commit literals but
+    * surrender the field-level merge evidence, which
+    * `upsert_set_merge` already covers at content grain — so the
+    * aggregate twin would be redundant where it is checkable and
+    * weaker where it is not. Past the pin cap the lifecycle proof
+    * belongs at gate SF (where it runs today), not at bench SF. */
   def ingestReplayCheck(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.DriveSupport.withWorkspace("graft-cowreplay") { ws =>
       val orders = Tables.load(spark, dir, "orders")

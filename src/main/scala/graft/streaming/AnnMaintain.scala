@@ -82,8 +82,7 @@ object AnnMaintain {
     DriveSupport.withWorkspace("graft-annm") { ws =>
       val (pristineIdx, inDir, cut, schema) =
         stagedBootstrap(spark, dir, nPlanes, nTables, seed, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val store = new SnapshotStore(ws.resolve("idx/buckets").toString)
       drain(spark, ws, inDir, schema, store, nPlanes, nTables, seed)
       DriveSupport.pin(spark, EmbeddingIndex.deltaPairs(

@@ -78,8 +78,7 @@ object ChunkMaintain {
     DriveSupport.withWorkspace("graft-chkm") { ws =>
       val (pristineIdx, inDir, deltaSchema) =
         stagedBootstrap(spark, dir, win, stride, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val dStore = new SnapshotStore(ws.resolve("idx/digests").toString)
       val oStore = new SnapshotStore(
         ws.resolve("idx/occurrences").toString)

@@ -73,6 +73,20 @@ private[graft] object DriveSupport {
     lazy val value: Any = thunk()
   }
 
+  /** Copy the pristine bootstrap store `src` into this drive run's
+    * workspace at `dest` — the streamed-store maintainers' staging
+    * step, so each bench/spec run appends to a THROWAWAY copy and the
+    * pristine bootstrap stays reusable. HARNESS-ONLY: this is a
+    * local-FS `FileUtils.copyDirectory` and exists purely for the
+    * drive shape (measure N runs from one bootstrap). Do NOT lift it
+    * into production wiring — the store API itself
+    * ([[graft.ingest.SnapshotStore]]) is FileContext-based and needs
+    * no copy; a real deployment maintains ONE persistent store in
+    * place. */
+  def stageStoreCopy(src: String, dest: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(src), dest.toFile)
+
   /** Build-once IMMUTABLE staging per (session, key): drives whose
     * input files never change after creation (events + up-front
     * sentinels, banded arrivals, reshaped cells, bootstrapped index

@@ -89,8 +89,7 @@ object IndexMaintain {
       // the stream below appends to the copy, the pristine state
       // serves the next run (SnapshotStore manifests reference version
       // dirs by RELATIVE name, so a copied root is self-contained)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
       val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
 
@@ -152,8 +151,7 @@ object IndexMaintain {
         s"idxc|$dir|$nHashes|$bands|$chunks") { ws =>
       val (pristineIdx, inDir, cut, _) =
         stagedBootstrap(spark, dir, nHashes, bands, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
       val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
       val staged = spark.read.parquet(inDir)
@@ -186,8 +184,7 @@ object IndexMaintain {
     DriveSupport.withWorkspace("graft-idxc") { ws =>
       val (chainIdx, inDir, cut) =
         stagedAppendedChain(spark, dir, nHashes, bands, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(chainIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(chainIdx, ws.resolve("idx"))
       val bStore = new SnapshotStore(ws.resolve("idx/buckets").toString)
       val pStore = new SnapshotStore(ws.resolve("idx/postings").toString)
       bStore.compact(spark); pStore.compact(spark)

@@ -69,8 +69,7 @@ object PhashMaintain {
     DriveSupport.withWorkspace("graft-phm") { ws =>
       val (pristineIdx, inDir, deltaSchema) =
         stagedBootstrap(spark, dir, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val bStore = new SnapshotStore(ws.resolve("idx/base").toString)
       val dStore = new SnapshotStore(ws.resolve("idx/delta").toString)
 

@@ -77,8 +77,7 @@ object VocabMaintain {
     DriveSupport.withWorkspace("graft-vocm") { ws =>
       val (pristineIdx, inDir, deltaSchema) =
         stagedBootstrap(spark, dir, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val bStore = new SnapshotStore(ws.resolve("idx/base").toString)
       val dStore = new SnapshotStore(ws.resolve("idx/delta").toString)
 
