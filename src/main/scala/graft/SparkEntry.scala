@@ -153,6 +153,13 @@ object SparkEntry {
     // join_fuzzy_delta's exact oracle — see streaming.FuzzyMaintain
     "stream_fuzzy_delta" -> ((s: SparkSession, d: String) =>
       streaming.FuzzyMaintain.joinFuzzyStream(s, d)),
+    // the signature store's FULL lifecycle: N-delivery chain +
+    // compact (tags fold into the sidecar) + post-compaction replay
+    // no-op, served from the compacted store — per-string exactness
+    // keeps the content bit-equal, so the same exact oracle gates the
+    // whole lifecycle — see streaming.FuzzyMaintain.fuzzyCompactCheck
+    "fuzzy_compact_check" -> ((s: SparkSession, d: String) =>
+      streaming.FuzzyMaintain.fuzzyCompactCheck(s, d)),
     "events_pruned" -> (graft.sources.Partitioned.eventsPruned _),
     "scan_zorder" -> (graft.sources.Layout.scanZorder _),
     "sample_hash" -> ((s: SparkSession, d: String) => Sampling.sampleHash(s, d)),
@@ -362,6 +369,14 @@ object SparkEntry {
     // store — output == the batch apply restricted to delta docs
     // (provably; the oracle states exactly that) — see SubstringIndex
     "dedup_substring_delta" -> ((s: SparkSession, d: String) => SubstringIndex.dedupSubstringDelta(s, d)),
+    // the gram store maintained from a delivery STREAM — the ninth
+    // appendOnce family; additive counts make the streamed chain
+    // boundary-independent and the served clean probes the same
+    // pre-delivery base table, so the key runs under
+    // dedup_substring_delta's exact oracle — see
+    // streaming.SubstringMaintain
+    "stream_substring_delta" -> ((s: SparkSession, d: String) =>
+      streaming.SubstringMaintain.dedupSubstringStream(s, d)),
     // per-source duplicated-token share derived from the spans — see
     // TextSim.corpusDupRate
     "corpus_dup_rate" -> ((s: SparkSession, d: String) => TextSim.corpusDupRate(s, d)),
@@ -434,6 +449,11 @@ object SparkEntry {
     // the production composition (FAISS IVFADC): IVF cell pruning ×
     // PQ code scoring × exact rerank — see Pq.similarityIvfPq
     "similarity_ivfpq" -> ((s: SparkSession, d: String) => Pq.similarityIvfPq(s, d)),
+    // the composition's O(delta) leg — the state a weekly-delivery
+    // user serves at 100 TB: persisted base-trained coarse chain ×
+    // incrementally-maintained codes — see Pq.similarityIvfPqDelta
+    "similarity_ivfpq_delta" -> ((s: SparkSession, d: String) =>
+      Pq.similarityIvfPqDelta(s, d)),
     // the weekly-delivery regime applied to the codes index: frozen
     // codebooks, O(delta) assignment append — see Pq.ensureDeltaIndex
     "similarity_pq_delta" -> ((s: SparkSession, d: String) => Pq.similarityPqDelta(s, d)),
@@ -469,6 +489,7 @@ object SparkEntry {
     "similarity_ivf_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfRecallPerQuery(s, d)),
     "similarity_pq_recall_q" -> ((s: SparkSession, d: String) => Contracts.pqRecallPerQuery(s, d)),
     "similarity_ivfpq_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfPqRecallPerQuery(s, d)),
+    "similarity_ivfpq_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfPqDeltaRecallPerQuery(s, d)),
     "similarity_pq_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.pqDeltaRecallPerQuery(s, d)),
     "similarity_ivf_delta_recall_q" -> ((s: SparkSession, d: String) => Contracts.ivfDeltaRecallPerQuery(s, d)),
     "dedup_embedding_ann_recall" -> (Contracts.dedupEmbeddingAnnRecall _),
@@ -531,6 +552,12 @@ object SparkEntry {
     // hash gate — see AudioFp.dedupAudioDelta
     "dedup_audio_delta" -> ((s: SparkSession, d: String) =>
       graft.multimodal.AudioFp.dedupAudioDelta(s, d)),
+    // the fingerprint store maintained from a delivery STREAM — the
+    // seventh appendOnce family; per-item hashes make the served
+    // pairs boundary-independent, so the key runs under
+    // dedup_audio_delta's exact oracle — see streaming.AudioMaintain
+    "stream_audio_delta" -> ((s: SparkSession, d: String) =>
+      streaming.AudioMaintain.dedupAudioStream(s, d)),
     // the retrain gauge for the audio-fingerprint store (shared
     // bit-occupancy + novelty algebra — Phash.bitDriftOf)
     "audio_drift_check" -> ((s: SparkSession, d: String) =>
@@ -549,6 +576,12 @@ object SparkEntry {
     // VideoFp.dedupVideoDelta
     "dedup_video_delta" -> ((s: SparkSession, d: String) =>
       graft.multimodal.VideoFp.dedupVideoDelta(s, d)),
+    // the sequence store maintained from a delivery STREAM — the
+    // eighth appendOnce family; per-item sequences make the served
+    // pairs boundary-independent, so the key runs under
+    // dedup_video_delta's exact oracle — see streaming.VideoMaintain
+    "stream_video_delta" -> ((s: SparkSession, d: String) =>
+      streaming.VideoMaintain.dedupVideoStream(s, d)),
     // the retrain gauge for the video-sequence store (sequence-length
     // occupancy + novelty — see VideoFp.videoDriftCheck)
     "video_drift_check" -> ((s: SparkSession, d: String) =>
@@ -653,7 +686,7 @@ object SparkEntry {
     "similarity_lsh_recall", "similarity_ivf_recall",
     "similarity_ivf_recall_q", "similarity_ivf_delta_recall_q",
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
-    "similarity_pq_delta_recall_q",
+    "similarity_pq_delta_recall_q", "similarity_ivfpq_delta_recall_q",
     "dedup_embedding_ann_recall", "dedup_embedding_ann_delta_recall",
     "stream_ann_delta_recall",
     "tokenize_bpe_contract",
@@ -663,7 +696,8 @@ object SparkEntry {
   /** DuckDB twins. Omitted on purpose (rows-only check): dedup_minhash,
     * dedup_simhash, similarity_lsh, dedup_embedding_ann, similarity_ivf,
     * similarity_ivf_delta, similarity_pq, similarity_ivfpq,
-    * similarity_pq_delta, dedup_semantic_kmeans, dedup_semantic_delta,
+    * similarity_pq_delta, similarity_ivfpq_delta,
+    * dedup_semantic_kmeans, dedup_semantic_delta,
     * dedup_embedding_ann_delta, stream_ann_delta, agg_approx_distinct,
     * agg_percentile_approx
     * (engine-specific hash/signature/centroid/sketch internals), and
@@ -698,6 +732,89 @@ object SparkEntry {
         |WHERE d2 >= cut.c
         |  AND round(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin
+
+  /** `dedup_audio_delta`'s exact SQL, shared with its streamed twin
+    * (`stream_audio_delta`): per-item exactness makes the stream-maintained
+    * store bit-equal to the batch chain, so ONE val gates both —
+    * the identity is structural. */
+  private val audioDeltaOracle: String =
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
+        |ah AS (SELECT doc_id, (anchor * 2654435761) % 1000003 AS a1 FROM g),
+        |m AS (SELECT doc_id, list_transform(range(0, 340), i ->
+        |    (a1 + i * i * (a1 % 97 + 3) + i * (a1 % 89 + 7)
+        |     + (i * i * i) % 1009 * (a1 % 83 + 11)) % 121 - 60) AS m
+        |  FROM ah),
+        |s AS (SELECT doc_id, list_transform(range(0, 85), ci ->
+        |    m[ci * 4 + 1] + m[ci * 4 + 2] + m[ci * 4 + 3] + m[ci * 4 + 4]) AS s FROM m),
+        |d AS (SELECT doc_id, list_transform(range(0, 68), di ->
+        |    s[(di // 4) * 5 + (di % 4) + 1] - s[(di // 4) * 5 + (di % 4) + 2]) AS d FROM s),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN d[((b // 4) + 1) * 4 + (b % 4) + 1] > d[(b // 4) * 4 + (b % 4) + 1]
+        |    THEN 1 ELSE 0 END) AS bits FROM d),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |    AND b.doc_id >= (SELECT c FROM cut))
+        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
+
+  /** `dedup_video_delta`'s exact SQL, shared with its streamed twin
+    * (`stream_video_delta`): per-item exactness makes the stream-maintained
+    * store bit-equal to the batch chain, so ONE val gates both —
+    * the identity is structural. */
+  private val videoDeltaOracle: String =
+      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS anchor FROM documents),
+        |fr AS (SELECT doc_id, anchor, unnest(range(0, anchor % 3 + 3)) AS f FROM g),
+        |h AS (SELECT doc_id, f, array_to_string(list_transform(range(0, 64), i ->
+        |    CASE WHEN
+        |      list_sum(list_transform(range(0, (i % 8) + 2), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |      >
+        |      list_sum(list_transform(range(0, (i % 8) + 1), j ->
+        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
+        |    THEN '1' ELSE '0' END), '') AS fh FROM fr),
+        |seqs AS (SELECT doc_id, list(fh ORDER BY f) AS hs FROM h GROUP BY doc_id),
+        |coll AS (SELECT doc_id, list_filter(hs, (x, i) -> i = 1 OR x <> hs[i - 1]) AS cs FROM seqs),
+        |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
+        |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
+        |  AND b.doc_id >= (SELECT c FROM cut)
+        |ORDER BY d1, d2""".stripMargin
+
+  /** `dedup_substring_delta`'s exact SQL, shared with its streamed twin
+    * (`stream_substring_delta`): per-item exactness makes the stream-maintained
+    * store bit-equal to the batch chain, so ONE val gates both —
+    * the identity is structural. */
+  private val substringDeltaOracle: String =
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
+        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
+        |  FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) = 1 AS is_primary
+        |  FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ),
+        |cov2 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov GROUP BY doc_id, pos),
+        |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
+        |p2 AS (SELECT p.doc_id, p.pos, t.toks[p.pos + 1] AS tk FROM p JOIN t USING (doc_id)),
+        |j AS (SELECT p2.doc_id, p2.pos, p2.tk,
+        |    coalesce(NOT cov2.primary_covered, FALSE) AS removed
+        |  FROM p2 LEFT JOIN cov2 ON p2.doc_id = cov2.doc_id AND p2.pos = cov2.pos),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned_text
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |WHERE d.doc_id >= (SELECT c FROM cut)
+        |ORDER BY d.doc_id""".stripMargin
 
   /** the exact unblocked fuzzy-delta SQL shared by the persisted-index
     * key (`join_fuzzy_delta`) and its streamed maintainer
@@ -976,27 +1093,10 @@ object SparkEntry {
     // to the newer-side-in-the-delivery slice (chunk-LSH completeness
     // is per-pair, so the restriction loses nothing — the
     // dedup_phash_delta construction)
-    "dedup_audio_delta" ->
-      """WITH g AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor FROM documents),
-        |ah AS (SELECT doc_id, (anchor * 2654435761) % 1000003 AS a1 FROM g),
-        |m AS (SELECT doc_id, list_transform(range(0, 340), i ->
-        |    (a1 + i * i * (a1 % 97 + 3) + i * (a1 % 89 + 7)
-        |     + (i * i * i) % 1009 * (a1 % 83 + 11)) % 121 - 60) AS m
-        |  FROM ah),
-        |s AS (SELECT doc_id, list_transform(range(0, 85), ci ->
-        |    m[ci * 4 + 1] + m[ci * 4 + 2] + m[ci * 4 + 3] + m[ci * 4 + 4]) AS s FROM m),
-        |d AS (SELECT doc_id, list_transform(range(0, 68), di ->
-        |    s[(di // 4) * 5 + (di % 4) + 1] - s[(di // 4) * 5 + (di % 4) + 2]) AS d FROM s),
-        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
-        |    CASE WHEN d[((b // 4) + 1) * 4 + (b % 4) + 1] > d[(b // 4) * 4 + (b % 4) + 1]
-        |    THEN 1 ELSE 0 END) AS bits FROM d),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-        |    AND b.doc_id >= (SELECT c FROM cut))
-        |SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+    "dedup_audio_delta" -> audioDeltaOracle,
+    // structural identity: the stream-maintained store is bit-equal
+    // to the batch chain (per-item hashes), ONE val gates both
+    "stream_audio_delta" -> audioDeltaOracle,
     // the integer-algebra twin of dedup_video: the oracle recomputes
     // every frame's 64-bit dHash from the SHARED cell formula (groups
     // of 4 share an anchor's footage; the generational JPEG re-encode
@@ -1066,25 +1166,10 @@ object SparkEntry {
     // the delta twin: identical sequence recomputation, pairs
     // restricted to the newer-side-in-the-delivery slice
     // (equality-join completeness is per-pair)
-    "dedup_video_delta" ->
-      """WITH g AS (SELECT doc_id, doc_id - doc_id % 4 AS anchor FROM documents),
-        |fr AS (SELECT doc_id, anchor, unnest(range(0, anchor % 3 + 3)) AS f FROM g),
-        |h AS (SELECT doc_id, f, array_to_string(list_transform(range(0, 64), i ->
-        |    CASE WHEN
-        |      list_sum(list_transform(range(0, (i % 8) + 2), j ->
-        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
-        |      >
-        |      list_sum(list_transform(range(0, (i % 8) + 1), j ->
-        |        (anchor * 31 + anchor // (j + 2) + anchor // ((i // 8) + 2) + f * 101 + (i // 8) * 7 + j * 13) % 3 + 1)) % 4
-        |    THEN '1' ELSE '0' END), '') AS fh FROM fr),
-        |seqs AS (SELECT doc_id, list(fh ORDER BY f) AS hs FROM h GROUP BY doc_id),
-        |coll AS (SELECT doc_id, list_filter(hs, (x, i) -> i = 1 OR x <> hs[i - 1]) AS cs FROM seqs),
-        |v AS (SELECT doc_id, array_to_string(cs, '|') AS vseq, CAST(len(cs) AS BIGINT) AS n_frames FROM coll),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_frames
-        |FROM v a JOIN v b ON a.vseq = b.vseq AND a.doc_id < b.doc_id
-        |  AND b.doc_id >= (SELECT c FROM cut)
-        |ORDER BY d1, d2""".stripMargin,
+    "dedup_video_delta" -> videoDeltaOracle,
+    // structural identity: the stream-maintained store is bit-equal
+    // to the batch chain (per-item sequences), ONE val gates both
+    "stream_video_delta" -> videoDeltaOracle,
     // the truth side re-derives dedup_ngram's pair set at the 0.8 bar,
     // so the oracle ALSO value-checks the emitted jaccard column; the
     // banding contract itself is the literal-TRUE caught column
@@ -1123,6 +1208,11 @@ object SparkEntry {
     // the composed IVFADC path holds the same floors —
     // Contracts.ivfPqRecallPerQuery
     "similarity_ivfpq_recall_q" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // the composition served from BOTH incrementally-maintained
+    // layers holds the same floors — Contracts.ivfPqDeltaRecallPerQuery
+    "similarity_ivfpq_delta_recall_q" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // the incrementally-maintained codes hold the same floors —
@@ -1699,6 +1789,10 @@ object SparkEntry {
     // bit-equal to the batch-built index (per-string signatures), so
     // the SAME exact SQL gates it — one val, structurally identical
     "stream_fuzzy_delta" -> fuzzyDeltaOracle,
+    // the full store lifecycle (N-delivery chain + compact + replay)
+    // is content-preserving by the same per-string argument, so the
+    // same exact oracle gates the compaction and the replayed no-op
+    "fuzzy_compact_check" -> fuzzyDeltaOracle,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a' ORDER BY o_orderkey""".stripMargin,
@@ -2678,34 +2772,10 @@ object SparkEntry {
     // (the store carries the base side), output restricted to the
     // delivery — the batch rule on delta rows, which the incremental
     // plan reproduces exactly (SubstringDeltaSpec pins it)
-    "dedup_substring_delta" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
-        |cut AS (SELECT max(doc_id) * 4 // 5 + 1 AS c FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 5 + 1),
-        |    s -> struct_pack(start := s, gram := array_to_string(toks[s + 1 : s + 5], ' ')))) AS gs
-        |  FROM t WHERE len(toks) >= 5),
-        |g2 AS (SELECT doc_id, gs.start AS start, gs.gram AS gram FROM g),
-        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-        |occ AS (SELECT doc_id, start,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) = 1 AS is_primary
-        |  FROM g2 WHERE gram IN (SELECT gram FROM dup)),
-        |cov AS (SELECT doc_id, unnest(generate_series(start, start + 4)) AS pos, is_primary FROM occ),
-        |cov2 AS (SELECT doc_id, pos, max(is_primary) AS primary_covered FROM cov GROUP BY doc_id, pos),
-        |p AS (SELECT doc_id, unnest(range(len(toks))) AS pos FROM t),
-        |p2 AS (SELECT p.doc_id, p.pos, t.toks[p.pos + 1] AS tk FROM p JOIN t USING (doc_id)),
-        |j AS (SELECT p2.doc_id, p2.pos, p2.tk,
-        |    coalesce(NOT cov2.primary_covered, FALSE) AS removed
-        |  FROM p2 LEFT JOIN cov2 ON p2.doc_id = cov2.doc_id AND p2.pos = cov2.pos),
-        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
-        |    coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned_text
-        |  FROM j GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
-        |  coalesce(per.n_removed, 0) AS n_removed,
-        |  coalesce(per.cleaned_text, '') AS cleaned_text
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        |WHERE d.doc_id >= (SELECT c FROM cut)
-        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_substring_delta" -> substringDeltaOracle,
+    // structural identity: additive gram counts + the same persisted
+    // base probe table, ONE val gates both
+    "stream_substring_delta" -> substringDeltaOracle,
     // per-source duplicated-token share: the dedup_substring span chain
     // rolled up per doc then per source; docs too short for a gram keep
     // their tokens in the denominator with zero duplicated tokens

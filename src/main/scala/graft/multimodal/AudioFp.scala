@@ -119,7 +119,7 @@ object AudioFp {
 
   /** Frame-parameterized core of [[afps]] — the store build
     * fingerprints the base and delta slices separately. */
-  private def afpsOf(ids: DataFrame): DataFrame = {
+  private[graft] def afpsOf(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col("doc_id")).as[Long]

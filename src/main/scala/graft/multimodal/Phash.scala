@@ -152,7 +152,7 @@ object Phash {
     * audio sibling ([[AudioFp]] passes its own hash column) — the
     * chunking, pairing, verify and delta-restriction algebra is
     * modality-blind. */
-  private[multimodal] def chunkLshPairs(sigs: DataFrame,
+  private[graft] def chunkLshPairs(sigs: DataFrame,
       hashCol: String, newerCut: Option[Long], maxHamming: Int)
       : DataFrame = {
     val chunks = sigs.select(col("doc_id"), col(hashCol),

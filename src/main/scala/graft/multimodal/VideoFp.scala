@@ -124,7 +124,7 @@ object VideoFp {
 
   /** Frame-parameterized core of [[vfps]] — the store build
     * fingerprints the base and delta slices separately. */
-  private def vfpsOf(ids: DataFrame): DataFrame = {
+  private[graft] def vfpsOf(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     // fanOut: the codec stage is pure per-row CPU — a one-split scan
@@ -167,7 +167,7 @@ object VideoFp {
     * the delta doc at d2, so the filter sits on the probe side before
     * any pairing; equality-join completeness is per-pair, so the
     * restriction loses nothing). */
-  private def seqPairs(v: DataFrame, newerCut: Option[Long])
+  private[graft] def seqPairs(v: DataFrame, newerCut: Option[Long])
       : DataFrame = {
     val probe = newerCut
       .map(c => v.filter(col("doc_id") >= c)).getOrElse(v)

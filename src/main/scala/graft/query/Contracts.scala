@@ -225,6 +225,23 @@ object Contracts {
       Pq.similarityPqDelta(spark, dir, 5), floor)
   }
 
+  /** The [[ivfPqRecallPerQuery]] contract re-checked over BOTH
+    * incrementally-maintained layers ([[Pq.similarityIvfPqDelta]]:
+    * persisted base-trained coarse chain + frozen-assigned codes) —
+    * the post-delivery serving state of the production composition.
+    * Same floors by the composition argument PLUS the two delta
+    * arguments ([[ivfDeltaRecallPerQuery]], [[pqDeltaRecallPerQuery]]:
+    * the iid fixture delta degrades neither frozen model); a drop
+    * means one of the delta legs lost, mis-assigned or mis-coded
+    * delivery rows. */
+  def ivfPqDeltaRecallPerQuery(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val floor =
+      if (Tables.load(spark, dir, "embeddings").count() < 1000) 3 else 4
+    recallVsTopk(TextSim.similarityTopk(spark, dir, 5),
+      Pq.similarityIvfPqDelta(spark, dir, 5), floor)
+  }
+
   /** Per-query hit counts vs the brute-force top-5 (ContractsSpec's
     * per-SF floor gates; also the lsh key's shape). */
   private[query] def recallVsTopk(truth: DataFrame, approx: DataFrame,

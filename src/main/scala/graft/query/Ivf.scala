@@ -353,6 +353,17 @@ object Ivf {
     (cent, assign(full, cent), retrained)
   }
 
+  /** [[ensureDeltaIndex]]'s content built inline — base-trained
+    * centroids, base and delta each frozen-assigned — with no store
+    * and no gauge: the store-vs-inline pin for the composition specs
+    * (IvfPqDeltaSpec). */
+  private[query] def deltaLayerOf(base: DataFrame, delta: DataFrame,
+      nlist: Int = 16, iters: Int = 2, seed: Long = 7L)
+      : (DataFrame, DataFrame) = {
+    val cent = trainCentroids(base, nlist, iters, seed)
+    (cent, assign(base, cent).unionByName(assign(delta, cent)))
+  }
+
   private val retrainMemo = new graft.core.Caches.PerSession[
     scala.collection.mutable.Map[String, (DataFrame, DataFrame, Boolean)]]
 

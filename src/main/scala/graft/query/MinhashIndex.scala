@@ -49,7 +49,7 @@ object MinhashIndex {
   /** The delta split point: the newest ~20% of doc_ids model the
     * un-indexed weekly delivery (deterministic, data-derived — the
     * same rule as [[Ivf]]'s embedding delta). */
-  private[query] def deltaCutoff(docs: DataFrame): Long =
+  private[graft] def deltaCutoff(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5 + 1
 
   /** Versions the on-disk shape; bumping it orphans old indexes

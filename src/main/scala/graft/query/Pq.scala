@@ -243,10 +243,72 @@ object Pq {
     * operators' (contract key `similarity_ivfpq_recall_q`). */
   def similarityIvfPq(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = Ivf.HighRecallNprobe, rerank: Int = Rerank,
-      m: Int = M, ks: Int = Ks): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
-    val (cent, cells) = Ivf.ensureIndex(spark, dir)
-    val (cb, codes) = ensureIndex(spark, dir, m, ks)
+      m: Int = M, ks: Int = Ks): DataFrame =
+    similarityIvfPqOf(spark, Tables.load(spark, dir, "embeddings"),
+      Ivf.ensureIndex(spark, dir), ensureIndex(spark, dir, m, ks),
+      k, nprobe, rerank, m)
+
+  /** The O(delta) leg of the production composition (r19 verdict task
+    * 2): IVF-PQ served from BOTH incrementally-maintained layers — the
+    * persisted coarse chain ([[Ivf.ensureDeltaIndex]]: base-trained
+    * centroids, the delivery frozen-assigned and appended O(delta))
+    * and the incrementally-maintained codes ([[ensureDeltaIndex]]:
+    * base-trained codebooks, the delivery coded in one frozen pass).
+    * This is the state a weekly-delivery user actually serves from at
+    * 100 TB — before it existed the composition paid a full two-layer
+    * rebuild per delivery while each layer alone had a delta form.
+    * Same output contract as [[similarityIvfPq]]; the per-query recall
+    * contract re-runs against brute force over the merged corpus
+    * (`similarity_ivfpq_delta_recall_q`, the
+    * `similarity_pq_delta_recall_q` template). */
+  def similarityIvfPqDelta(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = Ivf.HighRecallNprobe, rerank: Int = Rerank,
+      m: Int = M, ks: Int = Ks): DataFrame =
+    similarityIvfPqOf(spark, Tables.load(spark, dir, "embeddings"),
+      Ivf.ensureDeltaIndex(spark, dir),
+      ensureDeltaIndex(spark, dir, m, ks), k, nprobe, rerank, m)
+
+  /** Retrain-on-drift serving for the composition — the combination
+    * rule the two independent staleness signals need (r19 verdict task
+    * 5): EACH LAYER IS GOVERNED BY ITS OWN GAUGE, independently. The
+    * coarse layer serves [[Ivf.ensureRetrainedIndex]] (the
+    * [[IndexDrift]] gauge's decision applied: quiet keeps the frozen
+    * two-commit chain, fired resets to a full-corpus-trained index);
+    * the codes layer serves the [[PqDrift]] decision the same way
+    * (quiet → [[ensureDeltaIndex]], fired → [[ensureIndex]] over the
+    * full corpus). Independence is sound because the layers' models
+    * answer different questions over the SAME raw vectors — centroids
+    * partition (WHICH cells are probed), codebooks quantize (WHAT the
+    * survivors' distances are computed from; codes here are over raw
+    * vectors, not residuals, so neither model is derived from the
+    * other) — and each gauge measures exactly its own model's
+    * mis-fit. A coarse-only drift re-partitions without paying the
+    * O(corpus) re-code; a quantization-only drift re-codes against
+    * the still-valid cell structure. When the gauges are BOTH quiet
+    * this is bit-for-bit [[similarityIvfPqDelta]] (IvfPqDeltaSpec
+    * pins it); when either fires, that layer serves its retrained
+    * model exactly as its single-layer retrain key does. */
+  def similarityIvfPqRetrain(spark: SparkSession, dir: String,
+      k: Int = 5, nprobe: Int = Ivf.HighRecallNprobe,
+      rerank: Int = Rerank, m: Int = M, ks: Int = Ks): DataFrame = {
+    val (cent, cells, _) = Ivf.ensureRetrainedIndex(spark, dir)
+    val pqFired = PqDrift.pqDriftCheck(spark, dir)
+      .agg(coalesce(bool_or(col("pq_retrain")), lit(false)))
+      .head().getBoolean(0)
+    val pq = if (pqFired) ensureIndex(spark, dir, m, ks)
+      else ensureDeltaIndex(spark, dir, m, ks)
+    similarityIvfPqOf(spark, Tables.load(spark, dir, "embeddings"),
+      (cent, cells), pq, k, nprobe, rerank, m)
+  }
+
+  /** The composed query path over explicit (coarse, codes) layers —
+    * shared by the one-shot, delta and retrain-on-drift serving
+    * states. */
+  private[query] def similarityIvfPqOf(spark: SparkSession, e: DataFrame,
+      coarse: (DataFrame, DataFrame), pq: (DataFrame, DataFrame),
+      k: Int, nprobe: Int, rerank: Int, m: Int): DataFrame = {
+    val (cent, cells) = coarse
+    val (cb, codes) = pq
     val (probes, probeCids) = Ivf.probeSet(spark, e, cent, nprobe)
     val q = probes.select(col("query_id"), col("qv")).distinct()
     val lut = subVectors(

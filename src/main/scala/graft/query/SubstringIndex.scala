@@ -56,7 +56,7 @@ object SubstringIndex {
 
   /** (doc_id, start, gh) gram occurrences of a docs frame — the
     * [[TextSim.dedupSubstringApplyOf]] gram stage. */
-  private def gramsOf(docs: DataFrame, gramLen: Int): DataFrame =
+  private[graft] def gramsOf(docs: DataFrame, gramLen: Int): DataFrame =
     docs.withColumn("toks", TextSim.tokens(col("text")))
       .filter(size(col("toks")) >= gramLen)
       .select(col("doc_id"), explode(expr(
@@ -71,7 +71,7 @@ object SubstringIndex {
     * slice (doc_id ≥ the standard cutoff) against the base slice's
     * gram table. The spec path; [[dedupSubstringDelta]] is the
     * persisted-store form. `baseGrams` is (gh)-grain (distinct). */
-  private[query] def cleanDeltaAgainst(delta: DataFrame,
+  private[graft] def cleanDeltaAgainst(delta: DataFrame,
       baseGrams: DataFrame, gramLen: Int): DataFrame =
     cleanDeltaKeptToks(delta, baseGrams, gramLen)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),

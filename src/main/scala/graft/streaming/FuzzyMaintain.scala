@@ -68,8 +68,7 @@ object FuzzyMaintain {
     DriveSupport.withWorkspace("graft-fzym") { ws =>
       val (pristineIdx, inDir, cut, schema) =
         stagedBootstrap(spark, dir, k, chunks)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(pristineIdx), ws.resolve("idx").toFile)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
       val store = new SnapshotStore(ws.resolve("idx/sig").toString)
 
       DriveSupport.withStreamConfs(spark) {
@@ -98,4 +97,49 @@ object FuzzyMaintain {
     if (batch.isEmpty) return
     store.appendOnce(FuzzyJoin.signaturesOf(batch, k), batchId.toString)
   }
+
+  /** Driver key `fuzzy_compact_check`: the signature store's FULL
+    * lifecycle, which [[FuzzyIndex.ensureIndex]]'s single
+    * "delivery-1" append does not exercise (r19 verdict task 4) —
+    * append the delivery slice as `chunks` tagged commits (the
+    * N-delivery chain), [[SnapshotStore.compact]] the chain to one
+    * commit (the dir-name tags fold into the `_applied_tags`
+    * sidecar), REPLAY delivery #1 post-compaction (the sidecar must
+    * no-op it — a re-append cannot change which matches verify, the
+    * banded levenshtein is exact, but it doubles the candidate mass
+    * the equality join pays), then serve the fuzzy delta join from
+    * the compacted store. Per-string signature exactness makes the
+    * post-lifecycle store content bit-equal to the one-shot build, so
+    * the key runs under `join_fuzzy_delta`'s exact UNBLOCKED oracle —
+    * the measured path includes the chain build, the compaction and
+    * the replayed no-op. The `index_compact_check` shape applied to
+    * the fuzzy family. */
+  def fuzzyCompactCheck(spark: SparkSession, dir: String, k: Int = 2,
+      chunks: Int = 4): DataFrame =
+    DriveSupport.withWorkspace("graft-fzyc") { ws =>
+      val (pristineIdx, inDir, cut, _) =
+        stagedBootstrap(spark, dir, k, chunks)
+      DriveSupport.stageStoreCopy(pristineIdx, ws.resolve("idx"))
+      val store = new SnapshotStore(ws.resolve("idx/sig").toString)
+
+      val staged = spark.read.parquet(inDir)
+      val maxId = staged.agg(max(col("p_partkey"))).head().getLong(0)
+      val span = DriveSupport.deliverySpan(maxId, cut, chunks)
+      (0 until chunks).foreach { c =>
+        appendDelivery(staged.filter(
+          col("p_partkey") >= cut + c * span &&
+          col("p_partkey") < cut + (c + 1) * span), store, c.toLong, k)
+      }
+      store.compact(spark)
+      // the replay beat: delivery #1 again, post-compaction
+      appendDelivery(staged.filter(col("p_partkey") >= cut &&
+        col("p_partkey") < cut + span), store, 0L, k)
+
+      val parts = Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val probes = FuzzyJoin.probesOf(
+        parts.filter(col("p_partkey") >= cut), 20)
+      DriveSupport.pin(spark,
+        FuzzyJoin.matchProbes(probes, store.read(spark).get, parts, k))
+    }
 }

@@ -38,9 +38,10 @@ class PlanAuditSpec extends SparkSuite {
     "stream_profile_drift", "stream_index_delta",
     "stream_chunks_delta", "stream_vocab_delta", "stream_phash_delta",
     "stream_ann_delta", "stream_ann_delta_recall",
-    "stream_fuzzy_delta",
+    "stream_fuzzy_delta", "stream_audio_delta", "stream_video_delta",
+    "stream_substring_delta",
     // executes the append/compact/replay loop on construction
-    "index_compact_check",
+    "index_compact_check", "fuzzy_compact_check",
     // builds/loads the persisted IVF index on construction
     "similarity_ivf_recall", "similarity_ivf_recall_q",
     "similarity_ivf_delta", "similarity_ivf_delta_recall_q",
@@ -50,6 +51,7 @@ class PlanAuditSpec extends SparkSuite {
     "similarity_pq_recall_q", "similarity_ivfpq_recall_q",
     "similarity_ivfpq", "similarity_pq_delta",
     "similarity_pq_delta_recall_q",
+    "similarity_ivfpq_delta", "similarity_ivfpq_delta_recall_q",
     // builds/loads the persisted minhash index on construction
     // (dedup_minhash_delta; curate_delta composes it)
     "dedup_minhash_delta", "curate_delta",

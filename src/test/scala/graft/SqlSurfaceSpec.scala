@@ -49,7 +49,9 @@ class SqlSurfaceSpec extends SparkSuite {
     "dedup_phash_delta", "phash_drift_check",
     "dedup_ngram_star", "dedup_phash", "dedup_semantic",
     "dedup_substring", "dedup_substring_apply", "dedup_substring_delta",
+    "stream_substring_delta",
     "dedup_video", "dedup_video_delta",
+    "stream_audio_delta", "stream_video_delta",
     "dedup_winnow", "doc_chunk", "doc_tokens_pos",
     "embed_pca2", "embed_power_iter", "embed_quantize",
     "events_date_parts", "events_gapfill", "events_props",
