@@ -122,6 +122,9 @@ object AudioFp {
   private[graft] def afpsOf(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // NOT fanOut (r20 measured ×2.7 WITH it): the JDK audio stack
+    // serializes provider lookup, so parallel WAV decodes contend on
+    // a global lock — single-task decode is the faster shape here
     ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = variantWav(id)

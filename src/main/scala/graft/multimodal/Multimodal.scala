@@ -424,7 +424,7 @@ object Multimodal {
     import spark.implicits._
     val nLanes = FakeCodec.FeatureDim
     val formats = Array("png", "bmp", "gif")
-    Tables.load(spark, dir, "documents")
+    Tables.fanOut(Tables.load(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 16 + 8).toInt
@@ -461,7 +461,7 @@ object Multimodal {
   def resizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nLanes = FakeCodec.FeatureDim
-    Tables.load(spark, dir, "documents")
+    Tables.fanOut(Tables.load(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = ((id % 8 + 4) * 2).toInt // even dims: the pool is exact
@@ -514,7 +514,7 @@ object Multimodal {
   def videoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nLanes = FakeCodec.FeatureDim
-    Tables.load(spark, dir, "documents")
+    Tables.fanOut(Tables.load(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val nF = (id % 4 + 2).toInt
@@ -560,7 +560,7 @@ object Multimodal {
     * flips a count or the flag and the hash diverges. */
   def mp4Roundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.fanOut(Tables.load(spark, dir, "documents"))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val nF = (id % 4 + 2).toInt
@@ -613,6 +613,8 @@ object Multimodal {
   def audioRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nLanes = FakeCodec.FeatureDim
+    // NOT fanOut (r20 measured: the JDK audio stack serializes
+    // provider lookup — parallel WAV decodes contend, ×2.7-3.7 slower)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
@@ -651,6 +653,8 @@ object Multimodal {
   def audioFrames(spark: SparkSession, dir: String, window: Int = 16)
       : DataFrame = {
     import spark.implicits._
+    // NOT fanOut (r20 measured: the JDK audio stack serializes
+    // provider lookup — parallel WAV decodes contend, ×2.7-3.7 slower)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
@@ -680,6 +684,8 @@ object Multimodal {
 
   /** documents.text reinterpreted as an opaque binary payload column —
     * stands in for an image/audio blob. */
+  // NOT fanOut (r20 measured ×1.4-3.8 WITH it): the payload consumers
+  // are cheap column algebra — the exchange costs more than the work
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -709,7 +715,7 @@ object Multimodal {
     * (no generate-all-then-filter waste at scale). */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 2)
       : DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents") // cheap algebra: no fanOut (r20)
       .withColumn("n_bytes", length(col("text")).cast("long"))
       .withColumn("n_frames", col("n_bytes") % 30 + 1)
       .withColumn("frame_size",
@@ -780,7 +786,7 @@ object Multimodal {
     * float tolerance (MultimodalSpec ties them); the oracle twin runs the
     * identical list algebra in DuckDB. */
   def featureLanes(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents") // cheap algebra: no fanOut (r20)
       .withColumn("lanes", laneSumsExpr(FakeCodec.FeatureDim, 1))
       .select(col("doc_id"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
@@ -804,7 +810,7 @@ object Multimodal {
     val pooled = (0 until outDim).map(i =>
       round(expr(s"element_at(psums, ${i + 1})").cast("double") /
         lit(255.0 * group), 6).as(s"pooled_$i"))
-    Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents") // cheap algebra: no fanOut (r20)
       .withColumn("psums", laneSumsExpr(outDim, group))
       .select(Seq(col("doc_id"),
         octet_length(encode(col("text"), "UTF-8")).cast("long")

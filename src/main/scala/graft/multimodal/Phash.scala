@@ -119,7 +119,9 @@ object Phash {
   private[graft] def phashesOf(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long]
+    // fanOut: the codec stage is pure per-row CPU — a one-split scan
+    // would run ALL of it in one task (Tables.fanOut scaladoc)
+    Tables.fanOut(ids.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, px, fmt) = variantImage(id)
         val bytes = Multimodal.RealCodec.encode(fmt, w, h, px)

@@ -25,7 +25,15 @@ object Cluster {
   /** One large-star round: every node attaches its LARGER neighbors to
     * the minimum of its neighborhood (Kiveris §3). Emitted edges point
     * big→small (src > dst), connectivity is preserved, and strictly
-    * smaller labels propagate two hops per round. */
+    * smaller labels propagate two hops per round.
+    *
+    * NOT distinct: [[smallStar]]'s window-min is duplicate-invariant
+    * and its own terminal distinct canonicalizes the round's edge set,
+    * so a distinct here bought nothing but a fourth full shuffle per
+    * round (guide §2.4 — remove shuffles outright). The duplicate mass
+    * that rides into smallStar is bounded by the pre-distinct row
+    * count (one row per directed input edge), so the per-round shuffle
+    * volume class is unchanged at any scale. */
   private def largeStar(e: DataFrame): DataFrame = {
     val bidir = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -34,7 +42,6 @@ object Cluster {
       .withColumn("m", least(col("src"), min("dst").over(w)))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star round: every node attaches its SMALLER neighbors

@@ -157,7 +157,10 @@ object FuzzyJoin {
     * best match per probe. */
   def joinFuzzy(spark: SparkSession, dir: String, k: Int = 2)
       : DataFrame = {
-    val parts = Tables.load(spark, dir, "part")
+    // fanOut: the deletion-variant explode (~len²/2 variants/row at
+    // k=2) is scan-side CPU and part is one parquet split — without it
+    // the whole signature build runs in ONE task (r20 profile: 1.2 s)
+    val parts = Tables.fanOut(Tables.load(spark, dir, "part"))
       .select(col("p_partkey"), col("p_name"))
     matchProbes(probesOf(parts, 50), signaturesOf(parts, k), parts, k)
   }

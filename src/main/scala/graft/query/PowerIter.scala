@@ -69,8 +69,11 @@ object PowerIter {
     y.map(v => (BigInt(v) * Target / mb).toLong)
   }
 
+  // fanOut: every matvec pass re-reads this cached frame; a one-split
+  // scan would cache — and then run all passes over — a single
+  // partition (r20 profile: 0.54 s single-task InMemoryTableScan)
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
+    Tables.fanOut(Tables.load(spark, dir, "embeddings"))
       .select(expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Quant) AS BIGINT))")
         .as("q"))

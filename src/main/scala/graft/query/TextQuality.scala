@@ -13,6 +13,11 @@ import graft.core.Tables
   */
 object TextQuality {
 
+  // NOT fanOut here (r20 measured): the consumers are one-aggregation
+  // panels whose tokenize cost is smaller than the extra round-robin
+  // exchange of full text rows — corpus_stats ×1.9, quality_filter ×2
+  // with a blanket fanOut. Heavy per-row paths fan out at their own
+  // entries instead.
   private def docsTok(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("toks", TextSim.tokens(col("text")))

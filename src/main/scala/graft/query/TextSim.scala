@@ -28,6 +28,10 @@ object TextSim {
   private def docsTokOf(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
 
+  // NOT fanOut here (r20 measured): most consumers are cheap panels
+  // where the extra exchange costs more than single-task tokenize;
+  // heavy per-row consumers (simhash, shingle family) fan out at
+  // their own entries.
   private def docsTok(spark: SparkSession, dir: String): DataFrame =
     docsTokOf(Tables.load(spark, dir, "documents"))
 
@@ -820,7 +824,7 @@ object TextSim {
   def dedupLevenshtein(spark: SparkSession, dir: String,
       maxRel: Double = 0.2, minShared: Int = 3,
       maxShingleDf: Int = 1000): DataFrame =
-    dedupLevenshteinOf(Tables.load(spark, dir, "documents"),
+    dedupLevenshteinOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
       maxRel, minShared, maxShingleDf)
 
   /** Shared-shingle candidate pairs with their shared-count — the
@@ -876,7 +880,7 @@ object TextSim {
   def dedupLevenshteinStar(spark: SparkSession, dir: String,
       maxRel: Double = 0.2, minShared: Int = 3, allPairCap: Int = 32,
       maxShingleDf: Int = 1000): DataFrame =
-    dedupLevenshteinStarOf(Tables.load(spark, dir, "documents"),
+    dedupLevenshteinStarOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
       maxRel, minShared, allPairCap, maxShingleDf)
 
   /** The DP verify stage shared by the exact and star-bounded
@@ -913,7 +917,7 @@ object TextSim {
   def dedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.3, nHashes: Int = 32, bands: Int = 8)
       : DataFrame =
-    dedupMinhashOf(Tables.load(spark, dir, "documents"),
+    dedupMinhashOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
       threshold, nHashes, bands)
 
   /** DataFrame-parameterized core of [[dedupMinhash]] — the composed
@@ -1019,7 +1023,7 @@ object TextSim {
   def dedupMinhashStar(spark: SparkSession, dir: String,
       threshold: Double = 0.8, nHashes: Int = 32, bands: Int = 8,
       allPairCap: Int = 32): DataFrame =
-    dedupMinhashStarOf(Tables.load(spark, dir, "documents"),
+    dedupMinhashStarOf(Tables.fanOut(Tables.load(spark, dir, "documents")),
       threshold, nHashes, bands, allPairCap)
 
   /** (doc_id, sh_h): each doc's distinct shingles hashed ONCE — the 32
@@ -1081,7 +1085,10 @@ object TextSim {
     * chunk equal), exact Hamming verify. No SQL oracle. */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3)
       : DataFrame = {
-    val sigs = docsTok(spark, dir)
+    // fanOut: the 64-lane simhash fold is heavy per-row CPU on a
+    // one-split scan (r20 measured ×0.72 with it)
+    val sigs = docsTokOf(
+        Tables.fanOut(Tables.load(spark, dir, "documents")))
       .select(col("doc_id"), simhash64(col("toks")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(k =>
@@ -1106,7 +1113,8 @@ object TextSim {
     * real near-dup corpora would use ~0.9+.) */
   def dedupEmbedding(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
+    // fanOut: per-pair cosine is the cost and embeddings is one split
+    val e = Tables.fanOut(Tables.load(spark, dir, "embeddings"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -76,16 +76,43 @@ private[graft] object DriveSupport {
   /** Copy the pristine bootstrap store `src` into this drive run's
     * workspace at `dest` — the streamed-store maintainers' staging
     * step, so each bench/spec run appends to a THROWAWAY copy and the
-    * pristine bootstrap stays reusable. HARNESS-ONLY: this is a
-    * local-FS `FileUtils.copyDirectory` and exists purely for the
-    * drive shape (measure N runs from one bootstrap). Do NOT lift it
-    * into production wiring — the store API itself
+    * pristine bootstrap stays reusable. HARNESS-ONLY: exists purely
+    * for the drive shape (measure N runs from one bootstrap). Do NOT
+    * lift it into production wiring — the store API itself
     * ([[graft.ingest.SnapshotStore]]) is FileContext-based and needs
     * no copy; a real deployment maintains ONE persistent store in
-    * place. */
-  def stageStoreCopy(src: String, dest: java.nio.file.Path): Unit =
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(src), dest.toFile)
+    * place.
+    *
+    * HARDLINK, not byte copy (r20: guide §1 profiling showed the
+    * O(store-bytes) copy inside every measured streamed-store pass):
+    * [[graft.ingest.SnapshotStore]] never modifies a committed file in
+    * place — every commit writes a FRESH version dir, manifests are
+    * new `MANIFEST-N` files published by tmp+rename, sidecars are
+    * created with the new dir before publish, and GC only deletes (an
+    * unlink never touches the shared inode's bytes) — so link-sharing
+    * data bytes between the pristine store and the run's throwaway
+    * copy is safe by the store's own immutability contract, and the
+    * staging cost drops from O(bytes) to O(files) metadata. Falls back
+    * to a plain copy per file where linking is unsupported (foreign
+    * FS, cross-device rename of the workspace). */
+  def stageStoreCopy(src: String, dest: java.nio.file.Path): Unit = {
+    val srcPath = java.nio.file.Paths.get(src)
+    val walk = Files.walk(srcPath)
+    try walk.forEach { p =>
+      val target = dest.resolve(srcPath.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        try Files.createLink(target, p)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(p, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
+  }
 
   /** Build-once IMMUTABLE staging per (session, key): drives whose
     * input files never change after creation (events + up-front
