@@ -80,8 +80,14 @@ object Cluster {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // localCheckpoint per round: materializes the round AND keeps the
-      // next round's plan flat (no O(rounds)-deep lineage)
+      // ONE star round per materialization+signature. r20 measured the
+      // tempting batching of TWO rounds per checkpoint (half the driver
+      // round-trips) at ×1.15-1.36 SLOWER: both star ops reference
+      // their input twice (the bidirectional/self unions), so an
+      // un-materialized intermediate round recomputes everything
+      // between its exchanges twice — the checkpoint per round is
+      // load-bearing, not overhead. localCheckpoint also keeps the
+      // next round's plan flat (no O(rounds)-deep lineage).
       e = smallStar(largeStar(e)).localCheckpoint()
       val next = signature(e)
       converged = next == sig

@@ -263,8 +263,13 @@ object TextQuality {
         // materialize the survivors once: the apply stage references
         // its input three times (gram side, position side, total
         // join), and each reference would otherwise re-run the
-        // stage-1 canonical window (the Ivf localCheckpoint precedent)
-        val survivors = reps0.localCheckpoint()
+        // stage-1 canonical window (the Ivf localCheckpoint precedent).
+        // fanOut AFTER the checkpoint (r20): the checkpoint freezes the
+        // AQE-coalesced partitioning — locally ONE partition, which
+        // serialized the gram stages (profiled 1.1 s + 0.85 s single-
+        // task); post-checkpoint the partition count is the REAL one,
+        // so at scale (>= parallelism partitions) this is a no-op
+        val survivors = Tables.fanOut(reps0.localCheckpoint())
         survivors.drop("text").join(
           TextSim.substringKeptToksOf(survivors)
             .select(col("doc_id"), col("toks")),
@@ -342,8 +347,10 @@ object TextQuality {
     // survivors four times (gram-stats side, probe side, position
     // side, total join), each of which would re-run the store-probe
     // anti-joins (the curateFullOf scrub-branch checkpoint)
-    val reps0 = canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val reps0 = Tables.fanOut(
+      canonKept.join(dupNewer, Seq("doc_id"), "left_anti")
+        .localCheckpoint()) // post-checkpoint fanOut: the curateFullOf
+                            // scrub-branch rationale (no-op at scale)
     // stage 2.5: span removal among the delivery survivors, probed
     // against the persisted pre-delivery gram store — kept token
     // arrays flow straight into the quality gate (single tokenize:
