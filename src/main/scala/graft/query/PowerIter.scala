@@ -69,11 +69,14 @@ object PowerIter {
     y.map(v => (BigInt(v) * Target / mb).toLong)
   }
 
-  // fanOut: every matvec pass re-reads this cached frame; a one-split
-  // scan would cache — and then run all passes over — a single
-  // partition (r20 profile: 0.54 s single-task InMemoryTableScan)
+  // NOT fanOut (r20 measured ×1.46/×1.17 WITH it on power_iter/pca2):
+  // the matvec passes are model-grain collects over a small cached
+  // frame — 32 near-empty cached partitions tax every pass with task
+  // launches that outweigh the single-task scan they replace. At real
+  // n the embeddings table has many splits and the cache is parallel
+  // without help.
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.load(spark, dir, "embeddings"))
+    Tables.load(spark, dir, "embeddings")
       .select(expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Quant) AS BIGINT))")
         .as("q"))
