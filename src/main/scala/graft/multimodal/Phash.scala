@@ -116,12 +116,18 @@ object Phash {
     * per-item grain that makes the fingerprint store's incremental
     * maintenance EXACT ([[dedupPhashDelta]]): a delivery's slice
     * hashes to the same values the full-corpus pass produces. */
-  private[graft] def phashesOf(ids: DataFrame): DataFrame = {
+  private[graft] def phashesOf(ids: DataFrame, fan: Boolean = true)
+      : DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     // fanOut: the codec stage is pure per-row CPU — a one-split scan
-    // would run ALL of it in one task (Tables.fanOut scaladoc)
-    Tables.fanOut(ids.select(col("doc_id"))).as[Long]
+    // would run ALL of it in one task (Tables.fanOut scaladoc).
+    // fan=false for micro-batch-grain callers whose input is a small
+    // delivery slice: there the round-robin exchange costs more than
+    // the single-task codec work it spreads (r20 measured on
+    // stream_phash_delta).
+    val in = ids.select(col("doc_id"))
+    (if (fan) Tables.fanOut(in) else in).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, px, fmt) = variantImage(id)
         val bytes = Multimodal.RealCodec.encode(fmt, w, h, px)

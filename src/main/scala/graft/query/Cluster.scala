@@ -69,30 +69,68 @@ object Cluster {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Shuffle width for one loop round over `edges` edge rows — derived
+    * from the just-measured input size (guide §2.5: scale-adaptive, not
+    * a constant tuned to either regime): at least the session
+    * parallelism (the star stages are CPU-bound on tiny BYTES — hash +
+    * window-min per row — so AQE's byte-based coalescing
+    * under-parallelizes them: r20 profiled 12 tasks on a 32-core box),
+    * growing once the edge set outruns ~4M rows per task (~100 MB of
+    * (long, long) shuffle pairs — the guide's 100 MB–1 GB band). */
+  private def loopPartitions(spark: SparkSession, edges: Long): Int = {
+    val par = spark.sparkContext.defaultParallelism
+    math.max(par, (edges / 4000000L).toInt)
+  }
+
   /** Connected components over an undirected pair set (columns src, dst):
     * returns (doc_id, cluster = component minimum) for every node that
     * appears in `pairs`. Exposed for direct testing on synthetic graphs. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30)
       : DataFrame = {
+    val spark = pairs.sparkSession
     var e = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
       .localCheckpoint() // truncate caller lineage before iterating
     var sig = signature(e)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      // ONE star round per materialization+signature. r20 measured the
-      // tempting batching of TWO rounds per checkpoint (half the driver
-      // round-trips) at ×1.15-1.36 SLOWER: both star ops reference
-      // their input twice (the bidirectional/self unions), so an
-      // un-materialized intermediate round recomputes everything
-      // between its exchanges twice — the checkpoint per round is
-      // load-bearing, not overhead. localCheckpoint also keeps the
-      // next round's plan flat (no O(rounds)-deep lineage).
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val next = signature(e)
-      converged = next == sig
-      sig = next
-      round += 1
+    // The loop rounds opt OUT of AQE (restored on exit): each round is
+    // a fixed 3-shuffle chain over an edge set whose exact row count
+    // the previous signature just measured, so runtime re-planning has
+    // nothing to discover and costs ~3 extra driver round-trips per
+    // round (one job per materialized query stage — r20 profiled
+    // dedup_cluster at 36 jobs for ~5 rounds) plus byte-based
+    // coalescing that under-parallelizes the CPU-bound star stages.
+    // The shuffle width is derived per round from the signature's edge
+    // count instead ([[loopPartitions]]). Content is partitioning-
+    // independent (window-min per key + distinct), so the round edge
+    // SETS, the convergence signature and the final star forest are
+    // unchanged — ClusterSpec's property tests and the five consumer
+    // hash gates pin that.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevSp = spark.conf.getOption(spKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      while (!converged && round < maxRounds) {
+        spark.conf.set(spKey, loopPartitions(spark, sig._1).toString)
+        // ONE star round per materialization+signature. r20 measured the
+        // tempting batching of TWO rounds per checkpoint (half the driver
+        // round-trips) at ×1.15-1.36 SLOWER: both star ops reference
+        // their input twice (the bidirectional/self unions), so an
+        // un-materialized intermediate round recomputes everything
+        // between its exchanges twice — the checkpoint per round is
+        // load-bearing, not overhead. localCheckpoint also keeps the
+        // next round's plan flat (no O(rounds)-deep lineage).
+        e = smallStar(largeStar(e)).localCheckpoint()
+        val next = signature(e)
+        converged = next == sig
+        sig = next
+        round += 1
+      }
+    } finally {
+      prevAqe.fold(spark.conf.unset(aqeKey))(v => spark.conf.set(aqeKey, v))
+      prevSp.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
     }
     // log-round convergence means maxRounds=30 covers any real graph; a
     // silent non-fixpoint would break the transitive-closure contract

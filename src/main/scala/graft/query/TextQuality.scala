@@ -431,9 +431,18 @@ object TextQuality {
   def textTfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = docsTok(spark, dir)
     val n = docs.count() // corpus size: one cached-scan count, a model scalar
+    // tf is referenced TWICE (the df aggregate derives from it AND it
+    // is the join's probe side), and each reference re-ran the
+    // tokenize + explode scan. Materialize it once: tf is the
+    // AGGREGATED doc-term matrix (unique (doc, token) rows — strictly
+    // smaller than the exploded token stream), the cheapest frame on
+    // this path to pin. At scale this trades one corpus re-tokenize
+    // for a doc-term-matrix materialization (the dedup-chain
+    // localCheckpoint precedent for multiply-referenced frames).
     val tf = docs
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token").asc)
@@ -468,7 +477,14 @@ object TextQuality {
     * one doc-grain aggregate — same class as tfidf, no cross product. */
   def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsTok(spark, dir)
+    // occ is referenced THREE times per pass (the `total` scalar action,
+    // the broadcast freq build inside the join, and the probe side) —
+    // without a pin each reference re-runs the tokenize + explode scan.
+    // Materialize the occurrence stream once (the textTfidf precedent;
+    // at scale: one corpus-sized materialization vs two extra full
+    // tokenize passes).
     val occ = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .localCheckpoint()
     val freq = occ.groupBy("token").agg(count(lit(1)).as("c"))
     // corpus token count: a model scalar (the tfidf `n` convention)
     val total = freq.agg(sum("c")).first().getLong(0)

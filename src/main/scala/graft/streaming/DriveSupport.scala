@@ -238,6 +238,27 @@ private[graft] object DriveSupport {
     }
   }
 
+  /** The fuzzy serve's post-shuffle rows are far heavier as WORK than
+    * as BYTES (compact signature strings that explode into
+    * deletion-variant verification), so AQE's byte-based coalescing
+    * serializes the serve's 0.25–0.43 s aggregate stages onto ONE task
+    * (r20 profile). Lower the coalesce floor around the serve so those
+    * stages keep the core count; at scale the floor never binds
+    * (post-shuffle partitions are advisory-sized well above it), so
+    * this is small-byte-stage parallelism insurance, not a cluster
+    * knob. Set around the drive's serve, restored after (the
+    * [[withStreamConfs]] discipline). */
+  def withServeCoalesceFloor[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "64k")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Largest result `pin` will materialize. The biggest legitimate
     * drive result is the full events table at the benched SF (100k rows
     * at sf0.1); 1M is 10× headroom. A drive whose result exceeds this is

@@ -86,8 +86,10 @@ object FuzzyMaintain {
         .select(col("p_partkey"), col("p_name"))
       val probes = FuzzyJoin.probesOf(
         parts.filter(col("p_partkey") >= cut), 20)
-      DriveSupport.pin(spark,
-        FuzzyJoin.matchProbes(probes, store.read(spark).get, parts, k))
+      DriveSupport.withServeCoalesceFloor(spark) {
+        DriveSupport.pin(spark,
+          FuzzyJoin.matchProbes(probes, store.read(spark).get, parts, k))
+      }
     }
 
   /** One delivery's store maintenance — public so the replay spec can
@@ -139,7 +141,9 @@ object FuzzyMaintain {
         .select(col("p_partkey"), col("p_name"))
       val probes = FuzzyJoin.probesOf(
         parts.filter(col("p_partkey") >= cut), 20)
-      DriveSupport.pin(spark,
-        FuzzyJoin.matchProbes(probes, store.read(spark).get, parts, k))
+      DriveSupport.withServeCoalesceFloor(spark) {
+        DriveSupport.pin(spark,
+          FuzzyJoin.matchProbes(probes, store.read(spark).get, parts, k))
+      }
     }
 }

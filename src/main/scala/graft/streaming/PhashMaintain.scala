@@ -93,7 +93,7 @@ object PhashMaintain {
   def appendDelivery(batch: DataFrame, dStore: SnapshotStore,
       batchId: Long): Unit = {
     if (batch.isEmpty) return
-    dStore.appendOnce(Phash.phashesOf(batch.select("doc_id")),
+    dStore.appendOnce(Phash.phashesOf(batch.select("doc_id"), fan = false),
       batchId.toString)
   }
 
